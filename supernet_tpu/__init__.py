@@ -1,0 +1,24 @@
+"""SUPER-Net TPU — a TPU-native variational-density-propagation (VDP)
+segmentation framework.
+
+Re-implements the capabilities of
+GiuseppinaC/SUPER-Net-Bayesian-Image-Segmentation-with-Uncertainty-Propagation
+(reference mounted at /root/reference) as an idiomatic JAX/XLA/Pallas stack:
+
+- ``ops``      — moment-propagation primitives (mean+variance through conv,
+                 ReLU, max-pool, unpool, pad, crop/concat, softmax).
+- ``models``   — the parameterized VDP U-Net covering the Hippocampus (depth 3)
+                 and BraTS (depth 5) variants of the reference.
+- ``losses``   — heteroscedastic Gaussian NLL (ELBO likelihood) + KL
+                 regularization.
+- ``train``    — jitted train/eval steps, epoch drivers, checkpointing.
+- ``parallel`` — device-mesh data parallelism (shard_map + psum over ICI).
+- ``attacks``  — FGSM / PGD adversarial evaluation.
+- ``perturb``  — Gaussian / speckle / salt&pepper test-time corruptions with
+                 region masking.
+- ``metrics``  — Dice, Hausdorff, sensitivity/precision/specificity, RVD,
+                 over-/under-segmentation, c-score.
+- ``reports``  — uncertainty maps, predictive-variance reports, artifacts.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,225 @@
+"""The variational-density-propagation U-Net, parameterized over depth.
+
+One model covers both reference variants (SURVEY.md §2.2):
+- Hippocampus: depth 3, 64x64x1 -> [B, 54*54, 3] (`Hippocampus.py:335-421`)
+- BraTS: depth 5 with a (1,0) pre-pad on the bottleneck block,
+  204x204x4 -> [B, 186*186, 5] (`Brats.py:323-457`)
+
+Design: a pure-functional model — parameters are a flat dict
+``{layer_name: {"w_mu": [k,k,Cin,Cout], "w_sigma": [Cout]}}`` — so the
+forward pass is a plain jittable function, checkpointing is a pytree dump,
+and the Keras-H5 importer (supernet_tpu.checkpoint) can key directly on the
+reference's layer names (`conv_input`, `conv1..conv9`, `up{j}_conv2x2`,
+`up{j}_conv1`, `up{j}_conv2`, `conv_final`).
+
+Block choreography (rigid in the reference, `Hippocampus.py:373-421`):
+  encoder block i:  [pre-pad?] conv3 -> relu -> conv3 -> relu -> [pool if i<d]
+  decoder block j:  unpool -> conv2 -> pad(3,3) -> concat(skip d-j) ->
+                    conv3 -> relu -> pad(2,2) -> conv3 -> relu
+  head:             conv1x1 -> vsoftmax  (flattened [B, H*W, C] outputs)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from supernet_tpu.configs import ModelConfig
+from supernet_tpu.ops import (
+    vconv,
+    vconv_input,
+    vcrop_concat,
+    vmaxpool,
+    vpad,
+    vrelu,
+    vsoftmax,
+    vunpool,
+)
+
+Array = jax.Array
+Params = Dict[str, Dict[str, Array]]
+
+
+def _encoder_channels(cfg: ModelConfig) -> List[int]:
+    """Channels of encoder block i (1-indexed): base * 2^(i-1)."""
+    return [cfg.base_kernels * (2 ** i) for i in range(cfg.depth)]
+
+
+def _decoder_channels(cfg: ModelConfig) -> List[int]:
+    """Channels of decoder block j (1-indexed): base * 2^(depth-1-j)."""
+    return [
+        cfg.base_kernels * (2 ** (cfg.depth - 2 - j))
+        for j in range(cfg.depth - 1)
+    ]
+
+
+def layer_names(cfg: ModelConfig) -> List[Tuple[str, int, int, int]]:
+    """Ordered (name, ksize, c_in, c_out) of every conv layer.
+
+    Names mirror the reference's attribute names so checkpoints map 1:1:
+    encoder convs are ``conv_input, conv1, conv2, conv3, ...`` (two per
+    block), decoder blocks are ``up{j}_conv2x2 / up{j}_conv1 / up{j}_conv2``,
+    head is ``conv_final``.
+    """
+    enc = _encoder_channels(cfg)
+    dec = _decoder_channels(cfg)
+    out: List[Tuple[str, int, int, int]] = []
+    c_prev = cfg.in_channels
+    # Encoder block i (0-indexed): convs named conv{2i} and conv{2i+1},
+    # except block 0's first conv which is conv_input
+    # (Hippocampus.py:343-350, Brats.py:331-345).
+    for i, c in enumerate(enc):
+        first_name = "conv_input" if i == 0 else f"conv{2 * i}"
+        out.append((first_name, 3, c_prev, c))
+        out.append((f"conv{2 * i + 1}", 3, c, c))
+        c_prev = c
+    for j, c in enumerate(dec, start=1):
+        out.append((f"up{j}_conv2x2", 2, c_prev, c))
+        # after concat with the skip (same channel count c):
+        out.append((f"up{j}_conv1", 3, 2 * c, c))
+        out.append((f"up{j}_conv2", 3, c, c))
+        c_prev = c
+    out.append(("conv_final", 1, c_prev, cfg.n_classes))
+    return out
+
+
+def _tight_layers(cfg: ModelConfig) -> set:
+    """Layers initialized with the tighter sigma range [-4.6, -2.2]:
+    the first ``tight_upconvs`` decoder 2x2 convs and the 1x1 head
+    (`Hippocampus.py:354-363`, `Brats.py:349-367`)."""
+    names = {f"up{j}_conv2x2" for j in range(1, cfg.tight_upconvs + 1)}
+    names.add("conv_final")
+    return names
+
+
+def init_params(key: Array, cfg: ModelConfig) -> Params:
+    """TruncatedNormal(mean_mu, mean_sigma) for w_mu (truncated at 2 std,
+    matching ``tf.keras.initializers.TruncatedNormal``), Uniform on the raw
+    (pre-softplus) w_sigma (`Hippocampus.py:109-123`)."""
+    params: Params = {}
+    tight = _tight_layers(cfg)
+    for name, k, cin, cout in layer_names(cfg):
+        key, k1, k2 = jax.random.split(key, 3)
+        w_mu = cfg.mean_mu + cfg.mean_sigma * jax.random.truncated_normal(
+            k1, -2.0, 2.0, (k, k, cin, cout), dtype=jnp.float32
+        )
+        lo, hi = (
+            (cfg.tight_sigma_min, cfg.tight_sigma_max)
+            if name in tight
+            else (cfg.sigma_min, cfg.sigma_max)
+        )
+        w_sigma = jax.random.uniform(
+            k2, (cout,), minval=lo, maxval=hi, dtype=jnp.float32
+        )
+        params[name] = {"w_mu": w_mu, "w_sigma": w_sigma}
+    return params
+
+
+def kl_regularizer(params: Params) -> Array:
+    """Sum of the per-layer weight regularizers, equal to the reference's
+    ``tf.math.add_n(model.losses)`` (`Hippocampus.py:526`):
+
+      l2:     1.0 * sum(w_mu^2)                      (Hippocampus.py:116)
+      KL:     -k^2 * mean(1 + log softplus(ws) - softplus(ws))
+                                                     (Hippocampus.py:325-331)
+    """
+    total = jnp.float32(0.0)
+    for p in params.values():
+        w_mu, w_sigma = p["w_mu"], p["w_sigma"]
+        k = w_mu.shape[0]
+        total = total + jnp.sum(jnp.square(w_mu))
+        f_s = jax.nn.softplus(w_sigma)
+        total = total - (k * k) * jnp.mean(1.0 + jnp.log(f_s) - f_s)
+    return total
+
+
+def forward(params: Params, x: Array, cfg: ModelConfig) -> Tuple[Array, Array]:
+    """Full VDP forward pass: image [B,H,W,Cin] -> (probs, sigma), both
+    flattened to [B, H_out*W_out, n_classes] like the reference
+    (`Hippocampus.py:419-421`)."""
+    depth = cfg.depth
+    fill = cfg.sigma_fill
+
+    def conv(name: str, m: Array, s: Array) -> Tuple[Array, Array]:
+        p = params[name]
+        return vconv(m, s, p["w_mu"], p["w_sigma"])
+
+    skips: List[Tuple[Array, Array]] = []
+    m, s = None, None
+    for i in range(depth):
+        if i == 0:
+            p = params["conv_input"]
+            m, s = vconv_input(x, p["w_mu"], p["w_sigma"])
+        else:
+            if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
+                m, s = vpad(m, s, cfg.bottleneck_pre_pad, fill)
+            m, s = conv(f"conv{2 * i}", m, s)
+        m, s = vrelu(m, s)
+        m, s = conv(f"conv{2 * i + 1}", m, s)
+        m, s = vrelu(m, s)
+        if i < depth - 1:
+            skips.append((m, s))
+            m, s = vmaxpool(m, s)
+
+    for j in range(1, depth):
+        m, s = vunpool(m, s)
+        m, s = conv(f"up{j}_conv2x2", m, s)
+        m, s = vpad(m, s, (3, 3), fill)
+        m_e, s_e = skips[depth - 1 - j]
+        m, s = vcrop_concat(m, s, m_e, s_e)
+        m, s = conv(f"up{j}_conv1", m, s)
+        m, s = vrelu(m, s)
+        m, s = vpad(m, s, (2, 2), fill)
+        m, s = conv(f"up{j}_conv2", m, s)
+        m, s = vrelu(m, s)
+
+    m, s = conv("conv_final", m, s)
+    return vsoftmax(m, s)
+
+
+def forward_images(
+    params: Params, x: Array, cfg: ModelConfig
+) -> Tuple[Array, Array]:
+    """Forward pass returning image-shaped [B, H_out, W_out, C] moments."""
+    probs, sigma = forward(params, x, cfg)
+    b = x.shape[0]
+    hw = probs.shape[1]
+    side = int(math.isqrt(hw))
+    return (
+        probs.reshape(b, side, side, cfg.n_classes),
+        sigma.reshape(b, side, side, cfg.n_classes),
+    )
+
+
+class VDPUNet:
+    """Thin OO wrapper bundling a config with the functional API.
+
+    ``model = VDPUNet(cfg); params = model.init(key); probs, sigma =
+    model.apply(params, x)``.
+    """
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+
+    def init(self, key: Array) -> Params:
+        return init_params(key, self.cfg)
+
+    def apply(self, params: Params, x: Array) -> Tuple[Array, Array]:
+        return forward(params, x, self.cfg)
+
+    def apply_images(self, params: Params, x: Array) -> Tuple[Array, Array]:
+        return forward_images(params, x, self.cfg)
+
+    def kl(self, params: Params) -> Array:
+        return kl_regularizer(params)
+
+    @property
+    def n_params(self) -> int:
+        return sum(
+            math.prod(s)
+            for _, k, cin, cout in layer_names(self.cfg)
+            for s in ((k, k, cin, cout), (cout,))
+        )

@@ -1,0 +1,32 @@
+"""Moment-propagation primitives (the L0/L1 layer stack of the reference).
+
+Every op maps ``(mu, sigma) -> (mu, sigma)`` where ``mu`` is the mean and
+``sigma`` the diagonal (per-element) variance of the activation distribution,
+both NHWC. See ``supernet_tpu.ops.moments`` for the math.
+"""
+
+from supernet_tpu.ops.moments import (
+    vconv_input,
+    vconv,
+    vrelu,
+    vmaxpool,
+    vunpool,
+    vpad,
+    vcrop_concat,
+    vsoftmax,
+    crop_center,
+    crop_to_match,
+)
+
+__all__ = [
+    "vconv_input",
+    "vconv",
+    "vrelu",
+    "vmaxpool",
+    "vunpool",
+    "vpad",
+    "vcrop_concat",
+    "vsoftmax",
+    "crop_center",
+    "crop_to_match",
+]

@@ -1,0 +1,281 @@
+"""Variational-density-propagation (VDP) moment primitives, TPU-first.
+
+Each primitive pushes the first two moments (mean ``mu`` and diagonal
+variance ``sigma``, both NHWC ``float32``) of the activation distribution
+through one network operation, matching the analytic forms of the reference
+(`/root/reference/Hippocampus.py:26-331`, `Brats.py:34-320`) but re-derived
+for XLA/TPU:
+
+* The reference computes the three variance terms of a Bayesian conv with
+  ``tf.image.extract_patches`` + dense matmuls, materializing
+  ``[B, H'W', k^2*C]`` patch matrices (up to ~1.7 GB transient per layer on
+  BraTS — `Brats.py:118-137`). Because the kernel variance ``softplus(w_sigma)``
+  is a *per-output-channel scalar*, every variance term is itself a
+  convolution:
+
+      sigma1 = patches(mu^2)    @ bcast(s_w)  ==  winsum(mu^2)    * s_w
+      sigma2 = patches(sigma)   @ w_mu^2      ==  conv(sigma, w_mu^2)
+      sigma3 = patches(sigma)   @ bcast(s_w)  ==  winsum(sigma)   * s_w
+
+  where ``winsum`` is a windowed sum over the k x k receptive field *and*
+  input channels. So one VDP conv = 2 MXU convolutions + 1 cheap VPU
+  window-sum — one HBM pass over (mu, sigma), zero patch materialization.
+
+* ``vrelu`` needs no autodiff tape (the reference runs an inner
+  ``tf.GradientTape`` per call, `Hippocampus.py:85-90`): the first-order
+  Taylor factor is just ``(mu > 0)``.
+
+* ``vmaxpool`` replaces ``tf.nn.max_pool_with_argmax`` + flat ``tf.gather``
+  (which bakes the batch size into a reshape, `Hippocampus.py:54-64`) with a
+  window reshape + ``argmax``/``take_along_axis`` that is batch-size agnostic
+  and keeps TF's first-occurrence tie-breaking.
+
+* ``vsoftmax`` collapses the reference's per-pixel ``(J ∘ J) @ sigma`` C x C
+  matmul (`Hippocampus.py:273-292`) to the closed form
+
+      sigma_out_c = p_c^2 * ((1 - 2 p_c) sigma_c + sum_j p_j^2 sigma_j)
+
+  which is exact algebra on ``J = diag(p) - p p^T`` and purely elementwise.
+
+All ops are shape-polymorphic pure functions, safe under ``jit``, ``grad``,
+``vmap`` and ``shard_map``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+MomentPair = Tuple[Array, Array]
+
+# NHWC activations, HWIO kernels — the native layouts for TPU convolutions.
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+# MXU precision for the moment convolutions. "highest" = true f32 (multi-pass
+# on the MXU), "default" = bf16 multiplies with f32 accumulation (fastest).
+# The reference is f32 cuDNN, so "highest" is the parity-grade default;
+# switch to "default" for speed once a model's tolerance is validated.
+_MXU_PRECISION: str = "highest"
+
+
+def set_mxu_precision(precision: str) -> None:
+    """Set the global MXU precision for moment convs ('highest'|'default')."""
+    global _MXU_PRECISION
+    if precision not in ("highest", "default", "high"):
+        raise ValueError(f"unknown precision {precision!r}")
+    _MXU_PRECISION = precision
+
+
+def get_mxu_precision() -> str:
+    return _MXU_PRECISION
+
+
+def _conv_valid(x: Array, w: Array, stride: int = 1) -> Array:
+    """VALID 2-D convolution (cross-correlation), NHWC x HWIO -> NHWC."""
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=_DIMSPEC,
+        precision=_MXU_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _window_sum(x: Array, k: int, stride: int = 1) -> Array:
+    """Sum of x over each k x k VALID window and over all input channels.
+
+    Returns shape [B, H', W', 1]. Runs on the VPU via reduce_window — no MXU
+    time and no patch materialization.
+    """
+    xc = jnp.sum(x, axis=-1, keepdims=True)
+    return lax.reduce_window(
+        xc,
+        jnp.float32(0.0),
+        lax.add,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def vconv_input(
+    x: Array, w_mu: Array, w_sigma: Array, stride: int = 1
+) -> MomentPair:
+    """First VDP conv: deterministic input, Gaussian weights.
+
+    Reference: ``myConv_input.call`` (`Hippocampus.py:125-136`).
+      mu_out    = conv(x, w_mu)                      (VALID)
+      sigma_out = winsum(x^2) * softplus(w_sigma)    (per-output-channel)
+
+    Args:
+      x: input image, [B, H, W, C_in].
+      w_mu: kernel means, [k, k, C_in, C_out].
+      w_sigma: raw (pre-softplus) per-output-channel kernel variances, [C_out].
+    """
+    k = w_mu.shape[0]
+    mu_out = _conv_valid(x, w_mu, stride)
+    s_w = jax.nn.softplus(w_sigma)
+    sigma_out = _window_sum(jnp.square(x), k, stride) * s_w
+    return mu_out, sigma_out
+
+
+def vconv(
+    mu: Array, sigma: Array, w_mu: Array, w_sigma: Array, stride: int = 1
+) -> MomentPair:
+    """Intermediate VDP conv: Gaussian input AND Gaussian weights.
+
+    Reference: ``myConv_intermediate.call`` (`Hippocampus.py:178-197`), with
+    sigma1 + sigma3 fused into a single window-sum (see module docstring):
+
+      mu_out    = conv(mu, w_mu)
+      sigma_out = winsum(mu^2 + sigma) * softplus(w_sigma) + conv(sigma, w_mu^2)
+    """
+    k = w_mu.shape[0]
+    mu_out = _conv_valid(mu, w_mu, stride)
+    s_w = jax.nn.softplus(w_sigma)
+    sigma_out = _window_sum(jnp.square(mu) + sigma, k, stride) * s_w
+    sigma_out = sigma_out + _conv_valid(sigma, jnp.square(w_mu), stride)
+    return mu_out, sigma_out
+
+
+def vrelu(mu: Array, sigma: Array) -> MomentPair:
+    """First-order Taylor ReLU: ``sigma_out = relu'(mu)^2 * sigma``.
+
+    Reference: ``myReLU.call`` + ``grad_ReLU`` (`Hippocampus.py:85-90,237-247`).
+    TF's ReLU gradient is 0 at mu == 0, so the mask is strict ``mu > 0``.
+    The mask is idempotent under squaring, so no square is materialized.
+    """
+    mask = mu > 0
+    return jnp.where(mask, mu, 0.0), jnp.where(mask, sigma, 0.0)
+
+
+def vmaxpool(mu: Array, sigma: Array) -> MomentPair:
+    """2x2/stride-2 max-pool of ``mu``; ``sigma`` gathered at the argmax.
+
+    Reference: ``mymaxpooling.call`` + ``get_pooled``
+    (`Hippocampus.py:54-64,226-234`) — SAME padding,
+    ``include_batch_in_index=True``. TF's argmax resolves ties to the lowest
+    flat index; within a window, row-major order == flat-index order, and
+    ``jnp.argmax`` picks the first occurrence, so tie-breaking matches.
+
+    Odd spatial dims are SAME-padded at the bottom/right; padded mu lanes are
+    -inf so they never win the max (all pool inputs in the reference models
+    are even-sized, but partial windows stay correct).
+    """
+    b, h, w, c = mu.shape
+    hp, wp = -(-h // 2) * 2, -(-w // 2) * 2
+    if (hp, wp) != (h, w):
+        pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+        mu = jnp.pad(mu, pad, constant_values=-jnp.inf)
+        sigma = jnp.pad(sigma, pad)
+
+    def windows(t: Array) -> Array:
+        t = t.reshape(b, hp // 2, 2, wp // 2, 2, c)
+        return t.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4, c)
+
+    mu_w, sg_w = windows(mu), windows(sigma)
+    idx = jnp.argmax(mu_w, axis=3)[:, :, :, None, :]
+    mu_out = jnp.take_along_axis(mu_w, idx, axis=3).squeeze(3)
+    sigma_out = jnp.take_along_axis(sg_w, idx, axis=3).squeeze(3)
+    return mu_out, sigma_out
+
+
+def _unpool_one(x: Array) -> Array:
+    """Zero-interleaved 2x upsample with a 1-px top/left pad: [B,H,W,C] ->
+    [B,2H+1,2W+1,C], input values landing at odd indices.
+
+    Reference: ``unpool`` (`Hippocampus.py:26-51`). Expressed as a single
+    ``lax.pad`` with interior padding (lo=1, hi=1, interior=1 per spatial dim)
+    instead of the reference's concat-with-zeros + reshape + pad dance.
+    """
+    cfg = [(0, 0, 0), (1, 1, 1), (1, 1, 1), (0, 0, 0)]
+    return lax.pad(x, jnp.float32(0.0), cfg)
+
+
+def vunpool(mu: Array, sigma: Array) -> MomentPair:
+    """Apply the zero-interleave upsample to both moments.
+
+    Reference: ``myupsampling.call`` (`Hippocampus.py:200-208`).
+    """
+    return _unpool_one(mu), _unpool_one(sigma)
+
+
+def vpad(
+    mu: Array,
+    sigma: Array,
+    pad_size: Sequence[int] = (2, 2),
+    sigma_fill: float = 0.0,
+) -> MomentPair:
+    """Pad both spatial dims; mu with zeros, sigma with ``sigma_fill``.
+
+    ``pad_size = (lo, hi)`` is applied identically to H and W, matching
+    ``mypadding`` (`Hippocampus.py:211-223`): the fill is a pseudo-variance
+    assigned to invented pixels (0.02 Hippocampus / 0.1 BraTS).
+    """
+    lo, hi = int(pad_size[0]), int(pad_size[1])
+    pad = ((0, 0), (lo, hi), (lo, hi), (0, 0))
+    return (
+        jnp.pad(mu, pad),
+        jnp.pad(sigma, pad, constant_values=sigma_fill),
+    )
+
+
+def crop_center(x: Array, target_h: int, target_w: int) -> Array:
+    """Center-crop spatial dims of an NHWC (or NHW) array to (th, tw).
+
+    Offsets follow the reference's ``(H - h) // 2`` convention
+    (`Hippocampus_functions.py:313-321`).
+    """
+    oh = (x.shape[1] - target_h) // 2
+    ow = (x.shape[2] - target_w) // 2
+    return x[:, oh : oh + target_h, ow : ow + target_w, ...]
+
+
+def crop_to_match(x: Array, like: Array) -> Array:
+    """Center-crop ``x`` to the spatial shape of ``like`` (``crop_tensor``)."""
+    return crop_center(x, like.shape[1], like.shape[2])
+
+
+def vcrop_concat(
+    mu_dec: Array, sigma_dec: Array, mu_enc: Array, sigma_enc: Array
+) -> MomentPair:
+    """Skip connection: center-crop encoder moments to the decoder's spatial
+    size and concatenate on channels — decoder channels first.
+
+    Reference: ``myConc.call`` (`Hippocampus.py:250-270`).
+    """
+    mu_out = jnp.concatenate([mu_dec, crop_to_match(mu_enc, mu_dec)], axis=-1)
+    sigma_out = jnp.concatenate(
+        [sigma_dec, crop_to_match(sigma_enc, sigma_dec)], axis=-1
+    )
+    return mu_out, sigma_out
+
+
+def vsoftmax(mu: Array, sigma: Array) -> MomentPair:
+    """Pixel-wise softmax with variance pushed through the softmax Jacobian.
+
+    Reference: ``mysoftmax.call`` (`Hippocampus.py:273-292`) computes
+    ``sigma_out = (J ∘ J) @ sigma`` with ``J = diag(p) - p p^T`` as a C x C
+    matmul per pixel. Expanding ``J_cj^2 = p_c^2 (delta_cj - p_j)^2`` gives the
+    exact elementwise form used here:
+
+        sigma_out_c = p_c^2 * ((1 - 2 p_c) * sigma_c + sum_j p_j^2 sigma_j)
+
+    Flattens to ``[B, H*W, C]`` like the reference, but never squeezes the
+    batch dim (the reference's bare ``tf.squeeze`` collapses B == 1 — a
+    catalogued defect, SURVEY.md §2.7.7).
+    """
+    b, h, w, c = mu.shape
+    mu_flat = mu.reshape(b, h * w, c)
+    sigma_flat = sigma.reshape(b, h * w, c)
+    p = jax.nn.softmax(mu_flat, axis=-1)
+    p_sq = jnp.square(p)
+    s_tot = jnp.sum(p_sq * sigma_flat, axis=-1, keepdims=True)
+    sigma_out = p_sq * ((1.0 - 2.0 * p) * sigma_flat + s_tot)
+    return p, sigma_out

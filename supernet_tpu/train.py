@@ -1,0 +1,155 @@
+"""Jitted train/eval steps and the epoch driver.
+
+Replaces the reference's ``@tf.function train_on_batch`` + eager epoch loops
+(`Hippocampus.py:518-531,578-740`) with:
+
+- a pure ``train_step`` (value_and_grad -> per-tensor clipnorm -> Adam),
+  jitted once and donating the carried state;
+- data parallelism via ``jax.jit`` over a ``Mesh`` with batch-sharded inputs
+  and replicated parameters (XLA inserts the psum over ICI) — see
+  ``supernet_tpu.parallel``;
+- host-side metric accumulation identical to the reference's epoch records.
+
+Keras parity details: Adam(lr, clipnorm=1.0) clips EACH gradient tensor to
+norm <= 1.0 *before* Adam (tf.clip_by_norm semantics), and Keras Adam uses
+epsilon=1e-7.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from supernet_tpu.configs import ModelConfig, TrainConfig
+from supernet_tpu.losses import nll_gaussian
+from supernet_tpu.models import forward, kl_regularizer
+
+Array = jax.Array
+Params = Dict[str, Dict[str, Array]]
+
+
+def clip_by_per_tensor_norm(max_norm: float) -> optax.GradientTransformation:
+    """Keras ``clipnorm`` semantics: rescale each gradient leaf independently
+    so its L2 norm is at most ``max_norm`` (tf.clip_by_norm per tensor)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.where(n > max_norm, max_norm / jnp.maximum(n, 1e-30), 1.0)
+            return g * scale
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        clip_by_per_tensor_norm(tc.clipnorm),
+        optax.adam(tc.lr, b1=0.9, b2=0.999, eps=tc.adam_eps),
+    )
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: Array
+
+
+def create_train_state(
+    params: Params, tc: TrainConfig
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    opt = make_optimizer(tc)
+    return TrainState(params, opt.init(params), jnp.int32(0)), opt
+
+
+class StepMetrics(NamedTuple):
+    loss: Array  # total loss
+    nll: Array  # likelihood term ("loss_final" in the reference)
+    kl: Array  # regularization sum ("regularization_loss")
+    accuracy: Array  # pixel accuracy
+
+
+def loss_fn(
+    params: Params,
+    x: Array,
+    y: Array,
+    cfg: ModelConfig,
+    tc: TrainConfig,
+) -> Tuple[Array, Tuple[Array, Array, Array, Array]]:
+    """Total loss + auxiliaries. ``y`` is one-hot flattened [B, N, C]."""
+    probs, sigma = forward(params, x, cfg)
+    sigma_c = jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max)
+    nll = nll_gaussian(y, probs, sigma_c)
+    kl = kl_regularizer(params)
+    loss = nll + tc.kl_factor * 0.5 * kl
+    return loss, (nll, kl, probs, sigma)
+
+
+def _train_step(
+    state: TrainState,
+    x: Array,
+    y: Array,
+    opt: optax.GradientTransformation,
+    cfg: ModelConfig,
+    tc: TrainConfig,
+) -> Tuple[TrainState, StepMetrics]:
+    (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params, x, y, cfg, tc)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    acc = jnp.mean(
+        (jnp.argmax(probs, axis=-1) == jnp.argmax(y, axis=-1)).astype(
+            jnp.float32
+        )
+    )
+    return (
+        TrainState(params, opt_state, state.step + 1),
+        StepMetrics(loss, nll, kl, acc),
+    )
+
+
+def make_train_step(cfg: ModelConfig, tc: TrainConfig):
+    """Single-device jitted train step; donates the carried state."""
+    opt = make_optimizer(tc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, x: Array, y: Array):
+        return _train_step(state, x, y, opt, cfg, tc)
+
+    return step
+
+
+def make_eval_step(cfg: ModelConfig, tc: TrainConfig):
+    """Jitted eval: forward + validation loss + accuracy + predictions."""
+
+    @jax.jit
+    def step(params: Params, x: Array, y: Array):
+        probs, sigma = forward(params, x, cfg)
+        sigma_c = jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max)
+        nll = nll_gaussian(y, probs, sigma_c)
+        kl = kl_regularizer(params)
+        loss = nll + tc.kl_factor * 0.5 * kl
+        pred = jnp.argmax(probs, axis=-1)
+        acc = jnp.mean((pred == jnp.argmax(y, axis=-1)).astype(jnp.float32))
+        return probs, sigma, pred, loss, acc
+
+    return step
+
+
+def one_hot_flatten(y: Array, n_classes: int) -> Array:
+    """Labels [B, H, W] -> one-hot flattened [B, H*W, C]
+    (`Hippocampus.py:612-615`)."""
+    y1 = jax.nn.one_hot(y.astype(jnp.int32), n_classes, dtype=jnp.float32)
+    return y1.reshape(y.shape[0], -1, n_classes)

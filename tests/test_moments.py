@@ -1,0 +1,258 @@
+"""Unit tests for the moment-propagation primitives (SURVEY.md §4.1-4.2).
+
+Three layers of evidence:
+1. Fused conv-form ops == naive patch-matmul transliteration of the
+   reference algorithm (exact algorithmic parity).
+2. Fused ops == independent NumPy loop implementations of the cited formulas.
+3. Monte-Carlo agreement: sampling weights from N(w_mu, softplus(w_sigma))
+   reproduces the propagated mean/variance (the Taylor approximations'
+   ground truth).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from supernet_tpu.ops import (
+    vconv,
+    vconv_input,
+    vcrop_concat,
+    vmaxpool,
+    vpad,
+    vrelu,
+    vsoftmax,
+    vunpool,
+)
+from supernet_tpu.ops.naive import (
+    extract_patches,
+    vconv_input_naive,
+    vconv_naive,
+    vsoftmax_naive,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _rand(*shape, positive=False):
+    x = RNG.standard_normal(shape).astype(np.float32)
+    return np.abs(x) * 0.1 if positive else x
+
+
+# ---------------------------------------------------------------- patches
+
+
+def test_extract_patches_matches_manual():
+    x = _rand(2, 6, 7, 3)
+    k = 3
+    got = np.asarray(extract_patches(jnp.asarray(x), k))
+    b, ho, wo = 2, 4, 5
+    assert got.shape == (b, ho, wo, k * k * 3)
+    for i in range(ho):
+        for j in range(wo):
+            want = x[:, i : i + k, j : j + k, :].reshape(b, -1)
+            np.testing.assert_allclose(got[:, i, j, :], want, rtol=1e-6)
+
+
+# ---------------------------------------------------------------- vconv
+
+
+@pytest.mark.parametrize("k,cin,cout", [(3, 1, 8), (2, 4, 6), (1, 5, 3)])
+def test_vconv_input_matches_naive(k, cin, cout):
+    x = jnp.asarray(_rand(2, 9, 9, cin))
+    w_mu = jnp.asarray(_rand(k, k, cin, cout) * 0.1)
+    w_sigma = jnp.asarray(RNG.uniform(-12, -2, cout).astype(np.float32))
+    mu_a, sg_a = vconv_input(x, w_mu, w_sigma)
+    mu_b, sg_b = vconv_input_naive(x, w_mu, w_sigma)
+    np.testing.assert_allclose(mu_a, mu_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sg_a, sg_b, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("k,cin,cout", [(3, 2, 8), (2, 8, 4), (1, 6, 3)])
+def test_vconv_matches_naive(k, cin, cout):
+    mu = jnp.asarray(_rand(2, 8, 8, cin))
+    sigma = jnp.asarray(_rand(2, 8, 8, cin, positive=True))
+    w_mu = jnp.asarray(_rand(k, k, cin, cout) * 0.1)
+    w_sigma = jnp.asarray(RNG.uniform(-12, -2, cout).astype(np.float32))
+    mu_a, sg_a = vconv(mu, sigma, w_mu, w_sigma)
+    mu_b, sg_b = vconv_naive(mu, sigma, w_mu, w_sigma)
+    np.testing.assert_allclose(mu_a, mu_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sg_a, sg_b, rtol=1e-5, atol=1e-7)
+
+
+def test_vconv_input_numpy_loop():
+    """Independent O(everything) NumPy loop of Hippocampus.py:125-136."""
+    x = _rand(1, 5, 5, 2)
+    k, cout = 3, 4
+    w_mu = _rand(k, k, 2, cout) * 0.2
+    w_sigma = RNG.uniform(-6, -2, cout).astype(np.float32)
+    s_w = np.log1p(np.exp(w_sigma))
+    mu, sg = vconv_input(jnp.asarray(x), jnp.asarray(w_mu), jnp.asarray(w_sigma))
+    for i in range(3):
+        for j in range(3):
+            patch = x[0, i : i + k, j : j + k, :]
+            for c in range(cout):
+                m = np.sum(patch * w_mu[:, :, :, c])
+                v = np.sum(patch**2) * s_w[c]
+                assert abs(mu[0, i, j, c] - m) < 1e-4
+                # softplus differs ~1e-6 relative in f32 between numpy's
+                # log1p(exp) and jax.nn.softplus; scale tolerance by v.
+                assert abs(sg[0, i, j, c] - v) < 1e-5 + 1e-4 * abs(v)
+
+
+def test_vconv_monte_carlo():
+    """MC ground truth: sample w ~ N(w_mu, softplus(w_sigma)) and x ~
+    N(mu, sigma); empirical moments of conv(x, w) must match vconv."""
+    key = jax.random.PRNGKey(42)
+    cin, cout, k = 2, 3, 3
+    mu = jnp.asarray(_rand(1, 6, 6, cin))
+    sigma = jnp.asarray(_rand(1, 6, 6, cin, positive=True) + 0.05)
+    w_mu = jnp.asarray(_rand(k, k, cin, cout) * 0.3)
+    w_sigma = jnp.asarray(RNG.uniform(-4, -2, cout).astype(np.float32))
+    s_w = jax.nn.softplus(w_sigma)
+
+    n = 200_000
+    kx, kw = jax.random.split(key)
+    xs = mu + jnp.sqrt(sigma) * jax.random.normal(kx, (n, 6, 6, cin))
+    ws = w_mu + jnp.sqrt(s_w)[None, None, None, :] * jax.random.normal(
+        kw, (n, k, k, cin, cout)
+    )
+
+    def one(x, w):
+        return jax.lax.conv_general_dilated(
+            x[None], w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0]
+
+    ys = jax.vmap(one)(xs, ws)
+    emp_mean = jnp.mean(ys, axis=0)
+    emp_var = jnp.var(ys, axis=0)
+    mu_out, sg_out = vconv(mu, sigma, w_mu, w_sigma)
+    np.testing.assert_allclose(emp_mean, mu_out[0], atol=0.02)
+    # Analytic variance for independent x, w:
+    #   Var = sum[ mu^2 s_w + sigma w_mu^2 + sigma s_w ]  == vconv's sigma_out
+    np.testing.assert_allclose(emp_var, sg_out[0], rtol=0.05, atol=0.02)
+
+
+# ---------------------------------------------------------------- vrelu
+
+
+def test_vrelu():
+    mu = jnp.asarray([[-1.0, 0.0, 2.0]])
+    sg = jnp.asarray([[0.5, 0.5, 0.5]])
+    mu_o, sg_o = vrelu(mu, sg)
+    np.testing.assert_allclose(mu_o, [[0.0, 0.0, 2.0]])
+    # TF relu grad at exactly 0 is 0 -> variance killed there too.
+    np.testing.assert_allclose(sg_o, [[0.0, 0.0, 0.5]])
+
+
+def test_vrelu_monte_carlo_first_order():
+    """For |mu| >> sqrt(sigma) the first-order Taylor variance is near-exact."""
+    key = jax.random.PRNGKey(0)
+    mu = jnp.asarray([[3.0, -3.0]])
+    sigma = jnp.asarray([[0.04, 0.04]])
+    xs = mu + jnp.sqrt(sigma) * jax.random.normal(key, (100_000, 2))
+    emp_var = jnp.var(jax.nn.relu(xs), axis=0)
+    _, sg_o = vrelu(mu, sigma)
+    np.testing.assert_allclose(emp_var, sg_o[0], rtol=0.05, atol=1e-4)
+
+
+# ---------------------------------------------------------------- vmaxpool
+
+
+def test_vmaxpool_gathers_sigma_at_argmax():
+    mu = np.zeros((1, 4, 4, 1), np.float32)
+    sigma = np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1)
+    # Put the max of each 2x2 window at a known position.
+    mu[0, 1, 0, 0] = 5.0  # window (0,0): max at local (1,0) -> sigma 4
+    mu[0, 0, 3, 0] = 7.0  # window (0,1): max at local (0,1) -> sigma 3
+    mu[0, 3, 1, 0] = 2.0  # window (1,0): max at local (1,1) -> sigma 13
+    # window (1,1): all-zero mu => tie -> first element (2,2) -> sigma 10
+    mu_o, sg_o = vmaxpool(jnp.asarray(mu), jnp.asarray(sigma))
+    np.testing.assert_allclose(
+        np.asarray(mu_o)[0, :, :, 0], [[5.0, 7.0], [2.0, 0.0]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(sg_o)[0, :, :, 0], [[4.0, 3.0], [13.0, 10.0]]
+    )
+
+
+def test_vmaxpool_odd_size():
+    mu = jnp.asarray(_rand(2, 5, 5, 3))
+    sigma = jnp.asarray(_rand(2, 5, 5, 3, positive=True))
+    mu_o, sg_o = vmaxpool(mu, sigma)
+    assert mu_o.shape == (2, 3, 3, 3)
+    # Bottom-right corner window contains just element (4,4).
+    np.testing.assert_allclose(mu_o[:, 2, 2, :], mu[:, 4, 4, :])
+    np.testing.assert_allclose(sg_o[:, 2, 2, :], sigma[:, 4, 4, :])
+
+
+# ---------------------------------------------------------------- vunpool
+
+
+def test_vunpool_pattern():
+    """The documented pattern of Hippocampus.py:26-51: [[1,2],[3,4]] ->
+    5x5 with values at odd (row, col)."""
+    x = jnp.asarray([[1.0, 2.0], [3.0, 4.0]]).reshape(1, 2, 2, 1)
+    mu_o, sg_o = vunpool(x, x * 10)
+    want = np.zeros((5, 5), np.float32)
+    want[1, 1], want[1, 3], want[3, 1], want[3, 3] = 1, 2, 3, 4
+    np.testing.assert_allclose(np.asarray(mu_o)[0, :, :, 0], want)
+    np.testing.assert_allclose(np.asarray(sg_o)[0, :, :, 0], want * 10)
+
+
+# ---------------------------------------------------------------- vpad
+
+
+def test_vpad_sigma_fill():
+    mu = jnp.ones((1, 2, 2, 1))
+    sg = jnp.ones((1, 2, 2, 1))
+    mu_o, sg_o = vpad(mu, sg, (2, 2), sigma_fill=0.02)
+    assert mu_o.shape == (1, 6, 6, 1)
+    assert float(mu_o[0, 0, 0, 0]) == 0.0
+    assert abs(float(sg_o[0, 0, 0, 0]) - 0.02) < 1e-7
+    assert float(sg_o[0, 2, 2, 0]) == 1.0
+
+
+def test_vpad_asymmetric():
+    """mypad1 = [1, 0]: 1 px on top/left only (Brats.py:370, 9 -> 10)."""
+    mu = jnp.ones((1, 9, 9, 1))
+    mu_o, sg_o = vpad(mu, mu, (1, 0), sigma_fill=0.1)
+    assert mu_o.shape == (1, 10, 10, 1)
+    assert float(mu_o[0, 0, 5, 0]) == 0.0 and float(mu_o[0, 9, 5, 0]) == 1.0
+
+
+# ---------------------------------------------------------------- concat
+
+
+def test_vcrop_concat():
+    mu_e = jnp.asarray(_rand(2, 8, 8, 3))
+    sg_e = jnp.asarray(_rand(2, 8, 8, 3, positive=True))
+    mu_d = jnp.asarray(_rand(2, 4, 4, 5))
+    sg_d = jnp.asarray(_rand(2, 4, 4, 5, positive=True))
+    mu_o, sg_o = vcrop_concat(mu_d, sg_d, mu_e, sg_e)
+    assert mu_o.shape == (2, 4, 4, 8)
+    np.testing.assert_allclose(mu_o[..., :5], mu_d)
+    np.testing.assert_allclose(mu_o[..., 5:], mu_e[:, 2:6, 2:6, :])
+    np.testing.assert_allclose(sg_o[..., 5:], sg_e[:, 2:6, 2:6, :])
+
+
+# ---------------------------------------------------------------- vsoftmax
+
+
+def test_vsoftmax_matches_naive_jacobian_form():
+    mu = jnp.asarray(_rand(2, 4, 4, 5))
+    sg = jnp.asarray(_rand(2, 4, 4, 5, positive=True))
+    p_a, sg_a = vsoftmax(mu, sg)
+    p_b, sg_b = vsoftmax_naive(mu, sg)
+    assert p_a.shape == (2, 16, 5)
+    np.testing.assert_allclose(p_a, p_b, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(sg_a, sg_b, rtol=1e-5, atol=1e-7)
+
+
+def test_vsoftmax_keeps_batch_dim_when_one():
+    """Regression for the reference's B==1 squeeze hazard (SURVEY §2.7.7)."""
+    mu = jnp.asarray(_rand(1, 3, 3, 3))
+    sg = jnp.asarray(_rand(1, 3, 3, 3, positive=True))
+    p, s = vsoftmax(mu, sg)
+    assert p.shape == (1, 9, 3) and s.shape == (1, 9, 3)
