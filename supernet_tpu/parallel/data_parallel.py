@@ -1,0 +1,155 @@
+"""Data-parallel training over a TPU device mesh.
+
+The reference is single-device research code with zero distributed machinery
+(SURVEY.md §2.8 — no `tf.distribute`/NCCL/MPI anywhere; the GPU list is only
+printed, `Brats.py:9-10`). This module is the TPU-native design the reference
+never had:
+
+- a 1-D ``jax.sharding.Mesh`` over the ``data`` axis (ICI-connected chips);
+- inputs batch-sharded via ``NamedSharding(P("data"))``, parameters and
+  optimizer state replicated via ``NamedSharding(P())``;
+- the train step jitted with explicit in/out shardings — XLA inserts the
+  gradient ``psum`` over ICI automatically from the sharding constraints
+  (the "let-the-compiler-insert-collectives" recipe); a ``shard_map`` variant
+  with an explicit ``lax.pmean`` is provided for parity testing and for when
+  manual collective placement is needed.
+
+Both paths produce bit-identical parameter updates to the single-device step
+on the same global batch (validated in tests/test_parallel.py on an 8-device
+CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from supernet_tpu.configs import ModelConfig, TrainConfig
+from supernet_tpu.train import (
+    StepMetrics,
+    TrainState,
+    loss_fn,
+    make_optimizer,
+)
+
+Array = jax.Array
+Params = Dict[str, Dict[str, Array]]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence[Any]] = None,
+    axis_name: str = "data",
+) -> Mesh:
+    """A 1-D mesh over the batch axis. Defaults to all visible devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, *arrays: Array, axis_name: str = "data"):
+    """Place host arrays on the mesh, sharded along their leading (batch)
+    dim. Returns one array or a tuple."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def make_sharded_train_step(
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    axis_name: str = "data",
+    use_shard_map: bool = False,
+):
+    """Data-parallel train step over ``mesh``.
+
+    Default path: ``jit`` with sharding constraints — the global-batch loss
+    is a mean over sharded pixels, so XLA lowers the gradient reduction to a
+    ``psum`` over ICI on its own. ``use_shard_map=True`` switches to an
+    explicit per-shard ``value_and_grad`` + ``lax.pmean`` inside
+    ``shard_map`` (identical numerics; manual collective placement).
+    """
+    opt = make_optimizer(tc)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
+    def _apply(state: TrainState, grads, loss, nll, kl, probs, y):
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        acc = jnp.mean(
+            (jnp.argmax(probs, -1) == jnp.argmax(y, -1)).astype(jnp.float32)
+        )
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            StepMetrics(loss, nll, kl, acc),
+        )
+
+    if not use_shard_map:
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(repl, data, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        def step(state: TrainState, x: Array, y: Array):
+            (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, x, y, cfg, tc)
+            return _apply(state, grads, loss, nll, kl, probs, y)
+
+        return step
+
+    def per_shard(state: TrainState, x: Array, y: Array):
+        (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, x, y, cfg, tc)
+        # Per-shard losses/grads are means over the local batch; the global
+        # mean is the mean of per-shard means (equal shard sizes).
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        nll = jax.lax.pmean(nll, axis_name)
+        # kl is a pure function of replicated params — already identical.
+        new_state, metrics = _apply(state, grads, loss, nll, kl, probs, y)
+        metrics = metrics._replace(
+            accuracy=jax.lax.pmean(metrics.accuracy, axis_name)
+        )
+        return new_state, metrics
+
+    state_specs = TrainState(P(), P(), P())
+
+    smapped = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(state_specs, P(axis_name), P(axis_name)),
+        out_specs=(state_specs, StepMetrics(P(), P(), P(), P())),
+        check_rep=False,
+    )
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    def step(state: TrainState, x: Array, y: Array):
+        return smapped(state, x, y)
+
+    return step

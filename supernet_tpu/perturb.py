@@ -1,0 +1,118 @@
+"""Test-time corruption: gaussian / speckle / salt-and-pepper noise with
+region-selective application and SNR accounting.
+
+Reference: the noise branches of ``testing`` (`Hippocampus.py:1272-1307`,
+`Brats.py:1248-1276`) and ``salt_and_pepper`` (`Brats_functions.py:565-582`).
+
+Semantics preserved:
+- gaussian: ``x + N(0, std)``; speckle: ``x + x * N(0, std)``;
+  salt&pepper: with flip prob ``p``, salt (ratio ``q``) pixels -> image max
+  (1.0 in the reference's normalized data), pepper -> low_clip (0).
+- region masks are built from the *label*: Hippocampus ``'A'`` = anterior
+  only (label == 1), ``'P'`` = posterior only (label == 2)
+  (`Hippocampus.py:1278-1299`); BraTS ``'O'`` = object/tumor (label > 0),
+  ``'B'`` = background (label == 0) (`Brats.py:1257-1276`); anything else =
+  everywhere.
+- after adding noise the image is clipped to the clean batch's [min, max]
+  (`Hippocampus.py:1298`).
+- SNR per batch: ``10 * log10(sum(x^2) / sum((x - noisy)^2))``
+  (`Hippocampus.py:1302-1307`).
+
+All of it is jittable and runs on-device; the reference round-trips every
+batch through host NumPy masked arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from supernet_tpu.configs import NoiseConfig
+
+Array = jax.Array
+
+
+def region_mask(y: Array, region: str, dataset: str) -> Optional[Array]:
+    """0/1 mask [B, H, W] of pixels that receive noise, or None for 'all'.
+
+    ``y`` is the integer label map [B, H, W]; labels are anatomical classes
+    (Hippocampus: 0 bg, 1 anterior, 2 posterior; BraTS: 0 bg, >0 tumor).
+    """
+    if dataset == "hippocampus":
+        if region == "A":
+            return (y == 1).astype(jnp.float32)
+        if region == "P":
+            return (y == 2).astype(jnp.float32)
+        return None
+    # brats / lungs follow the object/background convention (Brats.py:1257)
+    if region == "O":
+        return (y > 0).astype(jnp.float32)
+    if region == "B":
+        return (y == 0).astype(jnp.float32)
+    return None
+
+
+def gaussian_noise(key: Array, x: Array, std: float) -> Array:
+    return std * jax.random.normal(key, x.shape, x.dtype)
+
+
+def speckle_noise(key: Array, x: Array, std: float) -> Array:
+    return x * (std * jax.random.normal(key, x.shape, x.dtype))
+
+
+def salt_and_pepper(key: Array, x: Array, p: float, q: float = 0.5) -> Array:
+    """Additive S&P delta: flipped pixels moved to 1.0 (salt) or 0.0 (pepper).
+
+    Matches `Brats_functions.py:565-582`: flip probability ``p``, salt ratio
+    ``q``; returns the *delta* so region masking composes like the other
+    kinds (the reference applies it to the full image then region-blends).
+    """
+    k1, k2 = jax.random.split(key)
+    flipped = jax.random.bernoulli(k1, p, x.shape)
+    salted = jax.random.bernoulli(k2, q, x.shape)
+    low_clip = jnp.asarray(0.0, x.dtype)
+    target = jnp.where(salted, jnp.asarray(1.0, x.dtype), low_clip)
+    return jnp.where(flipped, target - x, jnp.zeros_like(x))
+
+
+def apply_noise(
+    key: Array,
+    x: Array,
+    y: Array,
+    nc: NoiseConfig,
+    dataset: str = "hippocampus",
+) -> Tuple[Array, Array]:
+    """Corrupt ``x`` per the protocol; returns (noisy_x, snr_db).
+
+    ``x``: [B, H, W, C] images; ``y``: [B, H, W] integer labels (same spatial
+    size as x — callers crop first, as the reference does at
+    `Hippocampus.py:1256-1261`).
+    """
+    if nc.kind == "none" or nc.std == 0.0:
+        return x, jnp.asarray(jnp.inf, jnp.float32)
+
+    if nc.kind == "gaussian":
+        delta = gaussian_noise(key, x, nc.std)
+    elif nc.kind == "speckle":
+        delta = speckle_noise(key, x, nc.std)
+    elif nc.kind == "salt_and_pepper":
+        delta = salt_and_pepper(key, x, nc.std, nc.sp_ratio)
+    else:
+        raise ValueError(f"unknown noise kind {nc.kind!r}")
+
+    mask = region_mask(y, nc.region, dataset)
+    if mask is not None:
+        delta = delta * mask[..., None]
+
+    noisy = jnp.clip(x + delta, jnp.min(x), jnp.max(x))
+    snr = snr_db(x, noisy)
+    return noisy, snr
+
+
+def snr_db(x: Array, noisy: Array) -> Array:
+    """``10 log10(sum x^2 / sum (x - noisy)^2)`` (`Hippocampus.py:1302-1307`)."""
+    num = jnp.sum(jnp.square(x))
+    den = jnp.sum(jnp.square(x - noisy))
+    return 10.0 * jnp.log10(num / jnp.maximum(den, 1e-30))

@@ -1,0 +1,308 @@
+"""Uncertainty reporting: PNG renders, predictive-variance text reports, and
+pickle artifacts — the reference's downstream-facing output surface.
+
+Reference: ``save_adversarial_uncertainty`` + ``save_uncertainty``
+(`Hippocampus_functions.py:29-145`, `Brats_functions.py:177-337,584-603`,
+`Hippocampus.py:1549-1568`), plus the ``uncertainty_info*.pkl`` dumps and
+``Related_hyperparameters*.txt`` files (`Hippocampus.py:1401-1546`).
+
+Reproduced artifact set (so downstream notebooks keep working):
+- per-sample PNGs: adversarial-noise overlay, ground-truth label, predicted
+  label (the reference's custom colormaps: 3-color black/yellow/red for
+  Hippocampus, 5-color black/cyan/lime/yellow/red for BraTS), uncertainty
+  heatmap (``winter_r`` + colorbar), masked label (targeted attacks);
+- ``Predictive_variance_tasks.txt`` with mean predictive variance overall,
+  per structure (and per class + correct/incorrect for BraTS) — the
+  reference's ``incorrect_unc`` bug (reusing the correct mask,
+  `Brats_functions.py:299`) is fixed here, as catalogued in SURVEY §2.7.8;
+- ``uncertainty_info*.pkl`` = [probs, sigma, images, labels, (acc)];
+- ``Related_hyperparameters*.txt`` key-value dumps.
+
+The sampled indices use the reference's seeds (3 for Hippocampus over N=403;
+70 for BraTS over the actual N) so renders land on the same samples.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from supernet_tpu.metrics import uncertainty_at_prediction
+
+try:  # headless-safe matplotlib, optional
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import LinearSegmentedColormap
+
+    _HAVE_MPL = True
+except Exception:  # pragma: no cover
+    _HAVE_MPL = False
+
+
+_COLORS = {
+    3: ["Black", "Yellow", "Red"],  # Hippocampus_functions.py:52
+    5: ["Black", "Cyan", "Lime", "Yellow", "Red"],  # Brats_functions.py:199
+}
+
+
+def label_colormap(n_classes: int):
+    """The reference's custom label colormaps."""
+    colours = _COLORS.get(n_classes)
+    if colours is None:
+        colours = ["Black"] + [f"C{i}" for i in range(n_classes - 1)]
+    pts = [(v / (n_classes - 1), c) for v, c in enumerate(colours)]
+    return LinearSegmentedColormap.from_list("custom", pts)
+
+
+def _save(fig_path: str) -> None:
+    ax = plt.gca()
+    ax.axes.xaxis.set_visible(False)
+    ax.axes.yaxis.set_visible(False)
+    plt.savefig(fig_path)
+    plt.close()
+
+
+def sample_indices(n_total: int, images_n: int, dataset: str) -> np.ndarray:
+    """The reference's sampled render indices: seed 3 over N=403 for
+    Hippocampus (`Hippocampus_functions.py:39,49`), seed 70 over the actual
+    N for BraTS (`Brats_functions.py:185,194`)."""
+    if dataset == "hippocampus":
+        np.random.seed(3)
+        return np.random.choice(np.arange(min(403, n_total)), images_n)
+    np.random.seed(70)
+    return np.random.choice(np.arange(n_total), images_n)
+
+
+def save_uncertainty_report(
+    path: str,
+    truex: np.ndarray,  # clean images   [N, H, W, C] (or [N, H, W])
+    adv: Optional[np.ndarray],  # corrupted/adversarial images, same shape
+    probs: np.ndarray,  # predictive probabilities [N, H, W, C_cls]
+    truey: np.ndarray,  # integer labels [N, H, W]
+    sigma: np.ndarray,  # predictive variance [N, H, W, C_cls]
+    masked: Optional[np.ndarray] = None,  # retargeted labels (targeted atk)
+    images_n: int = 10,
+    adversarial: bool = True,
+    targeted: bool = True,
+    dataset: str = "hippocampus",
+) -> Dict[str, float]:
+    """Render PNGs + write Predictive_variance_tasks.txt; returns the mean
+    predictive variances the reference returns."""
+    n_classes = probs.shape[-1]
+    predict = np.argmax(probs, axis=-1)
+    uncert = uncertainty_at_prediction(sigma, predict)
+    mean_u = float(np.mean(uncert))
+
+    out: Dict[str, float] = {"mean": mean_u}
+
+    if _HAVE_MPL and images_n > 0:
+        img_dir = os.path.join(path, "test_images")
+        os.makedirs(img_dir, exist_ok=True)
+        cmap = label_colormap(n_classes)
+        for i in sample_indices(len(truex), images_n, dataset):
+            if adversarial and adv is not None:
+                n_mod = truex.shape[-1] if truex.ndim == 4 else 1
+                if n_mod > 1:  # BraTS 4-modality overlay (Brats_functions.py:211)
+                    plt.figure(figsize=(10 * n_mod, 10))
+                    for j in range(n_mod):
+                        plt.subplot(1, n_mod, j + 1)
+                        plt.imshow(truex[i, :, :, j], "gray",
+                                   interpolation="none")
+                        plt.imshow(adv[i, :, :, j], "gray",
+                                   interpolation="none", alpha=0.9)
+                        ax = plt.gca()
+                        ax.axes.xaxis.set_visible(False)
+                        ax.axes.yaxis.set_visible(False)
+                    plt.savefig(
+                        os.path.join(img_dir, f"{i}_Adversarial_noise.png")
+                    )
+                    plt.close()
+                else:
+                    plt.figure()
+                    plt.imshow(np.squeeze(truex[i]), "gray",
+                               interpolation="none")
+                    plt.imshow(np.squeeze(adv[i]), "gray",
+                               interpolation="none", alpha=0.8)
+                    _save(os.path.join(img_dir, f"{i}_Adversarial_noise.png"))
+            plt.figure(figsize=(10, 10))
+            plt.imshow(truey[i], cmap, interpolation="none")
+            plt.title("Ground truth Label")
+            _save(os.path.join(img_dir, f"{i}_Label_image.png"))
+            plt.figure(figsize=(10, 10))
+            plt.imshow(predict[i], cmap, interpolation="none")
+            plt.title("Predicted Label")
+            _save(os.path.join(img_dir, f"{i}_Predicted_image.png"))
+            plt.figure(figsize=(10, 10))
+            im = plt.imshow(uncert[i], cmap="winter_r",
+                            interpolation="nearest")
+            plt.title("Uncertainty map")
+            plt.colorbar(im, fraction=0.046, pad=0.04)
+            _save(os.path.join(img_dir, f"{i}_uncertainty_heatmap.png"))
+            if adversarial and targeted and masked is not None:
+                plt.figure(figsize=(10, 10))
+                plt.imshow(masked[i], cmap, interpolation="none")
+                plt.title("Masked Label")
+                _save(os.path.join(img_dir, f"{i}_Masked_Label_image.png"))
+
+    # --- predictive-variance text report -------------------------------
+    def mean_where(cond: np.ndarray) -> float:
+        sel = uncert[cond]
+        return float(np.mean(sel)) if sel.size else float("nan")
+
+    os.makedirs(path, exist_ok=True)
+    lines = [f"\n Average Predictive variance : {mean_u}"]
+    lines.append("\n---------------------------------")
+    if dataset == "hippocampus":
+        out["anterior"] = mean_where(predict == 1)
+        out["non_anterior"] = mean_where(predict != 1)
+        out["posterior"] = mean_where(predict == 2)
+        out["non_posterior"] = mean_where(predict != 2)
+        lines.append(
+            "\n Predictive variance for all  anterior structures : "
+            + str(out["anterior"])
+        )
+        lines.append(
+            "\n Predictive variance for non-anterior structures : "
+            + str(out["non_anterior"])
+        )
+        lines.append("\n---------------------------------")
+        lines.append(
+            "\n Predictive variance for posterior portion : "
+            + str(out["posterior"])
+        )
+        lines.append(
+            "\n Predictive variance for non-posterior structures : "
+            + str(out["non_posterior"])
+        )
+    else:
+        out["tumor"] = mean_where(predict > 0)
+        out["background"] = mean_where(predict == 0)
+        core = (predict > 0) & (predict != 2)
+        out["core"] = mean_where(core)
+        out["non_core"] = mean_where(~core)
+        out["enhancing"] = mean_where(predict == 4)
+        out["non_enhancing"] = mean_where(predict != 4)
+        for cls in range(1, n_classes):
+            out[f"class{cls}"] = mean_where(predict == cls)
+        out["correct"] = mean_where(predict == truey)
+        out["incorrect"] = mean_where(predict != truey)  # ref bug fixed
+        lines += [
+            f"\n Predictive variance for all tumor structures : {out['tumor']}",
+            f"\n Predictive variance for non-tumor structures : {out['background']}",
+            "\n---------------------------------",
+            f"\n Predictive variance for core portion : {out['core']}",
+            f"\n Predictive variance for non-core structures : {out['non_core']}",
+            "\n---------------------------------",
+            f"\n Predictive variance for enhancing portion : {out['enhancing']}",
+            f"\n Predictive variance for non-enhancing portion : {out['non_enhancing']}",
+            "\n-----------Uncertainty Per Class--------------",
+        ]
+        for cls in range(n_classes):
+            key = "background" if cls == 0 else f"class{cls}"
+            lines.append(
+                f"\n Predictive variance for class {cls} : {out[key]}"
+            )
+        lines += [
+            "\n-------------------------",
+            f"\n Predictive variance for correct : {out['correct']}",
+            f"\n Predictive variance for incorrect : {out['incorrect']}",
+        ]
+
+    with open(os.path.join(path, "Predictive_variance_tasks.txt"), "w") as f:
+        f.writelines(lines)
+    return out
+
+
+def save_uncertainty_artifact(
+    path: str,
+    probs: np.ndarray,
+    sigma: np.ndarray,
+    images: np.ndarray,
+    labels: np.ndarray,
+    acc: Optional[float] = None,
+    name: str = "uncertainty_info.pkl",
+) -> str:
+    """``uncertainty_info*.pkl`` = [probs, sigma, images, labels, (acc)]
+    (`Hippocampus.py:1420,1449`)."""
+    os.makedirs(path, exist_ok=True)
+    payload = [probs, sigma, images, labels]
+    if acc is not None:
+        payload.append(acc)
+    full = os.path.join(path, name)
+    with open(full, "wb") as f:
+        pickle.dump(payload, f)
+    return full
+
+
+def load_uncertainty_artifact(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_uncertainty_from_artifact(
+    artifact_path: str,
+    out_dir: Optional[str] = None,
+    images_n: int = 10,
+    dataset: str = "hippocampus",
+) -> Dict[str, float]:
+    """Offline re-render from a saved artifact (``save_uncertainty``,
+    `Hippocampus.py:1549-1568`)."""
+    payload = load_uncertainty_artifact(artifact_path)
+    probs, sigma, images, labels = payload[:4]
+    probs, sigma = np.asarray(probs), np.asarray(sigma)
+    if probs.ndim == 3:  # [N, HW, C] -> [N, H, W, C]
+        side = int(np.sqrt(probs.shape[1]))
+        probs = probs.reshape(-1, side, side, probs.shape[-1])
+        sigma = sigma.reshape(-1, side, side, sigma.shape[-1])
+    out_dir = out_dir or os.path.dirname(os.path.abspath(artifact_path))
+    return save_uncertainty_report(
+        out_dir,
+        np.asarray(images),
+        np.asarray(images),
+        probs,
+        np.asarray(labels),
+        sigma,
+        images_n=images_n,
+        adversarial=False,
+        dataset=dataset,
+    )
+
+
+def write_hyperparameters(path: str, name: str, values: Dict) -> str:
+    """``Related_hyperparameters*.txt`` key-value dump
+    (`Hippocampus.py:798-837`)."""
+    os.makedirs(path, exist_ok=True)
+    full = os.path.join(path, name)
+    with open(full, "w") as f:
+        for k, v in values.items():
+            f.write(f"\n {k} : {v}")
+    return full
+
+
+def save_training_curves(
+    path: str, curves: Dict[str, Sequence[float]], prefix: str = ""
+) -> None:
+    """Per-epoch metric curves as PNGs (`Hippocampus.py:744-792`)."""
+    if not _HAVE_MPL:  # pragma: no cover
+        return
+    os.makedirs(path, exist_ok=True)
+    for name, values in curves.items():
+        plt.figure()
+        plt.plot(np.arange(1, len(values) + 1), values)
+        plt.xlabel("epoch")
+        plt.ylabel(name)
+        plt.grid(True, alpha=0.3)
+        plt.savefig(os.path.join(path, f"{prefix}{name}.png"))
+        plt.close()
+
+
+def save_history_pickle(path: str, history: Dict, name: str = "history.pkl"):
+    """Training-history pickle (`Hippocampus.py:794-796`)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "wb") as f:
+        pickle.dump(history, f)

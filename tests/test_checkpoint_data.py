@@ -1,0 +1,142 @@
+"""Checkpoint round-trips (Orbax + Keras-H5 layout) and data-pipeline tests."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supernet_tpu import checkpoint as ckpt
+from supernet_tpu.configs import HIPPOCAMPUS
+from supernet_tpu.data import (
+    BatchIterator,
+    PickleDataset,
+    StreamingPickleDataset,
+    center_crop_np,
+    synthetic_dataset,
+)
+from supernet_tpu.models import init_params
+from supernet_tpu.train import create_train_state
+
+CFG = dataclasses.replace(
+    HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+)
+
+
+def _params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+def _assert_params_equal(a, b):
+    for name in a:
+        for w in ("w_mu", "w_sigma"):
+            np.testing.assert_array_equal(
+                np.asarray(a[name][w]), np.asarray(b[name][w])
+            )
+
+
+def test_keras_h5_roundtrip(tmp_path):
+    params = _params()
+    path = str(tmp_path / "vdp_UNET_model.weights.h5")
+    ckpt.export_keras_h5(path, params, CFG)
+    got = ckpt.import_keras_h5(path, CFG)
+    _assert_params_equal(params, got)
+
+
+def test_keras_h5_shape_mismatch_raises(tmp_path):
+    params = _params()
+    path = str(tmp_path / "w.h5")
+    ckpt.export_keras_h5(path, params, CFG)
+    bad_cfg = dataclasses.replace(CFG, base_kernels=8)
+    with pytest.raises((ValueError, KeyError)):
+        ckpt.import_keras_h5(path, bad_cfg)
+
+
+def test_npz_roundtrip(tmp_path):
+    params = _params()
+    path = str(tmp_path / "params.npz")
+    ckpt.save_params_npz(path, params)
+    _assert_params_equal(params, ckpt.load_params_npz(path))
+
+
+def test_orbax_state_roundtrip(tmp_path):
+    params = _params()
+    state, _ = create_train_state(params, HIPPOCAMPUS.train)
+    root = str(tmp_path / "ckpts")
+    ckpt.save_state(root, 3, state)
+    assert ckpt.latest_epoch(root) == 3
+    restored = ckpt.restore_state(root, 3, state)
+    _assert_params_equal(state.params, restored.params)
+    assert int(restored.step) == int(state.step)
+
+
+def test_latest_epoch_none(tmp_path):
+    assert ckpt.latest_epoch(str(tmp_path / "nope")) is None
+
+
+# -------------------------------------------------------------------- data
+
+
+def test_center_crop_np():
+    x = np.arange(36, dtype=np.float32).reshape(1, 6, 6, 1)
+    got = center_crop_np(x, 4)
+    np.testing.assert_array_equal(got, x[:, 1:5, 1:5, :])
+
+
+def test_synthetic_dataset_shapes():
+    x, y = synthetic_dataset(CFG, 6, seed=1)
+    assert x.shape == (6, 32, 32, 1) and y.shape == (6, 32, 32)
+    assert x.dtype == np.float32
+    assert set(np.unique(y)).issubset(set(range(CFG.n_classes)))
+    assert (y > 0).any(), "foreground blobs must exist"
+
+
+def test_pickle_dataset_batching():
+    x, y = synthetic_dataset(CFG, 10, seed=2)
+    ds = PickleDataset(x, y, in_channels=1)
+    batches = list(ds.batches(4, shuffle=True, seed=0))
+    assert len(batches) == 2  # drop remainder
+    assert batches[0][0].shape == (4, 32, 32, 1)
+    assert batches[0][1].shape == (4, 32, 32)
+
+
+def test_pickle_dataset_onehot_labels_collapsed():
+    x = np.zeros((3, 8, 8), np.float32)
+    y1h = np.eye(3, dtype=np.float32)[
+        np.random.default_rng(0).integers(0, 3, (3, 8, 8))
+    ]
+    ds = PickleDataset(x, y1h, in_channels=1)
+    assert ds.x.shape == (3, 8, 8, 1)
+    assert ds.y.shape == (3, 8, 8)
+
+
+def test_streaming_pickle_dataset(tmp_path):
+    import pickle
+
+    rng = np.random.default_rng(0)
+    n_files, per = 3, 5
+    total = 0
+    for i in range(n_files):
+        x = rng.normal(0, 1, (per, 4, 16, 16)).astype(np.float32)  # NCHW
+        y = rng.integers(0, 5, (per, 16, 16)).astype(np.float32)
+        with open(tmp_path / f"training_batch_{i}.pkl", "wb") as f:
+            pickle.dump((x, y), f)
+        total += per
+    ds = StreamingPickleDataset(
+        str(tmp_path / "training_batch_*.pkl"), in_channels=4, seed=0
+    )
+    seen = 0
+    for xb, yb in ds.batches(4, drop_remainder=False):
+        assert xb.shape[1:] == (16, 16, 4)  # NCHW -> NHWC transpose
+        assert yb.shape[1:] == (16, 16)
+        seen += len(xb)
+    assert seen == total
+
+
+def test_batch_iterator_prefetch():
+    items = [(np.ones(2) * i, i) for i in range(5)]
+    got = list(BatchIterator(iter(items), depth=2))
+    assert len(got) == 5
+    np.testing.assert_array_equal(got[3][0], np.ones(2) * 3)

@@ -1,0 +1,111 @@
+"""End-to-end smoke tests (SURVEY.md §4.6): tiny train run on synthetic data
+with finite decreasing loss, eval protocol producing the full artifact set,
+and the CLI wiring."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supernet_tpu.configs import HIPPOCAMPUS, NoiseConfig
+from supernet_tpu.data import PickleDataset, synthetic_dataset
+from supernet_tpu.evaluate import run_adversarial, run_testing
+from supernet_tpu.models import init_params
+from supernet_tpu.trainer import Trainer
+
+EXP = HIPPOCAMPUS.replace(
+    model=dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+    ),
+    train=dataclasses.replace(
+        HIPPOCAMPUS.train, batch_size=4, epochs=2, log_every=100
+    ),
+    attack=dataclasses.replace(
+        HIPPOCAMPUS.attack, max_adv_step=2, epsilon=0.01
+    ),
+)
+
+
+def _ds(n=8, seed=0):
+    x, y = synthetic_dataset(EXP.model, n, seed=seed)
+    return PickleDataset(x, y, 1)
+
+
+def test_train_smoke(tmp_path):
+    tr = Trainer(EXP, _ds(8), _ds(4, seed=1), out_dir=str(tmp_path / "run"))
+    tr.run(epochs=2, log=lambda *_: None)
+    assert len(tr.history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in tr.history["train_loss"])
+    # loss should not explode epoch-over-epoch on this tiny task
+    assert tr.history["train_loss"][1] <= tr.history["train_loss"][0] * 2
+    # checkpoints + artifacts exist
+    from supernet_tpu import checkpoint as ckpt
+
+    assert ckpt.latest_epoch(str(tmp_path / "run")) == 1
+    assert os.path.exists(tmp_path / "run" / "Related_hyperparameters.txt")
+    assert os.path.exists(tmp_path / "run" / "history.pkl")
+
+
+def test_testing_protocol_clean_and_noisy(tmp_path):
+    params = init_params(jax.random.PRNGKey(0), EXP.model)
+    ds = _ds(8)
+    res = run_testing(
+        EXP, params, ds, NoiseConfig(), out_dir=str(tmp_path / "clean")
+    )
+    assert np.isfinite(res["accuracy"])
+    assert res["snr_db"] == float("inf")
+    assert os.path.exists(res["artifact"])
+    assert os.path.exists(
+        os.path.join(res["out_dir"], "Predictive_variance_tasks.txt")
+    )
+    assert "dice_anterior" in res and "hausdorff_posterior" in res
+
+    noisy = run_testing(
+        EXP,
+        params,
+        ds,
+        NoiseConfig(kind="gaussian", std=0.1, region="A"),
+        out_dir=str(tmp_path / "noisy"),
+    )
+    assert np.isfinite(noisy["snr_db"])
+    assert noisy["snr_db"] > 0
+
+
+def test_adversarial_protocol(tmp_path):
+    params = init_params(jax.random.PRNGKey(0), EXP.model)
+    res = run_adversarial(
+        EXP, params, _ds(4), out_dir=str(tmp_path / "adv")
+    )
+    assert np.isfinite(res["accuracy"])
+    assert os.path.exists(res["artifact"])
+    assert os.path.exists(
+        os.path.join(res["out_dir"], "Related_hyperparameters_adversarial.txt")
+    )
+
+
+def test_cli_eval_synthetic(tmp_path, capsys):
+    from supernet_tpu.cli import main
+
+    rc = main(
+        [
+            "eval",
+            "--config",
+            "hippocampus",
+            "--synthetic",
+            "4",
+            "--batch-size",
+            "4",
+            "--images-n",
+            "0",
+            "--out-dir",
+            str(tmp_path / "cli"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(out)
+    assert "accuracy" in payload

@@ -95,9 +95,10 @@ def test_vconv_input_numpy_loop():
                 m = np.sum(patch * w_mu[:, :, :, c])
                 v = np.sum(patch**2) * s_w[c]
                 assert abs(mu[0, i, j, c] - m) < 1e-4
-                # softplus differs ~1e-6 relative in f32 between numpy's
-                # log1p(exp) and jax.nn.softplus; scale tolerance by v.
-                assert abs(sg[0, i, j, c] - v) < 1e-5 + 1e-4 * abs(v)
+                # f32 accumulation-order differences (reduce_window vs numpy
+                # sum) plus softplus implementation differences give ~1e-4
+                # relative error; tolerance scaled accordingly.
+                assert abs(sg[0, i, j, c] - v) < 1e-5 + 5e-4 * abs(v)
 
 
 def test_vconv_monte_carlo():

@@ -1,0 +1,96 @@
+"""Distributed tests without a cluster (SURVEY.md §4.5): the sharded train
+step on an 8-device CPU mesh must produce the same parameter update as the
+single-device step on the same global batch."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supernet_tpu.configs import HIPPOCAMPUS
+from supernet_tpu.models import init_params
+from supernet_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+)
+from supernet_tpu.train import create_train_state, make_train_step, one_hot_flatten
+
+CFG = dataclasses.replace(
+    HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+)
+TC = dataclasses.replace(HIPPOCAMPUS.train, batch_size=8)
+
+
+def _batch(b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(
+        rng.normal(0, 1, (b, CFG.image_size, CFG.image_size, 1)).astype(
+            np.float32
+        )
+    )
+    y_img = jnp.asarray(
+        rng.integers(0, CFG.n_classes, (b, CFG.out_size, CFG.out_size)).astype(
+            np.int32
+        )
+    )
+    return x, one_hot_flatten(y_img, CFG.n_classes)
+
+
+def _single_device_update(x, y):
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state, _ = create_train_state(params, TC)
+    step = make_train_step(CFG, TC)
+    return step(state, x, y)
+
+
+@pytest.mark.parametrize("use_shard_map", [False, True])
+def test_sharded_step_matches_single_device(use_shard_map):
+    assert jax.device_count() >= 8, "conftest must fake 8 devices"
+    x, y = _batch()
+    ref_state, ref_metrics = _single_device_update(x, y)
+
+    mesh = make_mesh(8)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state, _ = create_train_state(params, TC)
+    state = replicate(mesh, state)
+    xs, ys = shard_batch(mesh, x, y)
+    step = make_sharded_train_step(CFG, TC, mesh, use_shard_map=use_shard_map)
+    new_state, metrics = step(state, xs, ys)
+
+    assert float(metrics.loss) == pytest.approx(
+        float(ref_metrics.loss), rel=1e-5
+    )
+    for name in ref_state.params:
+        for w in ("w_mu", "w_sigma"):
+            np.testing.assert_allclose(
+                np.asarray(new_state.params[name][w]),
+                np.asarray(ref_state.params[name][w]),
+                rtol=2e-5,
+                atol=1e-6,
+                err_msg=f"{name}/{w}",
+            )
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    probs, sigma = jax.jit(fn)(*args)
+    assert probs.shape == (4, 54 * 54, 3)
+    assert bool(jnp.all(jnp.isfinite(probs)))
