@@ -30,11 +30,11 @@ import jax.numpy as jnp
 from supernet_tpu.configs import ModelConfig
 from supernet_tpu.ops import (
     vconv,
-    vconv_input,
+    vconv_input_relu,
+    vconv_relu,
     vcrop_concat,
     vmaxpool,
     vpad,
-    vrelu,
     vsoftmax,
     vunpool,
 )
@@ -147,19 +147,21 @@ def forward(params: Params, x: Array, cfg: ModelConfig) -> Tuple[Array, Array]:
         p = params[name]
         return vconv(m, s, p["w_mu"], p["w_sigma"])
 
+    def conv_relu(name: str, m: Array, s: Array) -> Tuple[Array, Array]:
+        p = params[name]
+        return vconv_relu(m, s, p["w_mu"], p["w_sigma"])
+
     skips: List[Tuple[Array, Array]] = []
     m, s = None, None
     for i in range(depth):
         if i == 0:
             p = params["conv_input"]
-            m, s = vconv_input(x, p["w_mu"], p["w_sigma"])
+            m, s = vconv_input_relu(x, p["w_mu"], p["w_sigma"])
         else:
             if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
                 m, s = vpad(m, s, cfg.bottleneck_pre_pad, fill)
-            m, s = conv(f"conv{2 * i}", m, s)
-        m, s = vrelu(m, s)
-        m, s = conv(f"conv{2 * i + 1}", m, s)
-        m, s = vrelu(m, s)
+            m, s = conv_relu(f"conv{2 * i}", m, s)
+        m, s = conv_relu(f"conv{2 * i + 1}", m, s)
         if i < depth - 1:
             skips.append((m, s))
             m, s = vmaxpool(m, s)
@@ -170,11 +172,9 @@ def forward(params: Params, x: Array, cfg: ModelConfig) -> Tuple[Array, Array]:
         m, s = vpad(m, s, (3, 3), fill)
         m_e, s_e = skips[depth - 1 - j]
         m, s = vcrop_concat(m, s, m_e, s_e)
-        m, s = conv(f"up{j}_conv1", m, s)
-        m, s = vrelu(m, s)
+        m, s = conv_relu(f"up{j}_conv1", m, s)
         m, s = vpad(m, s, (2, 2), fill)
-        m, s = conv(f"up{j}_conv2", m, s)
-        m, s = vrelu(m, s)
+        m, s = conv_relu(f"up{j}_conv2", m, s)
 
     m, s = conv("conv_final", m, s)
     return vsoftmax(m, s)

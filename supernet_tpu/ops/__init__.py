@@ -8,6 +8,8 @@ both NHWC. See ``supernet_tpu.ops.moments`` for the math.
 from supernet_tpu.ops.moments import (
     vconv_input,
     vconv,
+    vconv_relu,
+    vconv_input_relu,
     vrelu,
     vmaxpool,
     vunpool,
@@ -16,12 +18,22 @@ from supernet_tpu.ops.moments import (
     vsoftmax,
     crop_center,
     crop_to_match,
+    set_backend,
+    get_backend,
+    set_mxu_precision,
+    get_mxu_precision,
 )
 
 __all__ = [
     "vconv_input",
     "vconv",
+    "vconv_relu",
+    "vconv_input_relu",
     "vrelu",
+    "set_backend",
+    "get_backend",
+    "set_mxu_precision",
+    "get_mxu_precision",
     "vmaxpool",
     "vunpool",
     "vpad",

@@ -74,6 +74,33 @@ def get_mxu_precision() -> str:
     return _MXU_PRECISION
 
 
+# Kernel backend for the VDP convs: "xla" composes lax convolutions (works
+# everywhere); "pallas" uses the fused single-HBM-pass TPU kernel
+# (supernet_tpu.ops.pallas); "auto" picks pallas on TPU, xla elsewhere.
+_BACKEND: str = "xla"
+
+
+def set_backend(backend: str) -> None:
+    if backend not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown backend {backend!r}")
+    global _BACKEND
+    _BACKEND = backend
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def _use_pallas() -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND == "pallas":
+        return True
+    from supernet_tpu.ops.pallas import pallas_supported
+
+    return pallas_supported()
+
+
 def _conv_valid(x: Array, w: Array, stride: int = 1) -> Array:
     """VALID 2-D convolution (cross-correlation), NHWC x HWIO -> NHWC."""
     return lax.conv_general_dilated(
@@ -90,18 +117,16 @@ def _conv_valid(x: Array, w: Array, stride: int = 1) -> Array:
 def _window_sum(x: Array, k: int, stride: int = 1) -> Array:
     """Sum of x over each k x k VALID window and over all input channels.
 
-    Returns shape [B, H', W', 1]. Runs on the VPU via reduce_window — no MXU
-    time and no patch materialization.
+    Returns shape [B, H', W', 1]. Implemented as a channel-sum followed by a
+    single-output-channel ones-kernel conv: one cheap MXU pass (C_out == 1,
+    negligible next to the main convs), no patch materialization, and —
+    unlike ``lax.reduce_window`` — robustly reverse-mode differentiable
+    inside ``jit`` (reduce_window's generic primitive fails linearization
+    under jit(grad) in current JAX; needed by FGSM/PGD, attacks.py).
     """
     xc = jnp.sum(x, axis=-1, keepdims=True)
-    return lax.reduce_window(
-        xc,
-        jnp.float32(0.0),
-        lax.add,
-        window_dimensions=(1, k, k, 1),
-        window_strides=(1, stride, stride, 1),
-        padding="VALID",
-    )
+    ones = jnp.ones((k, k, 1, 1), jnp.float32)
+    return _conv_valid(xc, ones, stride)
 
 
 def vconv_input(
@@ -118,6 +143,10 @@ def vconv_input(
       w_mu: kernel means, [k, k, C_in, C_out].
       w_sigma: raw (pre-softplus) per-output-channel kernel variances, [C_out].
     """
+    if stride == 1 and _use_pallas():
+        from supernet_tpu.ops.pallas import vdp_conv
+
+        return vdp_conv(x, None, w_mu, w_sigma, precision=_MXU_PRECISION)
     k = w_mu.shape[0]
     mu_out = _conv_valid(x, w_mu, stride)
     s_w = jax.nn.softplus(w_sigma)
@@ -136,12 +165,42 @@ def vconv(
       mu_out    = conv(mu, w_mu)
       sigma_out = winsum(mu^2 + sigma) * softplus(w_sigma) + conv(sigma, w_mu^2)
     """
+    if stride == 1 and _use_pallas():
+        from supernet_tpu.ops.pallas import vdp_conv
+
+        return vdp_conv(mu, sigma, w_mu, w_sigma, precision=_MXU_PRECISION)
     k = w_mu.shape[0]
     mu_out = _conv_valid(mu, w_mu, stride)
     s_w = jax.nn.softplus(w_sigma)
     sigma_out = _window_sum(jnp.square(mu) + sigma, k, stride) * s_w
     sigma_out = sigma_out + _conv_valid(sigma, jnp.square(w_mu), stride)
     return mu_out, sigma_out
+
+
+def vconv_relu(
+    mu: Array, sigma: Array, w_mu: Array, w_sigma: Array
+) -> MomentPair:
+    """``vrelu(*vconv(...))`` — fused into one kernel on the pallas backend
+    (the conv -> relu pair is the encoder/decoder hot path,
+    `Hippocampus.py:374-415`)."""
+    if _use_pallas():
+        from supernet_tpu.ops.pallas import vdp_conv
+
+        return vdp_conv(
+            mu, sigma, w_mu, w_sigma, fuse_relu=True, precision=_MXU_PRECISION
+        )
+    return vrelu(*vconv(mu, sigma, w_mu, w_sigma))
+
+
+def vconv_input_relu(x: Array, w_mu: Array, w_sigma: Array) -> MomentPair:
+    """``vrelu(*vconv_input(...))`` with the same pallas fusion."""
+    if _use_pallas():
+        from supernet_tpu.ops.pallas import vdp_conv
+
+        return vdp_conv(
+            x, None, w_mu, w_sigma, fuse_relu=True, precision=_MXU_PRECISION
+        )
+    return vrelu(*vconv_input(x, w_mu, w_sigma))
 
 
 def vrelu(mu: Array, sigma: Array) -> MomentPair:

@@ -27,13 +27,14 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from supernet_tpu.configs import ModelConfig, TrainConfig
 from supernet_tpu.train import (
     StepMetrics,
     TrainState,
+    ensure_one_hot,
     loss_fn,
     make_optimizer,
 )
@@ -110,6 +111,7 @@ def make_sharded_train_step(
             donate_argnums=(0,),
         )
         def step(state: TrainState, x: Array, y: Array):
+            y = ensure_one_hot(y, cfg.n_classes)
             (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, x, y, cfg, tc)
@@ -118,6 +120,7 @@ def make_sharded_train_step(
         return step
 
     def per_shard(state: TrainState, x: Array, y: Array):
+        y = ensure_one_hot(y, cfg.n_classes)
         (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, x, y, cfg, tc)
@@ -140,7 +143,7 @@ def make_sharded_train_step(
         mesh=mesh,
         in_specs=(state_specs, P(axis_name), P(axis_name)),
         out_specs=(state_specs, StepMetrics(P(), P(), P(), P())),
-        check_rep=False,
+        check_vma=False,
     )
 
     @functools.partial(

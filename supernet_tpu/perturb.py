@@ -106,7 +106,13 @@ def apply_noise(
     if mask is not None:
         delta = delta * mask[..., None]
 
-    noisy = jnp.clip(x + delta, jnp.min(x), jnp.max(x))
+    noisy = x + delta
+    if nc.kind != "salt_and_pepper":
+        # gaussian/speckle are clipped to the clean batch's range
+        # (Hippocampus.py:1298); S&P already writes the data-range extremes
+        # 1.0 / low_clip directly (Brats_functions.py:565-582) — clipping to
+        # the batch range would undo the flips on low-contrast batches.
+        noisy = jnp.clip(noisy, jnp.min(x), jnp.max(x))
     snr = snr_db(x, noisy)
     return noisy, snr
 

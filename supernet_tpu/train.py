@@ -87,7 +87,10 @@ def loss_fn(
     cfg: ModelConfig,
     tc: TrainConfig,
 ) -> Tuple[Array, Tuple[Array, Array, Array, Array]]:
-    """Total loss + auxiliaries. ``y`` is one-hot flattened [B, N, C]."""
+    """Total loss + auxiliaries. ``y`` is one-hot flattened [B, N, C] or an
+    integer label map [B, H, W] (one-hot encoded on device, inside jit — the
+    host then ships 4-byte labels instead of C float rows per pixel)."""
+    y = ensure_one_hot(y, cfg.n_classes)
     probs, sigma = forward(params, x, cfg)
     sigma_c = jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max)
     nll = nll_gaussian(y, probs, sigma_c)
@@ -104,6 +107,7 @@ def _train_step(
     cfg: ModelConfig,
     tc: TrainConfig,
 ) -> Tuple[TrainState, StepMetrics]:
+    y = ensure_one_hot(y, cfg.n_classes)
     (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.params, x, y, cfg, tc)
@@ -136,6 +140,7 @@ def make_eval_step(cfg: ModelConfig, tc: TrainConfig):
 
     @jax.jit
     def step(params: Params, x: Array, y: Array):
+        y = ensure_one_hot(y, cfg.n_classes)
         probs, sigma = forward(params, x, cfg)
         sigma_c = jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max)
         nll = nll_gaussian(y, probs, sigma_c)
@@ -153,3 +158,12 @@ def one_hot_flatten(y: Array, n_classes: int) -> Array:
     (`Hippocampus.py:612-615`)."""
     y1 = jax.nn.one_hot(y.astype(jnp.int32), n_classes, dtype=jnp.float32)
     return y1.reshape(y.shape[0], -1, n_classes)
+
+
+def ensure_one_hot(y: Array, n_classes: int) -> Array:
+    """Accept integer label maps [B, H, W] or one-hot flattened [B, N, C];
+    return the one-hot form. Lets train/eval steps take 4-byte integer
+    labels across the host->device boundary and encode on device."""
+    if y.ndim == 3 and not jnp.issubdtype(y.dtype, jnp.floating):
+        return one_hot_flatten(y, n_classes)
+    return y

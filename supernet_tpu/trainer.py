@@ -37,7 +37,6 @@ from supernet_tpu.train import (
     create_train_state,
     make_eval_step,
     make_train_step,
-    one_hot_flatten,
 )
 
 
@@ -129,11 +128,8 @@ class Trainer:
         for step, (x, y) in enumerate(it):
             x, y_c = _prep_batch(x, y, self.cfg.out_size, self.cfg.n_classes)
             xb = self._put(x)
-            yb = self._put(
-                np.asarray(
-                    one_hot_flatten(jnp.asarray(y_c), self.cfg.n_classes)
-                )
-            )
+            # integer labels; one-hot happens on device inside the jitted step
+            yb = self._put(np.ascontiguousarray(y_c, np.int32))
             state, m = self.step_fn(state, xb, yb)
             if step % self.tc.log_every == 0:
                 log(
@@ -152,9 +148,8 @@ class Trainer:
         params = state.params
         for x, y in self.val_ds.batches(self.tc.batch_size):
             x, y_c = _prep_batch(x, y, self.cfg.out_size, self.cfg.n_classes)
-            yb = one_hot_flatten(jnp.asarray(y_c), self.cfg.n_classes)
             probs, sigma, pred, loss, acc = self.eval_fn(
-                params, jnp.asarray(x), yb
+                params, jnp.asarray(x), jnp.asarray(y_c.astype(np.int32))
             )
             losses.append(float(loss))
             accs.append(float(acc))
