@@ -22,16 +22,29 @@ REFERENCE_IMAGES_PER_SEC = 100.0  # estimated reference TF2 single-GPU rate
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from supernet_tpu.configs import HIPPOCAMPUS
     from supernet_tpu.models import init_params
+    from supernet_tpu.ops import set_backend, set_mxu_precision
     from supernet_tpu.train import (
         create_train_state,
         make_train_step,
         one_hot_flatten,
     )
+
+    # Tunables (documented in README): SUPERNET_PRECISION=highest|high|default
+    # selects the MXU pass count for the moment convs. Measured on TPU v5e:
+    # highest (6-pass f32) 52.3k img/s, high (3-pass f32) 68.5k img/s,
+    # default (1-pass bf16) 43.2k img/s (layout overheads dominate at this
+    # model size). "high" keeps ~1e-6 relative error vs f32 — the training
+    # sweet spot and the bench default. SUPERNET_BACKEND=xla|pallas|auto
+    # selects the conv kernel backend.
+    set_mxu_precision(os.environ.get("SUPERNET_PRECISION", "high"))
+    set_backend(os.environ.get("SUPERNET_BACKEND", "xla"))
 
     cfg = HIPPOCAMPUS.model
     tc = HIPPOCAMPUS.train

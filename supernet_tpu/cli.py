@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(s)
     s.add_argument("--images-n", type=int, default=10)
 
+    sl = sub.add_parser(
+        "saliency", help="gradient saliency maps (Brats.py:598-609)"
+    )
+    _add_common(sl)
+    sl.add_argument("--target-class", type=int, default=None,
+                    help="class whose probability mass is differentiated; "
+                         "default: all foreground classes")
+    sl.add_argument("--images-n", type=int, default=4)
+
     b = sub.add_parser("bench", help="throughput benchmark")
     return ap
 
@@ -195,6 +204,39 @@ def main(argv=None) -> int:
                               out_dir=args.out_dir)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
+        return 0
+
+    if args.cmd == "saliency":
+        import jax.numpy as jnp
+        import numpy as np
+
+        from supernet_tpu.attacks import make_saliency_map
+        from supernet_tpu.data import center_crop_np
+        from supernet_tpu.reports import save_saliency_maps
+
+        cfg = exp.model
+        sal = make_saliency_map(cfg)
+        if args.target_class is None:  # all foreground ("all tumor")
+            cmask = jnp.asarray(
+                [0.0] + [1.0] * (cfg.n_classes - 1), jnp.float32
+            )
+        else:
+            cmask = jnp.zeros(cfg.n_classes).at[args.target_class].set(1.0)
+        out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}/saliency"
+        count = 0
+        for x, _ in ds.batches(exp.train.batch_size):
+            g, g_relu = sal(params, jnp.asarray(x), cmask)
+            g, g_relu = np.asarray(g), np.asarray(g_relu)
+            for i in range(len(x)):
+                if count >= args.images_n:
+                    break
+                save_saliency_maps(
+                    out_dir, x[i], g[i], g_relu[i], index=count
+                )
+                count += 1
+            if count >= args.images_n:
+                break
+        print(json.dumps({"saliency_maps": count, "out_dir": out_dir}))
         return 0
 
     if args.cmd == "sweep":

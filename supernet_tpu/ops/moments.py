@@ -101,6 +101,19 @@ def _use_pallas() -> bool:
     return pallas_supported()
 
 
+def _use_pallas_for(x: Array, w_mu: Array) -> bool:
+    """Backend says pallas AND this layer's shape is inside the fused
+    kernel's compile-safe envelope; otherwise the XLA composition is used
+    for this layer (per-layer mixed dispatch)."""
+    if not _use_pallas():
+        return False
+    from supernet_tpu.ops.pallas.vdp_conv import shape_supported
+
+    b, h, w, cin = x.shape
+    k, _, _, cout = w_mu.shape
+    return shape_supported(h, w, cin, cout, k)
+
+
 def _conv_valid(x: Array, w: Array, stride: int = 1) -> Array:
     """VALID 2-D convolution (cross-correlation), NHWC x HWIO -> NHWC."""
     return lax.conv_general_dilated(
@@ -143,7 +156,7 @@ def vconv_input(
       w_mu: kernel means, [k, k, C_in, C_out].
       w_sigma: raw (pre-softplus) per-output-channel kernel variances, [C_out].
     """
-    if stride == 1 and _use_pallas():
+    if stride == 1 and _use_pallas_for(x, w_mu):
         from supernet_tpu.ops.pallas import vdp_conv
 
         return vdp_conv(x, None, w_mu, w_sigma, precision=_MXU_PRECISION)
@@ -165,7 +178,7 @@ def vconv(
       mu_out    = conv(mu, w_mu)
       sigma_out = winsum(mu^2 + sigma) * softplus(w_sigma) + conv(sigma, w_mu^2)
     """
-    if stride == 1 and _use_pallas():
+    if stride == 1 and _use_pallas_for(mu, w_mu):
         from supernet_tpu.ops.pallas import vdp_conv
 
         return vdp_conv(mu, sigma, w_mu, w_sigma, precision=_MXU_PRECISION)
@@ -183,7 +196,7 @@ def vconv_relu(
     """``vrelu(*vconv(...))`` — fused into one kernel on the pallas backend
     (the conv -> relu pair is the encoder/decoder hot path,
     `Hippocampus.py:374-415`)."""
-    if _use_pallas():
+    if _use_pallas_for(mu, w_mu):
         from supernet_tpu.ops.pallas import vdp_conv
 
         return vdp_conv(
@@ -194,7 +207,7 @@ def vconv_relu(
 
 def vconv_input_relu(x: Array, w_mu: Array, w_sigma: Array) -> MomentPair:
     """``vrelu(*vconv_input(...))`` with the same pallas fusion."""
-    if _use_pallas():
+    if _use_pallas_for(x, w_mu):
         from supernet_tpu.ops.pallas import vdp_conv
 
         return vdp_conv(

@@ -53,6 +53,26 @@ def pallas_supported() -> bool:
         return False
 
 
+# Compile-safe envelope, established empirically on TPU v5e: Mosaic's
+# compile helper crashes on any Element-indexed (halo) spec and on large
+# unrolled kernels. The crash tracks the unroll volume ~ taps x output
+# area: 9 taps x 60x60 crashes, 9 x 28x28 compiles. Whole-H blocks only.
+_MAX_TAP_AREA = 6000
+
+
+def shape_supported(h: int, w: int, cin: int, cout: int, k: int) -> bool:
+    """Whether the fused kernel is known to compile for this layer shape.
+
+    Callers (supernet_tpu.ops.moments) fall back to the XLA composition per
+    layer when this is False, so a 'pallas' backend run still covers the
+    whole model.
+    """
+    ht, _ = _pick_tiles(1, h, w, cin, cout, k)
+    h_out, w_out = h - k + 1, w - k + 1
+    n_h = -(-h_out // ht)
+    return n_h == 1 and k * k * h_out * w_out <= _MAX_TAP_AREA
+
+
 def _conv(x: Array, w: Array, padding, precision: str) -> Array:
     return lax.conv_general_dilated(
         x,
@@ -86,14 +106,18 @@ def _pick_tiles(
 
 
 def _dot3(x: Array, w: Array, precision: str) -> Array:
-    """[HT, W', C] x [C, CT] -> [HT, W', CT] on the MXU (2-D reshape form)."""
+    """[HT, W', C] x [C, CT] -> [HT, W', CT] on the MXU (2-D reshape form).
+
+    Mosaic's dot lowering only accepts DEFAULT and HIGHEST; 'high' (3-pass
+    f32) rounds up to 'highest' inside the kernel.
+    """
     ht, wp, c = x.shape
     out = lax.dot_general(
         x.reshape(ht * wp, c),
         w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=precision,
+        precision="highest" if precision == "high" else precision,
     )
     return out.reshape(ht, wp, w.shape[1])
 

@@ -284,6 +284,52 @@ def write_hyperparameters(path: str, name: str, values: Dict) -> str:
     return full
 
 
+def save_saliency_maps(
+    path: str,
+    x: np.ndarray,  # input image [H, W, C] (BraTS: 4 modalities)
+    saliency: np.ndarray,  # raw gradient [H, W, C]
+    saliency_relu: np.ndarray,  # ReLU'd gradient [H, W, C]
+    index: int = 0,
+    mask: Optional[np.ndarray] = None,  # binary structure mask [H, W]
+) -> None:
+    """Per-modality saliency overlays (``plot_saliency_map`` + ``get_mask``,
+    `Brats_functions.py:23-140`): for each input modality, the image, the
+    raw-gradient saliency and the ReLU'd saliency (plus the structure mask
+    when given). The gradients come from ``attacks.make_saliency_map``
+    (`Brats.py:598-609`)."""
+    if not _HAVE_MPL:  # pragma: no cover
+        return
+    os.makedirs(path, exist_ok=True)
+    n_mod = x.shape[-1] if x.ndim == 3 else 1
+    x = x if x.ndim == 3 else x[..., None]
+    saliency = saliency if saliency.ndim == 3 else saliency[..., None]
+    saliency_relu = (
+        saliency_relu if saliency_relu.ndim == 3 else saliency_relu[..., None]
+    )
+    rows = 3 + (1 if mask is not None else 0)
+    plt.figure(figsize=(6 * n_mod, 6 * rows))
+    for j in range(n_mod):
+        plt.subplot(rows, n_mod, j + 1)
+        plt.imshow(x[:, :, j], "gray", interpolation="none")
+        plt.title(f"modality {j}")
+        plt.axis("off")
+        plt.subplot(rows, n_mod, n_mod + j + 1)
+        plt.imshow(saliency[:, :, j], "hot", interpolation="none")
+        plt.title("saliency (raw grad)")
+        plt.axis("off")
+        plt.subplot(rows, n_mod, 2 * n_mod + j + 1)
+        plt.imshow(saliency_relu[:, :, j], "hot", interpolation="none")
+        plt.title("saliency (relu grad)")
+        plt.axis("off")
+    if mask is not None:
+        plt.subplot(rows, n_mod, 3 * n_mod + 1)
+        plt.imshow(mask, "gray", interpolation="none")
+        plt.title("structure mask")
+        plt.axis("off")
+    plt.savefig(os.path.join(path, f"{index}_saliency.png"))
+    plt.close()
+
+
 def save_training_curves(
     path: str, curves: Dict[str, Sequence[float]], prefix: str = ""
 ) -> None:

@@ -11,11 +11,14 @@ from supernet_tpu.models import VDPUNet, layer_names
 
 
 def test_hippocampus_io_shapes():
+    """Shape-only: the numeric forward is covered by
+    test_forward_jits_and_no_nan (eager eval here would recompute 12 convs
+    op-by-op on the 1-CPU test host)."""
     cfg = HIPPOCAMPUS.model
     model = VDPUNet(cfg)
-    params = model.init(jax.random.PRNGKey(0))
-    x = jnp.zeros((2, 64, 64, 1))
-    probs, sigma = model.apply(params, x)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    x = jax.ShapeDtypeStruct((2, 64, 64, 1), jnp.float32)
+    probs, sigma = jax.eval_shape(model.apply, params, x)
     assert probs.shape == (2, 54 * 54, 3)
     assert sigma.shape == (2, 54 * 54, 3)
 
