@@ -34,6 +34,9 @@ class ModelConfig:
     # how many leading decoder 2x2 convs (and the 1x1 head) use the tighter
     # sigma init range [-4.6, -2.2]  (Hippocampus.py:354-363, Brats.py:349-367)
     tight_upconvs: int = 2
+    # rematerialize each encoder/decoder block under jax.checkpoint: trades
+    # recompute FLOPs for HBM during backprop (for BraTS-scale training)
+    remat: bool = False
     # weight init (Hippocampus.py:97-123)
     mean_mu: float = 0.0
     mean_sigma: float = 0.1

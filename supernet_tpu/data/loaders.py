@@ -39,6 +39,17 @@ def center_crop_np(x: np.ndarray, size: int) -> np.ndarray:
     return x[:, start:end, start:end, ...]
 
 
+def expand_to_shape(x: np.ndarray, size: int, fill: float = 0.0) -> np.ndarray:
+    """Center-pad spatial dims of [B, H, W, ...] up to ``size``
+    (``expand_to_shape``, `Hippocampus_functions.py:323-334` — the inverse of
+    ``center_crop_np``; e.g. re-embedding a 54x54 prediction in the 64x64
+    input frame for overlays)."""
+    lo = (size - x.shape[1]) // 2
+    hi = size - x.shape[1] - lo
+    pad = [(0, 0), (lo, hi), (lo, hi)] + [(0, 0)] * (x.ndim - 3)
+    return np.pad(x, pad, constant_values=fill)
+
+
 def load_hippocampus_pickle(
     path: str,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -151,30 +151,44 @@ def forward(params: Params, x: Array, cfg: ModelConfig) -> Tuple[Array, Array]:
         p = params[name]
         return vconv_relu(m, s, p["w_mu"], p["w_sigma"])
 
+    def block(fn):
+        # cfg.remat: recompute each block's activations during backprop
+        # instead of keeping the (mu, sigma) pairs live — halves peak HBM
+        # for BraTS-scale training at ~1/3 extra forward FLOPs. The block
+        # index (arg 0) is static: it selects parameter names.
+        return jax.checkpoint(fn, static_argnums=(0,)) if cfg.remat else fn
+
+    def encoder_block(i: int, m: Array, s: Array) -> Tuple[Array, Array]:
+        if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
+            m, s = vpad(m, s, cfg.bottleneck_pre_pad, fill)
+        m, s = conv_relu(f"conv{2 * i}", m, s)
+        return conv_relu(f"conv{2 * i + 1}", m, s)
+
+    def decoder_block(
+        j: int, m: Array, s: Array, m_e: Array, s_e: Array
+    ) -> Tuple[Array, Array]:
+        m, s = vunpool(m, s)
+        m, s = conv(f"up{j}_conv2x2", m, s)
+        m, s = vpad(m, s, (3, 3), fill)
+        m, s = vcrop_concat(m, s, m_e, s_e)
+        m, s = conv_relu(f"up{j}_conv1", m, s)
+        m, s = vpad(m, s, (2, 2), fill)
+        return conv_relu(f"up{j}_conv2", m, s)
+
     skips: List[Tuple[Array, Array]] = []
-    m, s = None, None
+    p = params["conv_input"]
+    m, s = vconv_input_relu(x, p["w_mu"], p["w_sigma"])
+    m, s = conv_relu("conv1", m, s)
     for i in range(depth):
-        if i == 0:
-            p = params["conv_input"]
-            m, s = vconv_input_relu(x, p["w_mu"], p["w_sigma"])
-        else:
-            if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
-                m, s = vpad(m, s, cfg.bottleneck_pre_pad, fill)
-            m, s = conv_relu(f"conv{2 * i}", m, s)
-        m, s = conv_relu(f"conv{2 * i + 1}", m, s)
+        if i > 0:
+            m, s = block(encoder_block)(i, m, s)
         if i < depth - 1:
             skips.append((m, s))
             m, s = vmaxpool(m, s)
 
     for j in range(1, depth):
-        m, s = vunpool(m, s)
-        m, s = conv(f"up{j}_conv2x2", m, s)
-        m, s = vpad(m, s, (3, 3), fill)
         m_e, s_e = skips[depth - 1 - j]
-        m, s = vcrop_concat(m, s, m_e, s_e)
-        m, s = conv_relu(f"up{j}_conv1", m, s)
-        m, s = vpad(m, s, (2, 2), fill)
-        m, s = conv_relu(f"up{j}_conv2", m, s)
+        m, s = block(decoder_block)(j, m, s, m_e, s_e)
 
     m, s = conv("conv_final", m, s)
     return vsoftmax(m, s)

@@ -119,12 +119,16 @@ class Trainer:
         return state
 
     def _train_epoch(self, state, epoch, log):
+        from supernet_tpu.profiling import StepTimer
+
         losses, accs = [], []
+        timer = StepTimer()
         it = BatchIterator(
             self.train_ds.batches(
                 self.tc.batch_size, shuffle=True, seed=self.tc.seed + epoch
             )
         )
+        timer.tick()
         for step, (x, y) in enumerate(it):
             x, y_c = _prep_batch(x, y, self.cfg.out_size, self.cfg.n_classes)
             xb = self._put(x)
@@ -139,6 +143,18 @@ class Trainer:
                 )
             losses.append(float(m.loss))
             accs.append(float(m.accuracy))
+            timer.tick()
+        timer.sync(state.params)
+        # drop the first interval (it absorbs the jit compile) when possible
+        window = max(len(timer.times) - 1, 2)
+        rate = timer.rate(window=window)
+        self.history.setdefault("images_per_sec", []).append(
+            rate * self.tc.batch_size
+        )
+        log(
+            f"epoch {epoch}: {rate * self.tc.batch_size:.4g} images/sec "
+            f"({timer.total_seconds():.2f}s)"
+        )
         self.history["train_loss"].append(float(np.mean(losses)))
         self.history["train_acc"].append(float(np.mean(accs)))
         return state

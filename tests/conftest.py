@@ -7,6 +7,7 @@ This must run before jax is imported anywhere.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -15,6 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# Hosted TPU images may pre-import jax from a sitecustomize hook (e.g. the
+# axon PJRT plugin registration), in which case jax snapshotted
+# JAX_PLATFORMS at import time and the env assignment above is too late —
+# update the live config so tests really run on the virtual CPU mesh.
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 # The test host has a single CPU; compilation dominates test runtime.
 # A persistent compilation cache makes re-runs near-instant.
