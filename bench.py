@@ -65,15 +65,18 @@ def main() -> None:
     state, _ = create_train_state(params, tc)
     step = make_train_step(cfg, tc)
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: completion is forced by fetching the loss to
+    # the host — on relayed/remote TPU transports (axon), block_until_ready
+    # acks dispatch rather than device completion, which inflates rates by
+    # orders of magnitude; a value fetch cannot return early.
     state, metrics = step(state, x, y)
-    jax.block_until_ready(metrics.loss)
+    float(metrics.loss)
 
-    n_iters = 20
+    n_iters = 200
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step(state, x, y)
-    jax.block_until_ready(metrics.loss)
+    assert float(metrics.loss) > -1e30  # host fetch = real completion
     dt = time.perf_counter() - t0
 
     ips = n_iters * batch / dt

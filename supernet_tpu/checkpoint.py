@@ -54,26 +54,79 @@ def save_state(root: str, epoch: int, state) -> str:
 
 
 def restore_state(root: str, epoch: int, template):
-    """Restore a TrainState saved by ``save_state``; ``template`` is an
-    abstract or concrete pytree of matching structure."""
+    """Restore a TrainState saved by ``save_state`` or the async writer;
+    ``template`` is an abstract or concrete pytree of matching structure."""
     import orbax.checkpoint as ocp
 
     path = os.path.join(_epoch_dir(root, epoch), "state")
+    if not os.path.isdir(path):
+        path = os.path.join(_epoch_dir(root, epoch), "default")
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, template)
 
 
 def latest_epoch(root: str) -> Optional[int]:
-    """Highest N with an ``epoch_{N}`` checkpoint under root, or None."""
+    """Highest N with an ``epoch_{N}`` checkpoint under root, or None.
+
+    Accepts both layouts: ``epoch_{N}/state`` (save_state) and
+    ``epoch_{N}/default`` (AsyncCheckpointer / CheckpointManager).
+    """
     if not os.path.isdir(root):
         return None
     best = None
     for name in os.listdir(root):
         m = re.fullmatch(r"epoch_(\d+)", name)
-        if m and os.path.isdir(os.path.join(root, name, "state")):
+        if m and (
+            os.path.isdir(os.path.join(root, name, "state"))
+            or os.path.isdir(os.path.join(root, name, "default"))
+        ):
             n = int(m.group(1))
             best = n if best is None or n > best else best
     return best
+
+
+class AsyncEpochCheckpointer:
+    """Non-blocking per-epoch checkpointing (SURVEY.md §5: the reference
+    blocks training on a synchronous Keras ``save_weights`` every epoch,
+    `Hippocampus.py:665`). Saves run on a background thread via Orbax's
+    AsyncCheckpointer while the next epoch trains; ``wait()`` drains.
+
+    Directory scheme matches the reference (``root/epoch_{N}``) so
+    ``latest_epoch`` / resume work across sync and async writers.
+    """
+
+    def __init__(self, root: str, keep: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        self.root = os.path.abspath(root)
+        self.keep = keep
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._saved: List[int] = []
+
+    def save(self, epoch: int, state) -> None:
+        path = os.path.join(_epoch_dir(self.root, epoch), "default")
+        self._ckptr.save(path, state, force=True)
+        self._saved.append(epoch)
+        if self.keep is not None and len(self._saved) > self.keep:
+            import shutil
+
+            victim = self._saved.pop(0)
+            self._ckptr.wait_until_finished()
+            shutil.rmtree(_epoch_dir(self.root, victim), ignore_errors=True)
+
+    def restore(self, epoch: int, template):
+        self._ckptr.wait_until_finished()
+        path = os.path.join(_epoch_dir(self.root, epoch), "default")
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as c:
+            return c.restore(path, template)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()
 
 
 # ---------------------------------------------------------------- keras h5

@@ -188,11 +188,17 @@ def main(argv=None) -> int:
     params = _load_params(exp, args)
     ds = _load_data(exp, args, "test")
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from supernet_tpu.parallel import make_mesh_for_batch
+
+        mesh = make_mesh_for_batch(exp.train.batch_size)
+
     if args.cmd == "eval":
         from supernet_tpu.evaluate import run_testing
 
         res = run_testing(exp, params, ds, images_n=args.images_n,
-                          out_dir=args.out_dir)
+                          out_dir=args.out_dir, mesh=mesh)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
         return 0
@@ -201,7 +207,7 @@ def main(argv=None) -> int:
         from supernet_tpu.evaluate import run_adversarial
 
         res = run_adversarial(exp, params, ds, images_n=args.images_n,
-                              out_dir=args.out_dir)
+                              out_dir=args.out_dir, mesh=mesh)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
         return 0
@@ -242,7 +248,8 @@ def main(argv=None) -> int:
     if args.cmd == "sweep":
         from supernet_tpu.evaluate import run_noise_sweep
 
-        results = run_noise_sweep(exp, params, ds, images_n=args.images_n)
+        results = run_noise_sweep(exp, params, ds, images_n=args.images_n,
+                                  mesh=mesh)
         for r in results:
             print(json.dumps({k: v for k, v in r.items()
                               if isinstance(v, (int, float, str))}))

@@ -50,7 +50,15 @@ _REGION_DIR = {
 }
 
 
-def _forward_fn(cfg):
+def _forward_fn(cfg, mesh=None):
+    """Jitted forward; with ``mesh`` the batch is sharded over the devices
+    and parameters are replicated (data-parallel eval, net-new vs the
+    single-device reference)."""
+    if mesh is not None:
+        from supernet_tpu.parallel import make_sharded_forward
+
+        return make_sharded_forward(cfg, mesh)
+
     @jax.jit
     def f(params, x):
         return forward(params, x, cfg)
@@ -71,10 +79,15 @@ def run_testing(
     out_dir: Optional[str] = None,
     images_n: int = 0,
     seed: int = 0,
+    mesh=None,
 ) -> Dict[str, object]:
     """The ``testing`` protocol; returns metrics + artifact path."""
     cfg = exp.model
-    fwd = _forward_fn(cfg)
+    fwd = _forward_fn(cfg, mesh)
+    if mesh is not None:
+        from supernet_tpu.parallel import replicate
+
+        params = replicate(mesh, params)
     key = jax.random.PRNGKey(seed)
 
     all_probs, all_sigma, all_x, all_y = [], [], [], []
@@ -97,7 +110,7 @@ def run_testing(
 
         t0 = time.perf_counter()
         probs, sigma = fwd(params, xb)
-        jax.block_until_ready(probs)
+        probs = np.asarray(probs)  # host fetch = true device completion
         t_infer += time.perf_counter() - t0
         n_batches += 1
 
@@ -190,13 +203,18 @@ def run_adversarial(
     ds: PickleDataset,
     out_dir: Optional[str] = None,
     images_n: int = 0,
+    mesh=None,
 ) -> Dict[str, object]:
     """Adversarial evaluation branch (`Hippocampus.py:894-1049`): PGD when
     targeted (both datasets) / always for Hippocampus; single-step FGSM for
     untargeted BraTS (`Brats.py:984-991`)."""
     cfg = exp.model
     ac = exp.attack
-    fwd = _forward_fn(cfg)
+    fwd = _forward_fn(cfg, mesh)
+    if mesh is not None:
+        from supernet_tpu.parallel import replicate
+
+        params = replicate(mesh, params)
     use_pgd = ac.targeted or exp.name == "hippocampus"
     attack = (make_pgd_attack if use_pgd else make_fgsm_attack)(cfg, ac)
 
@@ -229,7 +247,7 @@ def run_adversarial(
 
         t0 = time.perf_counter()
         probs, sigma = fwd(params, adv)
-        jax.block_until_ready(probs)
+        probs = np.asarray(probs)  # host fetch = true device completion
         t_infer += time.perf_counter() - t0
         n_batches += 1
 
@@ -308,11 +326,13 @@ def run_noise_sweep(
     params: Params,
     ds: PickleDataset,
     images_n: int = 0,
+    mesh=None,
 ) -> List[Dict[str, object]]:
     """The module-level sweep (`Hippocampus.py:1578-1601`): clean eval +
     uncertainty render, then gaussian noise at each level x region."""
     results = [
-        run_testing(exp, params, ds, NoiseConfig(), images_n=images_n)
+        run_testing(exp, params, ds, NoiseConfig(), images_n=images_n,
+                    mesh=mesh)
     ]
     for std in exp.noise_levels:
         for region in exp.noise_regions:
@@ -323,6 +343,7 @@ def run_noise_sweep(
                     ds,
                     NoiseConfig(kind="gaussian", std=std, region=region),
                     images_n=images_n,
+                    mesh=mesh,
                 )
             )
     return results

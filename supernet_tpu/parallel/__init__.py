@@ -1,5 +1,7 @@
 from supernet_tpu.parallel.data_parallel import (
     make_mesh,
+    make_mesh_for_batch,
+    make_sharded_forward,
     make_sharded_train_step,
     replicate,
     shard_batch,
@@ -7,6 +9,8 @@ from supernet_tpu.parallel.data_parallel import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_for_batch",
+    "make_sharded_forward",
     "make_sharded_train_step",
     "replicate",
     "shard_batch",

@@ -70,6 +70,38 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
+def make_mesh_for_batch(
+    batch_size: int, axis_name: str = "data"
+) -> Mesh:
+    """1-D mesh over the largest device count that divides ``batch_size``
+    (NamedSharding requires the batch axis to divide evenly)."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, axis_name: str = "data"):
+    """Batch-sharded inference: ``f(params, x) -> (probs, sigma)`` with the
+    batch split over the mesh and parameters replicated — the data-parallel
+    eval path (the reference evaluates strictly on one device)."""
+    from supernet_tpu.models import forward
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, data),
+        out_shardings=(data, data),
+    )
+    def f(params: Params, x: Array):
+        return forward(params, x, cfg)
+
+    return f
+
+
 def make_sharded_train_step(
     cfg: ModelConfig,
     tc: TrainConfig,

@@ -47,9 +47,20 @@ class StepTimer:
 
     @staticmethod
     def sync(x) -> None:
+        """Force device completion of everything ``x`` depends on.
+
+        Fetches one scalar to the host rather than ``block_until_ready``:
+        on relayed/remote TPU transports (axon) block_until_ready acks
+        dispatch, not completion, which silently inflates rates by orders
+        of magnitude. A value fetch cannot return before the compute does.
+        """
         import jax
 
-        jax.block_until_ready(x)
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        if hasattr(leaf, "ndim"):
+            float(leaf.reshape(-1)[0])
+        else:  # pragma: no cover
+            jax.block_until_ready(x)
 
     def rate(self, window: int = 50) -> float:
         t = self.times[-window:]

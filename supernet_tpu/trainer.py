@@ -106,14 +106,20 @@ class Trainer:
     def run(self, epochs: Optional[int] = None, log=print) -> TrainState:
         state = self.init_state()
         epochs = epochs if epochs is not None else self.tc.epochs
+        # async writer: checkpoints stream to disk while the next epoch
+        # trains (the reference blocks on a sync save every epoch)
+        writer = ckpt.AsyncEpochCheckpointer(self.out_dir)
         t_start = time.perf_counter()
-        for epoch in range(self.start_epoch, epochs):
-            state = self._train_epoch(state, epoch, log)
-            if self.val_ds is not None:
-                self._validate(state, epoch, log)
-            if (epoch + 1) % self.tc.checkpoint_every == 0:
-                host_state = jax.device_get(state)
-                ckpt.save_state(self.out_dir, epoch, host_state)
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                state = self._train_epoch(state, epoch, log)
+                if self.val_ds is not None:
+                    self._validate(state, epoch, log)
+                if (epoch + 1) % self.tc.checkpoint_every == 0:
+                    writer.save(epoch, jax.device_get(state))
+            writer.wait()
+        finally:
+            writer.close()
         self.total_time = time.perf_counter() - t_start
         self._finalize(state)
         return state

@@ -140,3 +140,36 @@ def test_batch_iterator_prefetch():
     got = list(BatchIterator(iter(items), depth=2))
     assert len(got) == 5
     np.testing.assert_array_equal(got[3][0], np.ones(2) * 3)
+
+
+def test_async_epoch_checkpointer_roundtrip(tmp_path):
+    """AsyncEpochCheckpointer: background save, latest_epoch discovery,
+    resume via restore_state, keep-policy pruning."""
+    import jax
+
+    from supernet_tpu import checkpoint as ckpt
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import init_params
+    from supernet_tpu.train import create_train_state
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state, _ = create_train_state(params, HIPPOCAMPUS.train)
+    w = ckpt.AsyncEpochCheckpointer(str(tmp_path), keep=2)
+    try:
+        for e in range(3):
+            w.save(e, jax.device_get(state))
+        w.wait()
+    finally:
+        w.close()
+    # keep=2 pruned epoch 0
+    assert ckpt.latest_epoch(str(tmp_path)) == 2
+    assert not (tmp_path / "epoch_0").exists()
+    restored = ckpt.restore_state(str(tmp_path), 2, state)
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -94,3 +94,45 @@ def test_entry_compiles():
     probs, sigma = jax.jit(fn)(*args)
     assert probs.shape == (4, 54 * 54, 3)
     assert bool(jnp.all(jnp.isfinite(probs)))
+
+
+def test_sharded_forward_matches_single_device():
+    """Data-parallel eval: mesh-sharded forward == single-device forward."""
+    import dataclasses
+
+    import numpy as np
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import forward, init_params
+    from supernet_tpu.parallel import (
+        make_mesh_for_batch,
+        make_sharded_forward,
+        replicate,
+        shard_batch,
+    )
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 1)).astype(np.float32))
+
+    p_ref, s_ref = forward(params, x, cfg)
+
+    mesh = make_mesh_for_batch(8)
+    assert mesh.devices.size == 8
+    f = make_sharded_forward(cfg, mesh)
+    xp = shard_batch(mesh, x)
+    p_par, s_par = f(replicate(mesh, params), xp)
+    np.testing.assert_allclose(np.asarray(p_par), np.asarray(p_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_par), np.asarray(s_ref), atol=2e-5)
+
+
+def test_make_mesh_for_batch_divisibility():
+    from supernet_tpu.parallel import make_mesh_for_batch
+
+    # 8 devices available; batch 20 -> largest divisor <= 8 is 5
+    mesh = make_mesh_for_batch(20)
+    assert mesh.devices.size == 5
+    assert 20 % mesh.devices.size == 0
