@@ -37,13 +37,15 @@ def main() -> None:
     )
 
     # Tunables (documented in README): SUPERNET_PRECISION=highest|high|default
-    # selects the MXU pass count for the moment convs. Measured on TPU v5e:
-    # highest (6-pass f32) 52.3k img/s, high (3-pass f32) 68.5k img/s,
-    # default (1-pass bf16) 43.2k img/s (layout overheads dominate at this
-    # model size). "high" keeps ~1e-6 relative error vs f32 — the training
-    # sweet spot and the bench default. SUPERNET_BACKEND=xla|pallas|auto
-    # selects the conv kernel backend.
-    set_mxu_precision(os.environ.get("SUPERNET_PRECISION", "high"))
+    # selects the MXU pass count for the moment convs. Measured on TPU v5e
+    # (batch 20, fwd+bwd+Adam, completion forced by host fetch):
+    # highest (6-pass f32) 1101 img/s, high (3-pass f32) 1884 img/s,
+    # default (1-pass bf16 multiplies, f32 accumulation) 3561 img/s.
+    # bf16 is the idiomatic MXU mode and converges identically to f32-high
+    # on this model (300-step loss curves match to ~0.1%), so it is the
+    # default; set SUPERNET_PRECISION=high for bit-conservative training.
+    # SUPERNET_BACKEND=xla|pallas|auto selects the conv kernel backend.
+    set_mxu_precision(os.environ.get("SUPERNET_PRECISION", "default"))
     set_backend(os.environ.get("SUPERNET_BACKEND", "xla"))
 
     cfg = HIPPOCAMPUS.model
