@@ -36,7 +36,7 @@ from supernet_tpu.ops import (
     vmaxpool,
     vpad,
     vsoftmax,
-    vunpool,
+    vunpool_conv2,
 )
 
 Array = jax.Array
@@ -167,8 +167,11 @@ def forward(params: Params, x: Array, cfg: ModelConfig) -> Tuple[Array, Array]:
     def decoder_block(
         j: int, m: Array, s: Array, m_e: Array, s_e: Array
     ) -> Tuple[Array, Array]:
-        m, s = vunpool(m, s)
-        m, s = conv(f"up{j}_conv2x2", m, s)
+        # fused unpool + 2x2 conv: the zero-interleave means one nonzero
+        # input per conv window — four 1x1 convs, 4x fewer FLOPs (see
+        # ops.moments.vunpool_conv2)
+        p = params[f"up{j}_conv2x2"]
+        m, s = vunpool_conv2(m, s, p["w_mu"], p["w_sigma"])
         m, s = vpad(m, s, (3, 3), fill)
         m, s = vcrop_concat(m, s, m_e, s_e)
         m, s = conv_relu(f"up{j}_conv1", m, s)

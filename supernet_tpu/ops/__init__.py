@@ -13,6 +13,7 @@ from supernet_tpu.ops.moments import (
     vrelu,
     vmaxpool,
     vunpool,
+    vunpool_conv2,
     vpad,
     vcrop_concat,
     vsoftmax,
@@ -36,6 +37,7 @@ __all__ = [
     "get_mxu_precision",
     "vmaxpool",
     "vunpool",
+    "vunpool_conv2",
     "vpad",
     "vcrop_concat",
     "vsoftmax",

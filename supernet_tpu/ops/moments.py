@@ -294,6 +294,58 @@ def vunpool(mu: Array, sigma: Array) -> MomentPair:
     return _unpool_one(mu), _unpool_one(sigma)
 
 
+def vunpool_conv2(
+    mu: Array, sigma: Array, w_mu: Array, w_sigma: Array
+) -> MomentPair:
+    """Fused ``vunpool`` + 2x2 VALID ``vconv`` (the decoder's first pair,
+    `Hippocampus.py:394-396`), exploiting the unpool's structure.
+
+    The zero-interleaved upsample places x[i,j] at odd coordinates
+    (2i+1, 2j+1) of a (2w+1)-sized map; a following 2x2 VALID conv therefore
+    sees EXACTLY ONE nonzero input per output pixel:
+
+        out[2i+1-a, 2j+1-b] = sum_c x[i,j,c] * W[a,b,c,o]
+
+    so the pair is four 1x1 convolutions (one per window tap) interleaved by
+    output parity — 4x fewer MXU FLOPs than convolving the zero-padded map,
+    and the (2w+1)^2 interleaved tensors are never materialized. Variance
+    path collapses the same way: the 2x2 window sum of the interleaved
+    (mu^2 + sigma) is a single pixel's channel sum at every parity.
+    """
+    b, h, w, cin = mu.shape
+    cout = w_mu.shape[3]
+    sw = jax.nn.softplus(w_sigma)
+    t = jnp.sum(jnp.square(mu) + sigma, axis=-1, keepdims=True)  # [B,h,w,1]
+
+    def tap(x: Array, kernel: Array) -> Array:
+        # 1x1 conv: [B,h,w,Cin] @ [Cin,Cout]
+        return jnp.einsum(
+            "bhwc,co->bhwo",
+            x,
+            kernel,
+            precision=_MXU_PRECISION,
+            preferred_element_type=jnp.float32,
+        )
+
+    # out parity (r, s) uses tap W[1-r, 1-s]
+    mu_taps = [[tap(mu, w_mu[1 - r, 1 - s]) for s in (0, 1)] for r in (0, 1)]
+    sg_taps = [
+        [
+            tap(sigma, jnp.square(w_mu[1 - r, 1 - s])) + t * sw
+            for s in (0, 1)
+        ]
+        for r in (0, 1)
+    ]
+
+    def interleave(taps) -> Array:
+        # [B,h,w,C] x4 -> [B,2h,2w,C] pixel shuffle
+        rows = [jnp.stack(pair, axis=3) for pair in taps]  # [B,h,w,2,C]
+        y = jnp.stack(rows, axis=2)  # [B,h,2,w,2,C]
+        return y.reshape(b, 2 * h, 2 * w, -1)
+
+    return interleave(mu_taps), interleave(sg_taps)
+
+
 def vpad(
     mu: Array,
     sigma: Array,

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from supernet_tpu.ops import moments
 from supernet_tpu.ops import (
     vconv,
     vconv_input,
@@ -257,3 +258,31 @@ def test_vsoftmax_keeps_batch_dim_when_one():
     sg = jnp.asarray(_rand(1, 3, 3, 3, positive=True))
     p, s = vsoftmax(mu, sg)
     assert p.shape == (1, 9, 3) and s.shape == (1, 9, 3)
+
+
+def test_vunpool_conv2_matches_composition():
+    """Fused unpool+2x2conv == vunpool followed by vconv (forward and grad)."""
+    rng = np.random.default_rng(7)
+    mu = jnp.asarray(rng.normal(0, 1, (2, 5, 5, 8)).astype(np.float32))
+    sg = jnp.abs(jnp.asarray(rng.normal(0, 1, (2, 5, 5, 8)).astype(np.float32)))
+    w = jnp.asarray(0.3 * rng.normal(0, 1, (2, 2, 8, 4)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(0, 1, (4,)).astype(np.float32) - 4.0)
+
+    m_ref, s_ref = moments.vconv(*moments.vunpool(mu, sg), w, ws)
+    m_fused, s_fused = moments.vunpool_conv2(mu, sg, w, ws)
+    assert m_fused.shape == m_ref.shape == (2, 10, 10, 4)
+    np.testing.assert_allclose(np.asarray(m_fused), np.asarray(m_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref), atol=1e-5)
+
+    def loss_ref(mu, sg, w, ws):
+        a, b = moments.vconv(*moments.vunpool(mu, sg), w, ws)
+        return jnp.sum(a * a) + jnp.sum(jnp.sin(b))
+
+    def loss_fused(mu, sg, w, ws):
+        a, b = moments.vunpool_conv2(mu, sg, w, ws)
+        return jnp.sum(a * a) + jnp.sum(jnp.sin(b))
+
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(mu, sg, w, ws)
+    g_fused = jax.grad(loss_fused, (0, 1, 2, 3))(mu, sg, w, ws)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
