@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--lr", type=float, default=None)
     t.add_argument("--kl-factor", type=float, default=None)
     t.add_argument("--continue-training", action="store_true")
+    t.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="K>1 runs K train steps per device dispatch "
+                        "(lax.scan) - removes per-step host round-trips")
 
     e = sub.add_parser("eval", help="clean evaluation + uncertainty report")
     _add_common(e)
@@ -180,7 +183,8 @@ def main(argv=None) -> int:
             mesh = make_mesh()
         train_ds = _load_data(exp, args, "train")
         val_ds = _load_data(exp, args, "test")
-        tr = Trainer(exp, train_ds, val_ds, out_dir=args.out_dir, mesh=mesh)
+        tr = Trainer(exp, train_ds, val_ds, out_dir=args.out_dir, mesh=mesh,
+                     steps_per_dispatch=args.steps_per_dispatch)
         tr.run()
         print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
         return 0

@@ -135,6 +135,70 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig):
     return step
 
 
+def make_multi_train_step(cfg: ModelConfig, tc: TrainConfig, k_steps: int):
+    """K train steps per dispatch via ``lax.scan`` (epoch-on-device).
+
+    Takes stacked batches ``x: [K, B, H, W, C]``, ``y: [K, B, H, W]`` and
+    runs the whole chunk inside one XLA program — no host round-trip per
+    step (measured ~0.6 ms dispatch overhead per step on a relayed TPU,
+    ~11% of a bf16 Hippocampus step). Returns per-step StepMetrics stacked
+    along the leading axis.
+    """
+    opt = make_optimizer(tc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def steps(state: TrainState, x: Array, y: Array):
+        def body(s, xy):
+            xb, yb = xy
+            s, m = _train_step(s, xb, yb, opt, cfg, tc)
+            return s, m
+
+        return jax.lax.scan(body, state, (x, y), length=k_steps)
+
+    return steps
+
+
+def make_accum_train_step(cfg: ModelConfig, tc: TrainConfig, n_micro: int):
+    """Gradient accumulation: one optimizer update from ``n_micro``
+    microbatches scanned on device (large effective batches without the
+    activation memory). Takes ``x: [n_micro, B, ...]``, ``y: [n_micro, B,
+    ...]``; the update uses the mean gradient (equivalent to one batch of
+    ``n_micro * B``)."""
+    opt = make_optimizer(tc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, x: Array, y: Array):
+        def micro(carry, xy):
+            xb, yb = xy
+            yb = ensure_one_hot(yb, cfg.n_classes)
+            (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, xb, yb, cfg, tc)
+            acc = jnp.mean(
+                (jnp.argmax(probs, -1) == jnp.argmax(yb, -1)).astype(
+                    jnp.float32
+                )
+            )
+            g_sum, m_sum = carry
+            g_sum = jax.tree_util.tree_map(jnp.add, g_sum, grads)
+            return (g_sum, m_sum + jnp.stack([loss, nll, kl, acc])), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (g_sum, m_sum), _ = jax.lax.scan(
+            micro, (zeros, jnp.zeros(4)), (x, y), length=n_micro
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / n_micro, g_sum)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        m = m_sum / n_micro
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            StepMetrics(m[0], m[1], m[2], m[3]),
+        )
+
+    return step
+
+
 def make_eval_step(cfg: ModelConfig, tc: TrainConfig):
     """Jitted eval: forward + validation loss + accuracy + predictions."""
 

@@ -57,6 +57,7 @@ class Trainer:
         val_ds: Optional[PickleDataset] = None,
         out_dir: Optional[str] = None,
         mesh=None,
+        steps_per_dispatch: int = 1,
     ):
         self.exp = exp
         self.cfg = exp.model
@@ -67,8 +68,18 @@ class Trainer:
             exp.out_dir, exp.name, "saved_models_SUPER_u-Net"
         )
         self.mesh = mesh
+        # steps_per_dispatch > 1: chunk K batches into one lax.scan dispatch
+        # (make_multi_train_step) — removes the per-step host round-trip
+        self.k_steps = max(1, steps_per_dispatch)
         if mesh is None:
-            self.step_fn = make_train_step(self.cfg, self.tc)
+            if self.k_steps > 1:
+                from supernet_tpu.train import make_multi_train_step
+
+                self.step_fn = make_multi_train_step(
+                    self.cfg, self.tc, self.k_steps
+                )
+            else:
+                self.step_fn = make_train_step(self.cfg, self.tc)
             self._put = jnp.asarray
         else:
             from supernet_tpu.parallel import (
@@ -135,8 +146,32 @@ class Trainer:
             )
         )
         timer.tick()
-        for step, (x, y) in enumerate(it):
+        xs, ys = [], []
+        step = 0
+        for x, y in it:
             x, y_c = _prep_batch(x, y, self.cfg.out_size, self.cfg.n_classes)
+            if self.k_steps > 1:
+                xs.append(x)
+                ys.append(np.ascontiguousarray(y_c, np.int32))
+                if len(xs) < self.k_steps:
+                    continue
+                xb = self._put(np.stack(xs))
+                yb = self._put(np.stack(ys))
+                xs, ys = [], []
+                state, ms = self.step_fn(state, xb, yb)
+                chunk_losses = np.asarray(ms.loss)
+                chunk_accs = np.asarray(ms.accuracy)
+                losses += chunk_losses.tolist()
+                accs += chunk_accs.tolist()
+                if step % self.tc.log_every < self.k_steps:
+                    log(
+                        f"epoch {epoch} step {step}: "
+                        f"loss={chunk_losses[-1]:.4f} "
+                        f"acc={chunk_accs[-1]:.4f}"
+                    )
+                step += self.k_steps
+                timer.tick()
+                continue
             xb = self._put(x)
             # integer labels; one-hot happens on device inside the jitted step
             yb = self._put(np.ascontiguousarray(y_c, np.int32))
@@ -149,16 +184,22 @@ class Trainer:
                 )
             losses.append(float(m.loss))
             accs.append(float(m.accuracy))
+            step += 1
             timer.tick()
+        if xs:
+            log(
+                f"epoch {epoch}: note - {len(xs)} trailing batch(es) were "
+                f"not a full steps-per-dispatch chunk of {self.k_steps}; "
+                "carried over (dropped at epoch end)"
+            )
         timer.sync(state.params)
         # drop the first interval (it absorbs the jit compile) when possible
         window = max(len(timer.times) - 1, 2)
-        rate = timer.rate(window=window)
-        self.history.setdefault("images_per_sec", []).append(
-            rate * self.tc.batch_size
-        )
+        rate = timer.rate(window=window)  # dispatches/sec
+        ips = rate * self.tc.batch_size * self.k_steps
+        self.history.setdefault("images_per_sec", []).append(ips)
         log(
-            f"epoch {epoch}: {rate * self.tc.batch_size:.4g} images/sec "
+            f"epoch {epoch}: {ips:.4g} images/sec "
             f"({timer.total_seconds():.2f}s)"
         )
         self.history["train_loss"].append(float(np.mean(losses)))

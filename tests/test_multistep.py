@@ -1,0 +1,82 @@
+"""Multi-step scan training and gradient accumulation: numerics must match
+their step-at-a-time equivalents exactly."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supernet_tpu.configs import HIPPOCAMPUS
+from supernet_tpu.models import init_params
+from supernet_tpu.train import (
+    create_train_state,
+    make_accum_train_step,
+    make_multi_train_step,
+    make_train_step,
+)
+
+CFG = dataclasses.replace(
+    HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+)
+TC = HIPPOCAMPUS.train
+
+
+def _data(k, b, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (k, b, 32, 32, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, (k, b, 22, 22)).astype(np.int32))
+    return x, y
+
+
+def _params_state():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state, _ = create_train_state(params, TC)
+    return state
+
+
+def test_multi_step_matches_sequential():
+    k, b = 3, 4
+    x, y = _data(k, b)
+    step = make_train_step(CFG, TC)
+    s_ref = _params_state()
+    losses_ref = []
+    for i in range(k):
+        s_ref, m = step(s_ref, x[i], y[i])
+        losses_ref.append(float(m.loss))
+
+    multi = make_multi_train_step(CFG, TC, k)
+    s_multi, ms = multi(_params_state(), x, y)
+    np.testing.assert_allclose(
+        np.asarray(ms.loss), np.asarray(losses_ref), rtol=1e-5
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_multi.params),
+        jax.tree_util.tree_leaves(s_ref.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-6
+        )
+
+
+def test_accum_matches_big_batch():
+    n_micro, b = 4, 2
+    x, y = _data(n_micro, b, seed=1)
+    # one update from 4 microbatches == one update from the 8-sample batch
+    accum = make_accum_train_step(CFG, TC, n_micro)
+    s_acc, m_acc = accum(_params_state(), x, y)
+
+    step = make_train_step(CFG, TC)
+    xb = x.reshape(n_micro * b, 32, 32, 1)
+    yb = y.reshape(n_micro * b, 22, 22)
+    s_big, m_big = step(_params_state(), xb, yb)
+
+    # loss means over equal-size microbatches == big-batch mean
+    np.testing.assert_allclose(
+        float(m_acc.loss), float(m_big.loss), rtol=1e-5
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_acc.params),
+        jax.tree_util.tree_leaves(s_big.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-6)
