@@ -221,7 +221,6 @@ def main(argv=None) -> int:
         import numpy as np
 
         from supernet_tpu.attacks import make_saliency_map
-        from supernet_tpu.data import center_crop_np
         from supernet_tpu.reports import save_saliency_maps
 
         cfg = exp.model

@@ -11,8 +11,8 @@ Replaces the reference's ``tf.data`` pipelines with a TPU-idiomatic feed:
   (`Brats_functions.py:549-562`); file-order shuffle + interleave + unbatch +
   sample shuffle(1000) + batch + prefetch (`Brats.py:538-555`). Here: a
   background-thread streaming reader with a bounded queue (the tf.data
-  AUTOTUNE analog) backed by the native C++ pickle prefetcher when built
-  (supernet_tpu/native), falling back to pure Python.
+  AUTOTUNE analog). For the canonical .npy shard format the native C++
+  streamer (supernet_tpu/native + data/shards.py) replaces this path.
 
 Device placement is the caller's job (``supernet_tpu.parallel.shard_batch``
 for the mesh feed, or plain jnp.asarray single-chip): batches yielded here
@@ -22,11 +22,10 @@ are NumPy, pinned into a reusable layout so jax.device_put can DMA directly.
 from __future__ import annotations
 
 import glob
-import os
 import pickle
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

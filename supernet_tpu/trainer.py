@@ -121,13 +121,36 @@ class Trainer:
         # trains (the reference blocks on a sync save every epoch)
         writer = ckpt.AsyncEpochCheckpointer(self.out_dir)
         t_start = time.perf_counter()
+        last_good: Optional[int] = None
         try:
             for epoch in range(self.start_epoch, epochs):
                 state = self._train_epoch(state, epoch, log)
+                # failure detection / recovery (SURVEY §5): if the epoch
+                # diverged (non-finite loss), roll back to the last good
+                # checkpoint instead of corrupting the run — the analog of
+                # elastic restart for single-host training.
+                if not np.isfinite(self.history["train_loss"][-1]):
+                    if last_good is None:
+                        raise FloatingPointError(
+                            f"non-finite loss in epoch {epoch} and no "
+                            "checkpoint to roll back to"
+                        )
+                    log(
+                        f"epoch {epoch}: non-finite loss - rolling back to "
+                        f"epoch {last_good} checkpoint"
+                    )
+                    writer.wait()  # the rollback target may still be in flight
+                    state = ckpt.restore_state(
+                        self.out_dir, last_good, jax.device_get(state)
+                    )
+                    if self.mesh is not None:
+                        state = self._replicate(state)
+                    continue
                 if self.val_ds is not None:
                     self._validate(state, epoch, log)
                 if (epoch + 1) % self.tc.checkpoint_every == 0:
                     writer.save(epoch, jax.device_get(state))
+                    last_good = epoch
             writer.wait()
         finally:
             writer.close()

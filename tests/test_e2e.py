@@ -109,3 +109,27 @@ def test_cli_eval_synthetic(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     payload = json.loads(out)
     assert "accuracy" in payload
+
+
+def test_trainer_rolls_back_on_nonfinite_loss(tmp_path, monkeypatch):
+    """Failure recovery (SURVEY §5): a diverged epoch restores the last good
+    checkpoint instead of continuing from corrupted state."""
+    tr = Trainer(EXP, _ds(8), None, out_dir=str(tmp_path / "run"))
+    orig_epoch = Trainer._train_epoch
+    calls = {"n": 0}
+
+    def flaky_epoch(self, state, epoch, log):
+        state = orig_epoch(self, state, epoch, log)
+        calls["n"] += 1
+        if calls["n"] == 2:  # poison the second epoch's recorded loss
+            self.history["train_loss"][-1] = float("nan")
+        return state
+
+    monkeypatch.setattr(Trainer, "_train_epoch", flaky_epoch)
+    logs = []
+    tr.run(epochs=3, log=logs.append)
+    assert any("rolling back to epoch 0" in str(m) for m in logs), logs
+    # epochs 0 and 2 completed fine; epoch 1 was rolled back
+    from supernet_tpu import checkpoint as ckpt
+
+    assert ckpt.latest_epoch(str(tmp_path / "run")) == 2
