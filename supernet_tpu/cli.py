@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "default: all foreground classes")
     sl.add_argument("--images-n", type=int, default=4)
 
+    c = sub.add_parser(
+        "convert", help="convert reference pickles to .npy shards"
+    )
+    _add_common(c)
+    c.add_argument("--shard-size", type=int, default=256)
+    c.add_argument("--split", default="train", choices=["train", "test"])
+    c.add_argument("--out", required=True, help="shard output directory")
+
     b = sub.add_parser("bench", help="throughput benchmark")
     return ap
 
@@ -128,6 +136,13 @@ def _load_data(exp, args, split="test"):
         x, y = synthetic_dataset(exp.model, args.synthetic,
                                  seed=0 if split == "train" else 1)
         return PickleDataset(x, y, exp.model.in_channels)
+    import os
+
+    if exp.data_path and os.path.isdir(exp.data_path):
+        # .npy shard directory (cli convert output): native C++ streaming
+        from supernet_tpu.data import ShardDataset
+
+        return ShardDataset(exp.data_path, shuffle=(split == "train"))
     if exp.name == "brats" and "*" in (exp.data_path or ""):
         from supernet_tpu.data import StreamingPickleDataset
 
@@ -172,6 +187,19 @@ def main(argv=None) -> int:
         return 0
 
     exp = _get_exp(args)
+
+    if args.cmd == "convert":
+        from supernet_tpu.data import convert_pickles
+
+        pairs = convert_pickles(
+            exp.data_path,
+            args.out,
+            in_channels=exp.model.in_channels,
+            shard_size=args.shard_size,
+            split=args.split,
+        )
+        print(json.dumps({"shards": len(pairs), "out": args.out}))
+        return 0
 
     if args.cmd == "train":
         from supernet_tpu.trainer import Trainer

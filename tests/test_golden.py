@@ -1,0 +1,53 @@
+"""Golden-output regression pin: fixed params + fixed input -> fixed
+(probs, sigma). Catches any unintended numerical drift in the moment stack
+across refactors/rounds (the op-level tests allow per-op tolerances; this
+pins the composed model end to end).
+
+The golden file is generated once (f32, CPU, xla backend) and committed;
+regenerate deliberately with:  python tests/test_golden.py --regen
+"""
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supernet_tpu.configs import HIPPOCAMPUS
+from supernet_tpu.models import forward, init_params
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "hippo_tiny.npz")
+
+CFG = dataclasses.replace(
+    HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+)
+
+
+def _compute():
+    params = init_params(jax.random.PRNGKey(42), CFG)
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 1)).astype(np.float32))
+    probs, sigma = forward(params, x, CFG)
+    return np.asarray(probs), np.asarray(sigma)
+
+
+def test_golden_forward():
+    assert os.path.exists(GOLDEN), "golden file missing - run --regen"
+    probs, sigma = _compute()
+    with np.load(GOLDEN) as f:
+        np.testing.assert_allclose(probs, f["probs"], atol=2e-5)
+        np.testing.assert_allclose(sigma, f["sigma"], atol=2e-5)
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--regen" in sys.argv:
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        probs, sigma = _compute()
+        np.savez(GOLDEN, probs=probs, sigma=sigma)
+        print("wrote", GOLDEN)
