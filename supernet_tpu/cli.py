@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--lr", type=float, default=None)
     t.add_argument("--kl-factor", type=float, default=None)
     t.add_argument("--continue-training", action="store_true")
+    t.add_argument("--val-data", default=None,
+                   help="separate validation dataset (shard dir / pickle "
+                        "glob); required for meaningful validation when "
+                        "--data is a shard directory or glob")
     t.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="K>1 runs K train steps per device dispatch "
                         "(lax.scan) - removes per-step host round-trips")
@@ -210,7 +214,19 @@ def main(argv=None) -> int:
 
             mesh = make_mesh()
         train_ds = _load_data(exp, args, "train")
-        val_ds = _load_data(exp, args, "test")
+        if getattr(args, "val_data", None):
+            val_ds = _load_data(exp.replace(data_path=args.val_data),
+                                args, "test")
+        else:
+            import os as _os
+
+            if not args.synthetic and exp.data_path and (
+                _os.path.isdir(exp.data_path) or "*" in exp.data_path
+            ):
+                print("warning: validation will reuse the TRAINING data; "
+                      "pass --val-data for a held-out split",
+                      file=sys.stderr)
+            val_ds = _load_data(exp, args, "test")
         tr = Trainer(exp, train_ds, val_ds, out_dir=args.out_dir, mesh=mesh,
                      steps_per_dispatch=args.steps_per_dispatch)
         tr.run()

@@ -93,14 +93,16 @@ class PickleDataset:
         batch_size: int,
         shuffle: bool = False,
         seed: int = 0,
+        epoch: int = 0,
         drop_remainder: bool = True,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (x, y) batches. ``drop_remainder=True`` keeps shapes static
-        for jit (the reference's partial final batch breaks its own
+        """Yield (x, y) batches; the shuffle order is a function of
+        ``seed + epoch``. ``drop_remainder=True`` keeps shapes static for
+        jit (the reference's partial final batch breaks its own
         ``get_pooled``, SURVEY §2.7.7)."""
         idx = np.arange(len(self))
         if shuffle:
-            np.random.default_rng(seed).shuffle(idx)
+            np.random.default_rng(seed + epoch).shuffle(idx)
         stop = len(self) - (len(self) % batch_size) if drop_remainder else len(self)
         for i in range(0, stop, batch_size):
             j = idx[i : i + batch_size]
@@ -156,9 +158,20 @@ class StreamingPickleDataset:
             yield buf.pop(k)
 
     def batches(
-        self, batch_size: int, epoch: int = 0, drop_remainder: bool = True
+        self,
+        batch_size: int,
+        epoch: int = 0,
+        drop_remainder: bool = True,
+        shuffle: bool = None,
+        seed: int = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        rng = np.random.default_rng(self.seed + epoch)
+        """``shuffle``/``seed`` override the constructor defaults so all
+        dataset classes share one batches() calling convention (the Trainer
+        passes shuffle/seed/epoch uniformly)."""
+        if shuffle is not None:
+            self.shuffle_files = bool(shuffle)
+        base = self.seed if seed is None else seed
+        rng = np.random.default_rng(base + epoch)
         xs, ys = [], []
         for x, y in self._samples(rng):
             xs.append(x)
@@ -178,6 +191,7 @@ class BatchIterator:
 
     def __init__(self, it: Iterator, depth: int = 2):
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._exc: Exception = None
         self.thread = threading.Thread(
             target=self._fill, args=(it,), daemon=True
         )
@@ -187,6 +201,8 @@ class BatchIterator:
         try:
             for item in it:
                 self.q.put(item)
+        except Exception as e:  # surface producer errors to the consumer
+            self._exc = e
         finally:
             self.q.put(self._DONE)
 
@@ -196,5 +212,10 @@ class BatchIterator:
     def __next__(self):
         item = self.q.get()
         if item is self._DONE:
+            if self._exc is not None:
+                # don't let a corrupt shard silently truncate the epoch
+                raise RuntimeError(
+                    "data pipeline producer failed mid-epoch"
+                ) from self._exc
             raise StopIteration
         return item

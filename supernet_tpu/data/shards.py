@@ -176,8 +176,25 @@ class ShardDataset:
                 del xs[:batch_size], ys[:batch_size]
 
     def batches(
-        self, batch_size: int, epoch: int = 0, **_
+        self,
+        batch_size: int,
+        epoch: int = 0,
+        shuffle: bool = None,
+        seed: int = None,
+        drop_remainder: bool = True,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Uniform calling convention with the other datasets: shuffle/seed
+        override construction defaults; shuffle order varies with epoch."""
+        if shuffle is not None and shuffle != self.shuffle:
+            self.shuffle = bool(shuffle)
+            if self._native is not None:
+                self._native.close()
+                self._native = None
+        if seed is not None and seed != self.seed:
+            self.seed = seed
+            if self._native is not None:
+                self._native.close()
+                self._native = None
         if not self.use_native:
             yield from self._python_batches(batch_size, epoch)
             return

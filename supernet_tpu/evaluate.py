@@ -98,7 +98,12 @@ def run_testing(
     t_infer = 0.0
     n_batches = 0
 
-    for x, y in ds.batches(exp.train.batch_size):
+    # include the final partial batch (the reference evaluates every test
+    # sample, Hippocampus.py:505-510); with a mesh, shapes must stay static
+    # and divisible, so the tail is dropped there.
+    for x, y in ds.batches(
+        exp.train.batch_size, drop_remainder=(mesh is not None)
+    ):
         x_crop = center_crop_np(x, cfg.out_size)
         y_crop = _crop_label(y, cfg.out_size)
         xb = jnp.asarray(x)
@@ -224,7 +229,9 @@ def run_adversarial(
     acc_metrics: Dict[str, List[M.StructureMetrics]] = {s: [] for s in structs}
     t_infer, n_batches = 0.0, 0
 
-    for x, y in ds.batches(exp.train.batch_size):
+    for x, y in ds.batches(
+        exp.train.batch_size, drop_remainder=(mesh is not None)
+    ):
         y_crop = _crop_label(y, cfg.out_size)
         xb = jnp.asarray(x)
         y_attack = y_crop

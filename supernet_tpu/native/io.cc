@@ -286,7 +286,16 @@ void sn_shapes(void* h, int64_t* dims_out) {
 
 void sn_start_epoch(void* h, uint64_t seed) {
   auto* L = static_cast<Loader*>(h);
-  if (L->worker.joinable()) L->worker.join();
+  // The previous epoch's worker may still be alive and blocked in push()
+  // if the consumer abandoned iteration mid-epoch (e.g. an early break):
+  // tell it to stop before joining, else this join deadlocks.
+  if (L->worker.joinable()) {
+    L->stop.store(true);
+    L->cv_put.notify_all();
+    L->cv_get.notify_all();
+    L->worker.join();
+    L->stop.store(false);
+  }
   {
     std::lock_guard<std::mutex> l(L->mu);
     L->queue.clear();

@@ -259,19 +259,29 @@ def vmaxpool(mu: Array, sigma: Array) -> MomentPair:
     m01 = mu[:, 0::2, 1::2, :]
     m10 = mu[:, 1::2, 0::2, :]
     m11 = mu[:, 1::2, 1::2, :]
-    mx = jnp.maximum(jnp.maximum(m00, m01), jnp.maximum(m10, m11))
-    sigma_out = jnp.where(
-        m00 == mx,
-        sigma[:, 0::2, 0::2, :],
-        jnp.where(
-            m01 == mx,
-            sigma[:, 0::2, 1::2, :],
-            jnp.where(
-                m10 == mx, sigma[:, 1::2, 0::2, :], sigma[:, 1::2, 1::2, :]
-            ),
-        ),
+    mx = lax.stop_gradient(
+        jnp.maximum(jnp.maximum(m00, m01), jnp.maximum(m10, m11))
     )
-    return mx, sigma_out
+
+    def select_first(t00, t01, t10, t11):
+        # row-major first-occurrence-of-max selection; `where` routes the
+        # full gradient to the selected tap (TF's max_pool gradient sends
+        # 1.0 to the first argmax on ties, whereas jnp.maximum would split
+        # tie gradients 0.5/0.5 — ties are ubiquitous right after ReLU).
+        return jnp.where(
+            m00 == mx,
+            t00,
+            jnp.where(m01 == mx, t01, jnp.where(m10 == mx, t10, t11)),
+        )
+
+    mu_out = select_first(m00, m01, m10, m11)
+    sigma_out = select_first(
+        sigma[:, 0::2, 0::2, :],
+        sigma[:, 0::2, 1::2, :],
+        sigma[:, 1::2, 0::2, :],
+        sigma[:, 1::2, 1::2, :],
+    )
+    return mu_out, sigma_out
 
 
 def _unpool_one(x: Array) -> Array:

@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -123,9 +124,7 @@ def make_sharded_train_step(
 
     def _apply(state: TrainState, grads, loss, nll, kl, probs, y):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
-        )
+        params = optax.apply_updates(state.params, updates)
         acc = jnp.mean(
             (jnp.argmax(probs, -1) == jnp.argmax(y, -1)).astype(jnp.float32)
         )

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from supernet_tpu.configs import ModelConfig, TrainConfig
-from supernet_tpu.losses import nll_gaussian
+from supernet_tpu.losses import elbo_loss, nll_gaussian
 from supernet_tpu.models import forward, kl_regularizer
 
 Array = jax.Array
@@ -92,10 +92,15 @@ def loss_fn(
     host then ships 4-byte labels instead of C float rows per pixel)."""
     y = ensure_one_hot(y, cfg.n_classes)
     probs, sigma = forward(params, x, cfg)
-    sigma_c = jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max)
-    nll = nll_gaussian(y, probs, sigma_c)
     kl = kl_regularizer(params)
-    loss = nll + tc.kl_factor * 0.5 * kl
+    loss = elbo_loss(
+        y, probs, sigma, kl, tc.kl_factor,
+        tc.sigma_clip_min, tc.sigma_clip_max,
+    )
+    # aux terms for logging (XLA CSE dedupes the shared subexpressions)
+    nll = nll_gaussian(
+        y, probs, jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max)
+    )
     return loss, (nll, kl, probs, sigma)
 
 

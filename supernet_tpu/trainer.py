@@ -71,6 +71,11 @@ class Trainer:
         # steps_per_dispatch > 1: chunk K batches into one lax.scan dispatch
         # (make_multi_train_step) — removes the per-step host round-trip
         self.k_steps = max(1, steps_per_dispatch)
+        if mesh is not None and self.k_steps > 1:
+            raise ValueError(
+                "steps_per_dispatch > 1 is not supported together with a "
+                "device mesh yet; drop one of the two options"
+            )
         if mesh is None:
             if self.k_steps > 1:
                 from supernet_tpu.train import make_multi_train_step
@@ -165,7 +170,10 @@ class Trainer:
         timer = StepTimer()
         it = BatchIterator(
             self.train_ds.batches(
-                self.tc.batch_size, shuffle=True, seed=self.tc.seed + epoch
+                self.tc.batch_size,
+                shuffle=True,
+                seed=self.tc.seed,
+                epoch=epoch,
             )
         )
         timer.tick()
@@ -232,7 +240,9 @@ class Trainer:
     def _validate(self, state, epoch, log):
         losses, accs, dices = [], [], []
         params = state.params
-        for x, y in self.val_ds.batches(self.tc.batch_size):
+        for x, y in self.val_ds.batches(
+            self.tc.batch_size, drop_remainder=False
+        ):
             x, y_c = _prep_batch(x, y, self.cfg.out_size, self.cfg.n_classes)
             probs, sigma, pred, loss, acc = self.eval_fn(
                 params, jnp.asarray(x), jnp.asarray(y_c.astype(np.int32))
