@@ -96,7 +96,8 @@ class ShardDataset:
 
     Prefers the native C++ streaming runtime (supernet_tpu.native); falls
     back to a pure-NumPy reader with identical semantics (shard shuffle +
-    shuffle-buffer + fixed batches, remainder dropped).
+    shuffle-buffer + fixed batches; ``drop_remainder=False`` yields the
+    trailing partial batch on both paths).
     """
 
     def __init__(
@@ -137,7 +138,7 @@ class ShardDataset:
         return self._len // batch_size
 
     def _python_batches(
-        self, batch_size: int, epoch: int
+        self, batch_size: int, epoch: int, drop_remainder: bool = True
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         rng = np.random.default_rng(self.seed + epoch)
         order = list(self.pairs)
@@ -174,6 +175,8 @@ class ShardDataset:
             while len(xs) >= batch_size:
                 yield np.stack(xs[:batch_size]), np.stack(ys[:batch_size])
                 del xs[:batch_size], ys[:batch_size]
+        if xs and not drop_remainder:
+            yield np.stack(xs), np.stack(ys)
 
     def batches(
         self,
@@ -196,9 +199,13 @@ class ShardDataset:
                 self._native.close()
                 self._native = None
         if not self.use_native:
-            yield from self._python_batches(batch_size, epoch)
+            yield from self._python_batches(batch_size, epoch, drop_remainder)
             return
-        if self._native is None or self._native_bs != batch_size:
+        if (
+            self._native is None
+            or self._native_bs != batch_size
+            or getattr(self, "_native_dr", True) != drop_remainder
+        ):
             from supernet_tpu.native import NativeShardLoader
 
             if self._native is not None:
@@ -208,7 +215,9 @@ class ShardDataset:
                 batch_size,
                 shuffle=self.shuffle,
                 shuffle_buffer=self.shuffle_buffer,
+                drop_remainder=drop_remainder,
                 seed=self.seed,
             )
             self._native_bs = batch_size
+            self._native_dr = drop_remainder
         yield from self._native.batches(batch_size, epoch=epoch)
