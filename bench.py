@@ -52,6 +52,15 @@ def main() -> None:
     tc = HIPPOCAMPUS.train
     batch = tc.batch_size
 
+    # Multi-chip: SUPERNET_DATA_PARALLEL=1 on a multi-device host benches
+    # the mesh-sharded train step (global batch = batch * n_devices).
+    data_parallel = (
+        os.environ.get("SUPERNET_DATA_PARALLEL", "0") == "1"
+        and jax.device_count() > 1
+    )
+    if data_parallel:
+        batch = batch * jax.device_count()
+
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         rng.normal(0, 1, (batch, cfg.image_size, cfg.image_size,
@@ -65,7 +74,20 @@ def main() -> None:
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     state, _ = create_train_state(params, tc)
-    step = make_train_step(cfg, tc)
+    if data_parallel:
+        from supernet_tpu.parallel import (
+            make_mesh,
+            make_sharded_train_step,
+            replicate,
+            shard_batch,
+        )
+
+        mesh = make_mesh()
+        state = replicate(mesh, state)
+        x, y = shard_batch(mesh, x, y)
+        step = make_sharded_train_step(cfg, tc, mesh)
+    else:
+        step = make_train_step(cfg, tc)
 
     # Warmup / compile. NOTE: completion is forced by fetching the loss to
     # the host — on relayed/remote TPU transports (axon), block_until_ready

@@ -133,3 +133,25 @@ def test_trainer_rolls_back_on_nonfinite_loss(tmp_path, monkeypatch):
     from supernet_tpu import checkpoint as ckpt
 
     assert ckpt.latest_epoch(str(tmp_path / "run")) == 2
+
+
+def test_trainer_with_streaming_pickle_dataset(tmp_path):
+    """The BraTS-style streaming loader must accept the Trainer's uniform
+    batches() kwargs (shuffle/seed/epoch) — regression for a crash where
+    streaming training died on unexpected keyword arguments."""
+    import pickle
+
+    from supernet_tpu.data import StreamingPickleDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        x = rng.normal(0, 1, (4, 1, 32, 32)).astype(np.float32)  # NCHW
+        y = rng.integers(0, 3, (4, 32, 32)).astype(np.uint8)
+        with open(tmp_path / f"training_batch_{i}.pkl", "wb") as f:
+            pickle.dump((x, y), f)
+    ds = StreamingPickleDataset(
+        str(tmp_path / "training_batch_*.pkl"), in_channels=1
+    )
+    tr = Trainer(EXP, ds, None, out_dir=str(tmp_path / "run"))
+    tr.run(epochs=1, log=lambda *_: None)
+    assert np.isfinite(tr.history["train_loss"][0])

@@ -286,3 +286,19 @@ def test_vunpool_conv2_matches_composition():
     g_fused = jax.grad(loss_fused, (0, 1, 2, 3))(mu, sg, w, ws)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_vmaxpool_tie_gradient_routes_to_first():
+    """TF max_pool gradient parity: on ties the full gradient goes to the
+    FIRST (row-major) max element, not split across ties (jnp.maximum alone
+    would split 0.5/0.5 — ties are ubiquitous right after ReLU)."""
+    mu = jnp.zeros((1, 2, 2, 1))  # all-tie window
+    sg = jnp.ones((1, 2, 2, 1))
+
+    g = jax.grad(lambda m: jnp.sum(vmaxpool(m, sg)[0]))(mu)
+    np.testing.assert_array_equal(
+        np.asarray(g)[0, :, :, 0], [[1.0, 0.0], [0.0, 0.0]]
+    )
+    # sigma is taken from the same first-max element
+    s_out = vmaxpool(mu, jnp.asarray([[[[1.0], [2.0]], [[3.0], [4.0]]]]))[1]
+    assert float(s_out[0, 0, 0, 0]) == 1.0
