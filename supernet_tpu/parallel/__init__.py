@@ -1,3 +1,8 @@
+from supernet_tpu.parallel.spatial import (
+    halo_exchange_rows,
+    make_spatial_vconv,
+    trim_valid,
+)
 from supernet_tpu.parallel.data_parallel import (
     make_mesh,
     make_mesh_for_batch,
@@ -8,6 +13,9 @@ from supernet_tpu.parallel.data_parallel import (
 )
 
 __all__ = [
+    "halo_exchange_rows",
+    "make_spatial_vconv",
+    "trim_valid",
     "make_mesh",
     "make_mesh_for_batch",
     "make_sharded_forward",

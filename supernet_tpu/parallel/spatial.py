@@ -1,0 +1,85 @@
+"""Spatial (halo-exchange) partitioning of the VDP moment convolution.
+
+The reference has no sequence/spatial parallelism (SURVEY.md §2.8: the
+spatial axis is this conv model's analog of sequence parallelism, listed as
+a stretch item in §7.4). This module provides the TPU-native building
+block: the image's H axis is sharded over the mesh, each 3x3 VALID moment
+conv exchanges one boundary row with each neighbor over ICI
+(``lax.ppermute``), and every device computes its H_loc output rows
+locally — activation memory and conv FLOPs scale 1/D with the mesh size,
+enabling inference on scans far larger than one chip's HBM.
+
+Exact-VALID bookkeeping: with one zero halo row materializing at the mesh
+edges, device d computes global output rows ``[d*H_loc - 1, (d+1)*H_loc - 2]``;
+the assembled output therefore carries one garbage row at the very top and
+bottom, and ``trim_valid`` removes them, recovering bit-exact agreement
+with the unsharded VALID conv (proven in tests/test_spatial.py on an
+8-device mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from supernet_tpu.ops import vconv
+
+Array = jax.Array
+
+
+def halo_exchange_rows(x: Array, axis_name: str, halo: int = 1) -> Array:
+    """Per-shard [B, H_loc, W, C] -> [B, H_loc + 2*halo, W, C].
+
+    The top halo is the previous device's last rows, the bottom halo the
+    next device's first rows; mesh-edge devices receive zeros (ppermute's
+    semantics for missing senders), which the caller trims away globally.
+    """
+    n = lax.axis_size(axis_name)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    top = lax.ppermute(x[:, -halo:], axis_name, fwd)
+    bottom = lax.ppermute(x[:, :halo], axis_name, bwd)
+    return jnp.concatenate([top, x, bottom], axis=1)
+
+
+def make_spatial_vconv(mesh: Mesh, axis_name: str = "data"):
+    """Spatially-sharded VDP conv: ``f(mu, sigma, w_mu, w_sigma)`` with the
+    H axis of both moments sharded over ``axis_name`` and the weights
+    replicated. Output H is sharded the same way; apply ``trim_valid`` to
+    the assembled result for exact VALID semantics.
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name),
+            P(None, axis_name),
+            P(),
+            P(),
+        ),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_vma=False,
+    )
+    def f(mu, sigma, w_mu, w_sigma):
+        k = w_mu.shape[0]
+        halo = (k - 1) // 2
+        mu = halo_exchange_rows(mu, axis_name, halo)
+        sigma = halo_exchange_rows(sigma, axis_name, halo)
+        return vconv(mu, sigma, w_mu, w_sigma)
+
+    return f
+
+
+def trim_valid(y: Array, k: int = 3) -> Array:
+    """Drop the ``(k-1)//2`` zero-halo-contaminated rows at the global top
+    and bottom of a spatially-sharded conv output, recovering the exact
+    unsharded VALID result."""
+    t = (k - 1) // 2
+    return y[:, t : y.shape[1] - t]

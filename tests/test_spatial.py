@@ -1,0 +1,48 @@
+"""Spatial (halo-exchange) partitioning: the H-sharded VDP conv must agree
+exactly with the unsharded VALID conv after trimming the edge rows
+(SURVEY.md §2.8/§7.4 — the spatial analog of sequence parallelism)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supernet_tpu.ops import vconv
+from supernet_tpu.parallel import make_mesh
+from supernet_tpu.parallel.spatial import make_spatial_vconv, trim_valid
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_spatial_vconv_matches_unsharded(n_dev):
+    assert jax.device_count() >= n_dev
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(0)
+    h = 8 * n_dev  # H_loc = 8 per device
+    mu = jnp.asarray(rng.normal(0, 1, (2, h, 20, 8)).astype(np.float32))
+    sg = jnp.abs(jnp.asarray(rng.normal(0, 1, (2, h, 20, 8)).astype(np.float32)))
+    w = jnp.asarray(0.3 * rng.normal(0, 1, (3, 3, 8, 6)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(0, 1, (6,)).astype(np.float32) - 4.0)
+
+    mu_ref, sg_ref = vconv(mu, sg, w, ws)
+
+    f = make_spatial_vconv(mesh)
+    mu_sp, sg_sp = f(mu, sg, w, ws)
+    # sharded output carries H (not H-2) rows; trim the zero-halo edges
+    assert mu_sp.shape[1] == h
+    mu_sp, sg_sp = trim_valid(mu_sp), trim_valid(sg_sp)
+    np.testing.assert_allclose(np.asarray(mu_sp), np.asarray(mu_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sg_sp), np.asarray(sg_ref), atol=2e-5)
+
+
+def test_spatial_vconv_is_actually_sharded():
+    """The output of the sharded conv must be H-sharded over the mesh (the
+    point is 1/D activation memory per device)."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    mu = jnp.asarray(rng.normal(0, 1, (1, 32, 16, 4)).astype(np.float32))
+    sg = jnp.abs(mu)
+    w = jnp.asarray(0.3 * rng.normal(0, 1, (3, 3, 4, 4)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(0, 1, (4,)).astype(np.float32) - 4.0)
+    mu_sp, _ = make_spatial_vconv(mesh)(mu, sg, w, ws)
+    spec = mu_sp.sharding.spec
+    assert spec[1] == "data", spec
