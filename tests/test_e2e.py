@@ -155,3 +155,29 @@ def test_trainer_with_streaming_pickle_dataset(tmp_path):
     tr = Trainer(EXP, ds, None, out_dir=str(tmp_path / "run"))
     tr.run(epochs=1, log=lambda *_: None)
     assert np.isfinite(tr.history["train_loss"][0])
+
+
+def test_noise_sweep_protocol(tmp_path):
+    """The module-level sweep driver (`Hippocampus.py:1578-1601`): clean
+    eval first, then gaussian noise at each level x region, each with the
+    full artifact set in its noise-mode-specific directory."""
+    from supernet_tpu.evaluate import run_noise_sweep
+
+    exp = EXP.replace(
+        out_dir=str(tmp_path),
+        noise_levels=(0.1,),
+        noise_regions=("A", "all"),
+    )
+    params = init_params(jax.random.PRNGKey(0), EXP.model)
+    results = run_noise_sweep(exp, params, _ds(8), images_n=0)
+    assert len(results) == 1 + 1 * 2  # clean + levels x regions
+    assert results[0]["snr_db"] == float("inf")  # clean
+    assert np.isfinite(results[1]["snr_db"])  # noisy
+    # region-specific directory scheme preserved
+    assert results[1]["out_dir"].endswith("gaussian_0.1/on_anterior")
+    assert results[2]["out_dir"].endswith("gaussian_0.1/on_all")
+    for r in results:
+        assert os.path.exists(os.path.join(r["out_dir"], "uncertainty_info.pkl"))
+        assert os.path.exists(
+            os.path.join(r["out_dir"], "Related_hyperparameters.txt")
+        )
