@@ -121,6 +121,7 @@ class ShardDataset:
         self.use_native = use_native
         self._native = None
         self._native_bs = None
+        self._native_dr = None
         # probe per-sample shapes + total count from headers
         n = 0
         for xp, _ in self.pairs:
@@ -134,8 +135,12 @@ class ShardDataset:
     def __len__(self) -> int:
         return self._len
 
-    def steps_per_epoch(self, batch_size: int) -> int:
-        return self._len // batch_size
+    def steps_per_epoch(
+        self, batch_size: int, drop_remainder: bool = True
+    ) -> int:
+        if drop_remainder:
+            return self._len // batch_size
+        return -(-self._len // batch_size)
 
     def _python_batches(
         self, batch_size: int, epoch: int, drop_remainder: bool = True
@@ -204,7 +209,7 @@ class ShardDataset:
         if (
             self._native is None
             or self._native_bs != batch_size
-            or getattr(self, "_native_dr", True) != drop_remainder
+            or self._native_dr != drop_remainder
         ):
             from supernet_tpu.native import NativeShardLoader
 

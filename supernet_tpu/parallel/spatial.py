@@ -11,17 +11,15 @@ enabling inference on scans far larger than one chip's HBM.
 
 Exact-VALID bookkeeping: with one zero halo row materializing at the mesh
 edges, device d computes global output rows ``[d*H_loc - 1, (d+1)*H_loc - 2]``;
-the assembled output therefore carries one garbage row at the very top and
-bottom, and ``trim_valid`` removes them, recovering bit-exact agreement
-with the unsharded VALID conv (proven in tests/test_spatial.py on an
-8-device mesh).
+the assembled output therefore carries ``(k-1)//2`` garbage rows at the
+very top and bottom, and ``trim_valid(y, k)`` removes them, recovering the
+unsharded VALID conv's result (zero observed error on the CPU mesh;
+tests/test_spatial.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -70,6 +68,12 @@ def make_spatial_vconv(mesh: Mesh, axis_name: str = "data"):
     def f(mu, sigma, w_mu, w_sigma):
         k = w_mu.shape[0]
         halo = (k - 1) // 2
+        if halo > mu.shape[1]:
+            raise ValueError(
+                f"per-device rows ({mu.shape[1]}) < halo ({halo}); use "
+                "fewer devices or a larger input (single-hop ppermute "
+                "cannot fetch rows beyond the nearest neighbor)"
+            )
         mu = halo_exchange_rows(mu, axis_name, halo)
         sigma = halo_exchange_rows(sigma, axis_name, halo)
         return vconv(mu, sigma, w_mu, w_sigma)
