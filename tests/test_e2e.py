@@ -181,3 +181,44 @@ def test_noise_sweep_protocol(tmp_path):
         assert os.path.exists(
             os.path.join(r["out_dir"], "Related_hyperparameters.txt")
         )
+
+
+def test_adversarial_untargeted_brats_branch(tmp_path):
+    """Untargeted non-Hippocampus attacks take the single-step FGSM path
+    (`Brats.py:984-991`) and the BraTS reporting branch (per-class +
+    correct/incorrect predictive variance)."""
+    from supernet_tpu.configs import BRATS
+    from supernet_tpu.evaluate import run_adversarial
+
+    exp = BRATS.replace(
+        model=dataclasses.replace(
+            BRATS.model,
+            image_size=32,
+            out_size=22,
+            base_kernels=4,
+            depth=3,
+            bottleneck_pre_pad=None,
+        ),
+        train=dataclasses.replace(BRATS.train, batch_size=4),
+        attack=dataclasses.replace(BRATS.attack, targeted=False, epsilon=0.01),
+        out_dir=str(tmp_path),
+    )
+    x, y = synthetic_dataset(exp.model, 4, seed=0)
+    # synthetic labels are 0..2; lift some pixels to classes 3/4 so the
+    # BraTS structure maskers (core/enhancing) see non-empty masks
+    y = y.copy()
+    y[0, :8, :8] = 4
+    y[1, :8, :8] = 3
+    ds = PickleDataset(np.repeat(x, [1, 1, 1, 1], axis=0), y, 4)
+    params = init_params(jax.random.PRNGKey(0), exp.model)
+    res = run_adversarial(exp, params, ds, images_n=0)
+    assert np.isfinite(res["accuracy"])
+    for s in ("tumor", "core", "enhancing"):
+        assert f"dice_{s}" in res
+    assert os.path.exists(
+        os.path.join(res["out_dir"], "Predictive_variance_tasks.txt")
+    )
+    txt = open(
+        os.path.join(res["out_dir"], "Predictive_variance_tasks.txt")
+    ).read()
+    assert "correct" in txt and "class 4" in txt
