@@ -14,9 +14,14 @@ constant is recorded here and revisited once the reference can be run.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable from any cwd: the package lives next to this file
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_IMAGES_PER_SEC = 100.0  # estimated reference TF2 single-GPU rate
 
