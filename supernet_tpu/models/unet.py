@@ -17,6 +17,10 @@ Block choreography (rigid in the reference, `Hippocampus.py:373-421`):
   decoder block j:  unpool -> conv2 -> pad(3,3) -> concat(skip d-j) ->
                     conv3 -> relu -> pad(2,2) -> conv3 -> relu
   head:             conv1x1 -> vsoftmax  (flattened [B, H*W, C] outputs)
+
+Here conv+relu pairs are fused (pallas backend fuses them into one kernel)
+and unpool+conv2 collapses to four parity 1x1 convs (vunpool_conv2) —
+numerically identical to the reference choreography, proven in tests.
 """
 
 from __future__ import annotations

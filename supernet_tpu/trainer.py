@@ -4,11 +4,12 @@ curves + hyperparameter dumps.
 Replaces the reference's ``main_function(Training=True)`` body
 (`Hippocampus.py:548-837`, `Brats.py:630-891`) with a device-efficient loop:
 
-- one jitted train step (single-device) or mesh-sharded step (data parallel)
-  per batch; batches prefetched by a background thread;
-- on-device metric accumulation (loss/nll/kl/accuracy/dice per structure)
-  — the reference pulls logits to host NumPy every step (SURVEY §3.1);
-  host-side SciPy Hausdorff is computed only on validation epochs;
+- one jitted train step (single-device), a mesh-sharded step (data
+  parallel), or K steps per dispatch via lax.scan; batches prefetched by a
+  background thread;
+- loss/nll/kl/accuracy computed on device inside the step — the reference
+  pulls logits to host NumPy every step (SURVEY §3.1); host-side metrics
+  (per-structure dice, SciPy Hausdorff) run only on validation epochs;
 - per-epoch Orbax checkpointing in the reference's ``epoch_{N}`` scheme,
   resume via ``continue_training`` (`Hippocampus.py:549-555`);
 - the artifact set: curve PNGs, history pickle, Related_hyperparameters.txt
