@@ -81,6 +81,58 @@ def make_spatial_vconv(mesh: Mesh, axis_name: str = "data"):
     return f
 
 
+def make_spatial_encoder_block(mesh: Mesh, axis_name: str = "data"):
+    """A whole spatially-sharded encoder block:
+    ``conv3+relu -> conv3+relu -> maxpool`` with halo exchange per conv and
+    the 2x2/stride-2 pool running shard-locally (windows never straddle a
+    shard boundary when the per-device row count is even).
+
+    Margin bookkeeping: each halo conv leaves one zero-contaminated row per
+    global edge, so pre-pool the assembled map carries rows [-2, H-3] of
+    the true coordinate frame. Because the per-device offset stays even,
+    the pool grid aligns with the unsharded grid and the two garbage rows
+    per edge collapse into ONE garbage pooled row per edge — apply
+    ``trim_valid(y, k=3)`` (one row per side) to the assembled pooled
+    output to recover the unsharded block exactly (tests/test_spatial.py).
+
+    Returns ``f(mu, sigma, w1, ws1, w2, ws2) -> (mu, sigma)`` with H
+    sharded on ``axis_name`` in and out. Requires per-device rows even and
+    >= 4.
+    """
+    from supernet_tpu.ops import vconv_relu, vmaxpool
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name),
+            P(None, axis_name),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_vma=False,
+    )
+    def f(mu, sigma, w1, ws1, w2, ws2):
+        h_loc = mu.shape[1]
+        if h_loc % 2 != 0 or h_loc < 4:
+            raise ValueError(
+                f"per-device rows ({h_loc}) must be even and >= 4 for the "
+                "shard-local 2x2 pool to align with the global pool grid"
+            )
+        mu_h = halo_exchange_rows(mu, axis_name)
+        sg_h = halo_exchange_rows(sigma, axis_name)
+        mu, sigma = vconv_relu(mu_h, sg_h, w1, ws1)
+        mu_h = halo_exchange_rows(mu, axis_name)
+        sg_h = halo_exchange_rows(sigma, axis_name)
+        mu, sigma = vconv_relu(mu_h, sg_h, w2, ws2)
+        return vmaxpool(mu, sigma)
+
+    return f
+
+
 def trim_valid(y: Array, k: int = 3) -> Array:
     """Drop the ``(k-1)//2`` zero-halo-contaminated rows at the global top
     and bottom of a spatially-sharded conv output, recovering the exact

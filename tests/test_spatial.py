@@ -46,3 +46,33 @@ def test_spatial_vconv_is_actually_sharded():
     mu_sp, _ = make_spatial_vconv(mesh)(mu, sg, w, ws)
     spec = mu_sp.sharding.spec
     assert spec[1] == "data", spec
+
+
+def test_spatial_encoder_block_matches_unsharded():
+    """conv+relu -> conv+relu -> pool across 8 shards == the unsharded
+    block after trimming one pooled garbage row per global edge."""
+    from supernet_tpu.ops import vconv_relu, vmaxpool
+    from supernet_tpu.parallel.spatial import make_spatial_encoder_block
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    h = 8 * 8  # H_loc = 8
+    mu = jnp.asarray(rng.normal(0, 1, (2, h, 24, 4)).astype(np.float32))
+    sg = jnp.abs(jnp.asarray(rng.normal(0, 1, (2, h, 24, 4)).astype(np.float32)))
+    w1 = jnp.asarray(0.3 * rng.normal(0, 1, (3, 3, 4, 8)).astype(np.float32))
+    ws1 = jnp.asarray(rng.normal(0, 1, (8,)).astype(np.float32) - 4.0)
+    w2 = jnp.asarray(0.3 * rng.normal(0, 1, (3, 3, 8, 8)).astype(np.float32))
+    ws2 = jnp.asarray(rng.normal(0, 1, (8,)).astype(np.float32) - 4.0)
+
+    # unsharded reference block
+    m, s = vconv_relu(mu, sg, w1, ws1)
+    m, s = vconv_relu(m, s, w2, ws2)
+    m_ref, s_ref = vmaxpool(m, s)
+
+    f = make_spatial_encoder_block(mesh)
+    m_sp, s_sp = f(mu, sg, w1, ws1, w2, ws2)
+    # sharded pooled output has one extra (garbage) row per global edge
+    assert m_sp.shape[1] == m_ref.shape[1] + 2
+    m_sp, s_sp = trim_valid(m_sp), trim_valid(s_sp)
+    np.testing.assert_allclose(np.asarray(m_sp), np.asarray(m_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_sp), np.asarray(s_ref), atol=2e-5)
