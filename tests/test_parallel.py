@@ -136,3 +136,38 @@ def test_make_mesh_for_batch_divisibility():
     mesh = make_mesh_for_batch(20)
     assert mesh.devices.size == 5
     assert 20 % mesh.devices.size == 0
+
+
+def test_run_testing_with_mesh(tmp_path):
+    """Data-parallel evaluation end to end: run_testing over an 8-device
+    mesh must produce the same metrics as the single-device protocol."""
+    import dataclasses
+
+    import numpy as np
+
+    from supernet_tpu.configs import HIPPOCAMPUS, NoiseConfig
+    from supernet_tpu.data import PickleDataset, synthetic_dataset
+    from supernet_tpu.evaluate import run_testing
+    from supernet_tpu.models import init_params
+    from supernet_tpu.parallel import make_mesh_for_batch
+
+    exp = HIPPOCAMPUS.replace(
+        model=dataclasses.replace(
+            HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+        ),
+        train=dataclasses.replace(HIPPOCAMPUS.train, batch_size=8),
+        out_dir=str(tmp_path),
+    )
+    x, y = synthetic_dataset(exp.model, 16, seed=0)
+    ds = PickleDataset(x, y, 1)
+    params = init_params(jax.random.PRNGKey(0), exp.model)
+
+    ref = run_testing(exp, params, ds, NoiseConfig(), images_n=0,
+                      out_dir=str(tmp_path / "ref"))
+    mesh = make_mesh_for_batch(8)
+    par = run_testing(exp, params, ds, NoiseConfig(), images_n=0,
+                      out_dir=str(tmp_path / "par"), mesh=mesh)
+    assert par["accuracy"] == pytest.approx(ref["accuracy"], abs=1e-6)
+    assert par["dice_anterior"] == pytest.approx(
+        ref["dice_anterior"], abs=1e-6
+    )
