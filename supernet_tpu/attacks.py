@@ -63,17 +63,38 @@ def fgsm_sign(
     return jnp.sign(grad)
 
 
-def make_pgd_attack(cfg: ModelConfig, ac: AttackConfig):
+def _attack_jit(fn, mesh, axis_name: str):
+    """jit an ``attack(params, x, y_flat, x_min, x_max)`` function; with a
+    mesh, the batch (and label) are sharded over the devices and parameters
+    replicated, so every forward+backward of the attack loop runs
+    data-parallel (each device attacks its own shard — the perturbation is
+    per-sample, so no collective is needed)."""
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        fn,
+        in_shardings=(repl, data, data, repl, repl),
+        out_shardings=data,
+    )
+
+
+def make_pgd_attack(
+    cfg: ModelConfig, ac: AttackConfig, mesh=None, axis_name: str = "data"
+):
     """Jitted PGD: returns ``attack(params, x, y_flat, x_min, x_max) -> adv_x``.
 
     ``y_flat`` is the (possibly retargeted) one-hot flattened label. The
     per-step projection matches `Hippocampus.py:930-932`:
     clip(adv, x - eps, x + eps) then clip(adv, x_min, x_max). Scalars
     ``x_min``/``x_max`` are the per-batch data range the reference computes
-    host-side (`Hippocampus.py:906-907`).
+    host-side (`Hippocampus.py:906-907`). With ``mesh``, the whole loop is
+    batch-sharded over the devices (net-new vs the single-device reference).
     """
 
-    @jax.jit
     def attack(
         params: Params, x: Array, y_flat: Array, x_min: Array, x_max: Array
     ) -> Array:
@@ -85,21 +106,22 @@ def make_pgd_attack(cfg: ModelConfig, ac: AttackConfig):
 
         return jax.lax.fori_loop(0, ac.max_adv_step, body, x)
 
-    return attack
+    return _attack_jit(attack, mesh, axis_name)
 
 
-def make_fgsm_attack(cfg: ModelConfig, ac: AttackConfig):
+def make_fgsm_attack(
+    cfg: ModelConfig, ac: AttackConfig, mesh=None, axis_name: str = "data"
+):
     """Jitted single-step FGSM (`Brats.py:984-991`):
     ``adv_x = clip(x + eps * sign, x_min, x_max)``."""
 
-    @jax.jit
     def attack(
         params: Params, x: Array, y_flat: Array, x_min: Array, x_max: Array
     ) -> Array:
         sign = fgsm_sign(params, x, y_flat, cfg, ac)
         return jnp.clip(x + ac.epsilon * sign, x_min, x_max)
 
-    return attack
+    return _attack_jit(attack, mesh, axis_name)
 
 
 def make_saliency_map(cfg: ModelConfig):

@@ -136,9 +136,9 @@ class StreamingPickleDataset:
         self.shuffle_buffer = shuffle_buffer
         self.seed = seed
 
-    def _samples(self, rng: np.random.Generator):
+    def _samples(self, rng: np.random.Generator, shuffle_files: bool):
         files = list(self.files)
-        if self.shuffle_files:
+        if shuffle_files:
             rng.shuffle(files)
         buf: List[Tuple[np.ndarray, np.ndarray]] = []
         for fn in files:
@@ -165,15 +165,17 @@ class StreamingPickleDataset:
         shuffle: bool = None,
         seed: int = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """``shuffle``/``seed`` override the constructor defaults so all
-        dataset classes share one batches() calling convention (the Trainer
-        passes shuffle/seed/epoch uniformly)."""
-        if shuffle is not None:
-            self.shuffle_files = bool(shuffle)
+        """``shuffle``/``seed`` override the constructor defaults for THIS
+        iteration only (no constructor state is mutated) so all dataset
+        classes share one batches() calling convention (the Trainer passes
+        shuffle/seed/epoch uniformly)."""
+        shuffle_files = (
+            self.shuffle_files if shuffle is None else bool(shuffle)
+        )
         base = self.seed if seed is None else seed
         rng = np.random.default_rng(base + epoch)
         xs, ys = [], []
-        for x, y in self._samples(rng):
+        for x, y in self._samples(rng, shuffle_files):
             xs.append(x)
             ys.append(y)
             if len(xs) == batch_size:

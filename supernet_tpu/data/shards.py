@@ -50,7 +50,10 @@ def shard_pairs(shard_dir: str) -> List[Tuple[str, str]]:
     xs = sorted(glob.glob(os.path.join(shard_dir, "x_*.npy")))
     pairs = []
     for xp in xs:
-        yp = xp.replace("/x_", "/y_").replace("\\x_", "\\y_")
+        # replace only in the basename — a directory whose own name
+        # contains 'x_' must not be rewritten
+        d, base = os.path.split(xp)
+        yp = os.path.join(d, "y_" + base[len("x_") :])
         if os.path.exists(yp):
             pairs.append((xp, yp))
     return pairs
@@ -120,14 +123,12 @@ class ShardDataset:
             use_native = native_available()
         self.use_native = use_native
         self._native = None
-        self._native_bs = None
-        self._native_dr = None
-        # probe per-sample shapes + total count from headers
+        self._native_key = None
+        # probe per-sample shapes + total count from headers (mmap_mode
+        # reads only the header — no data pages are touched)
         n = 0
         for xp, _ in self.pairs:
-            with open(xp, "rb") as f:
-                ver = np.lib.format.read_magic(f)
-                shp, _, _ = np.lib.format._read_array_header(f, ver)
+            shp = np.load(xp, mmap_mode="r").shape
             n += shp[0]
             self.x_shape = shp[1:]
         self._len = n
@@ -143,11 +144,16 @@ class ShardDataset:
         return -(-self._len // batch_size)
 
     def _python_batches(
-        self, batch_size: int, epoch: int, drop_remainder: bool = True
+        self,
+        batch_size: int,
+        epoch: int,
+        drop_remainder: bool,
+        shuffle: bool,
+        seed: int,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        rng = np.random.default_rng(self.seed + epoch)
+        rng = np.random.default_rng(seed + epoch)
         order = list(self.pairs)
-        if self.shuffle:
+        if shuffle:
             rng.shuffle(order)
         buf: List[Tuple[np.ndarray, np.ndarray]] = []
         xs, ys = [], []
@@ -160,7 +166,7 @@ class ShardDataset:
             x = np.load(xp)
             y = np.load(yp)
             for i in range(len(x)):
-                if not self.shuffle:
+                if not shuffle:
                     emit((x[i], y[i]))
                 else:
                     buf.append((x[i], y[i]))
@@ -192,25 +198,17 @@ class ShardDataset:
         drop_remainder: bool = True,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Uniform calling convention with the other datasets: shuffle/seed
-        override construction defaults; shuffle order varies with epoch."""
-        if shuffle is not None and shuffle != self.shuffle:
-            self.shuffle = bool(shuffle)
-            if self._native is not None:
-                self._native.close()
-                self._native = None
-        if seed is not None and seed != self.seed:
-            self.seed = seed
-            if self._native is not None:
-                self._native.close()
-                self._native = None
+        override construction defaults for THIS iteration only (constructor
+        state is never mutated); shuffle order varies with epoch."""
+        shuffle = self.shuffle if shuffle is None else bool(shuffle)
+        seed = self.seed if seed is None else seed
         if not self.use_native:
-            yield from self._python_batches(batch_size, epoch, drop_remainder)
+            yield from self._python_batches(
+                batch_size, epoch, drop_remainder, shuffle, seed
+            )
             return
-        if (
-            self._native is None
-            or self._native_bs != batch_size
-            or self._native_dr != drop_remainder
-        ):
+        key = (batch_size, drop_remainder, shuffle, seed)
+        if self._native is None or self._native_key != key:
             from supernet_tpu.native import NativeShardLoader
 
             if self._native is not None:
@@ -218,11 +216,10 @@ class ShardDataset:
             self._native = NativeShardLoader(
                 self.pairs,
                 batch_size,
-                shuffle=self.shuffle,
+                shuffle=shuffle,
                 shuffle_buffer=self.shuffle_buffer,
                 drop_remainder=drop_remainder,
-                seed=self.seed,
+                seed=seed,
             )
-            self._native_bs = batch_size
-            self._native_dr = drop_remainder
+            self._native_key = key
         yield from self._native.batches(batch_size, epoch=epoch)

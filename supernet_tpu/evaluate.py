@@ -71,6 +71,21 @@ def _crop_label(y: np.ndarray, size: int) -> np.ndarray:
     return yc[..., 0] if yc.ndim == 4 else yc
 
 
+def _pad_batch(a, batch_size: int):
+    """Pad the leading dim to ``batch_size`` by repeating the last sample.
+
+    Keeps mesh-sharded eval shapes static on the trailing partial batch; the
+    padded rows are sliced off every output before metrics/artifacts, so a
+    mesh run scores exactly the samples a single-device run does. Repeating
+    existing rows leaves the batch min/max (used by noise clipping and the
+    attack projection) unchanged."""
+    pad = batch_size - len(a)
+    if pad <= 0:
+        return a
+    reps = jnp if isinstance(a, jax.Array) else np
+    return reps.concatenate([a, reps.repeat(a[-1:], pad, axis=0)], axis=0)
+
+
 def run_testing(
     exp: ExperimentConfig,
     params: Params,
@@ -98,12 +113,12 @@ def run_testing(
     t_infer = 0.0
     n_batches = 0
 
-    # include the final partial batch (the reference evaluates every test
-    # sample, Hippocampus.py:505-510); with a mesh, shapes must stay static
-    # and divisible, so the tail is dropped there.
-    for x, y in ds.batches(
-        exp.train.batch_size, drop_remainder=(mesh is not None)
-    ):
+    # every test sample is evaluated (the reference includes the partial
+    # final batch, Hippocampus.py:505-510); with a mesh the tail batch is
+    # padded to the static batch size and the padding masked back out, so
+    # mesh metrics are identical to single-device on any dataset size.
+    for x, y in ds.batches(exp.train.batch_size, drop_remainder=False):
+        b = len(x)
         x_crop = center_crop_np(x, cfg.out_size)
         y_crop = _crop_label(y, cfg.out_size)
         xb = jnp.asarray(x)
@@ -112,6 +127,8 @@ def run_testing(
             key, sub = jax.random.split(key)
             xb, snr = perturb.apply_noise(sub, xb, yb_full, noise, exp.name)
             snrs.append(float(snr))
+        if mesh is not None:
+            xb = _pad_batch(xb, exp.train.batch_size)
 
         t0 = time.perf_counter()
         probs, sigma = fwd(params, xb)
@@ -119,11 +136,10 @@ def run_testing(
         t_infer += time.perf_counter() - t0
         n_batches += 1
 
-        b = len(x)
-        probs_i = np.asarray(probs).reshape(
+        probs_i = np.asarray(probs)[:b].reshape(
             b, cfg.out_size, cfg.out_size, cfg.n_classes
         )
-        sigma_i = np.asarray(sigma).reshape(
+        sigma_i = np.asarray(sigma)[:b].reshape(
             b, cfg.out_size, cfg.out_size, cfg.n_classes
         )
         pred = np.argmax(probs_i, axis=-1)
@@ -137,7 +153,7 @@ def run_testing(
             )
         all_probs.append(probs_i)
         all_sigma.append(sigma_i)
-        all_x.append(center_crop_np(np.asarray(xb), cfg.out_size))
+        all_x.append(center_crop_np(np.asarray(xb)[:b], cfg.out_size))
         all_y.append(y_crop)
 
     probs = np.concatenate(all_probs)
@@ -177,9 +193,22 @@ def run_testing(
             result[f"{field}_{s}"] = float(
                 np.nanmean([getattr(m, field) for m in ms])
             )
+        # combined over/under score from mean sensitivity + specificity
+        # (`Hippocampus.py:1024,1394`: c_score(test_s, test_sp))
+        result[f"c_score_{s}"] = M.c_score(
+            result[f"sensitivity_{s}"], result[f"specificity_{s}"]
+        )
 
     artifact = reports.save_uncertainty_artifact(
-        out_dir, probs, sigma, xs, ys, acc=result["accuracy"]
+        out_dir,
+        probs,
+        sigma,
+        xs,
+        ys,
+        acc=result["accuracy"],
+        name=reports.uncertainty_artifact_name(
+            0.0 if noise.kind == "none" else noise.std, noise.region
+        ),
     )
     result["artifact"] = artifact
     unc = reports.save_uncertainty_report(
@@ -221,17 +250,20 @@ def run_adversarial(
 
         params = replicate(mesh, params)
     use_pgd = ac.targeted or exp.name == "hippocampus"
-    attack = (make_pgd_attack if use_pgd else make_fgsm_attack)(cfg, ac)
+    # the attack itself (max_adv_step forward+backward passes — the most
+    # expensive stage) is batch-sharded over the mesh too
+    attack = (make_pgd_attack if use_pgd else make_fgsm_attack)(
+        cfg, ac, mesh=mesh
+    )
 
     all_probs, all_sigma, all_adv, all_y, all_masked = [], [], [], [], []
-    accs = []
+    accs, snrs = [], []
     structs = M.dataset_structures(exp.name)
     acc_metrics: Dict[str, List[M.StructureMetrics]] = {s: [] for s in structs}
     t_infer, n_batches = 0.0, 0
 
-    for x, y in ds.batches(
-        exp.train.batch_size, drop_remainder=(mesh is not None)
-    ):
+    for x, y in ds.batches(exp.train.batch_size, drop_remainder=False):
+        b = len(x)
         y_crop = _crop_label(y, cfg.out_size)
         xb = jnp.asarray(x)
         y_attack = y_crop
@@ -250,7 +282,13 @@ def run_adversarial(
         y_flat = one_hot_flatten(
             jnp.asarray(y_attack.astype(np.int32)), cfg.n_classes
         )
-        adv = attack(params, xb, y_flat, jnp.min(xb), jnp.max(xb))
+        x_min, x_max = jnp.min(xb), jnp.max(xb)
+        if mesh is not None:
+            # pad to the static batch size (mask the rows back out below);
+            # the attack is per-sample, so padding changes nothing else
+            xb = _pad_batch(xb, exp.train.batch_size)
+            y_flat = _pad_batch(y_flat, exp.train.batch_size)
+        adv = attack(params, xb, y_flat, x_min, x_max)
 
         t0 = time.perf_counter()
         probs, sigma = fwd(params, adv)
@@ -258,11 +296,10 @@ def run_adversarial(
         t_infer += time.perf_counter() - t0
         n_batches += 1
 
-        b = len(x)
-        probs_i = np.asarray(probs).reshape(
+        probs_i = np.asarray(probs)[:b].reshape(
             b, cfg.out_size, cfg.out_size, cfg.n_classes
         )
-        sigma_i = np.asarray(sigma).reshape(
+        sigma_i = np.asarray(sigma)[:b].reshape(
             b, cfg.out_size, cfg.out_size, cfg.n_classes
         )
         pred = np.argmax(probs_i, axis=-1)
@@ -274,9 +311,14 @@ def run_adversarial(
                     M.binarize(pred, s, exp.name),
                 )
             )
+        adv_crop = center_crop_np(np.asarray(adv)[:b], cfg.out_size)
+        x_crop = center_crop_np(x, cfg.out_size)
+        # SNR of the adversarial perturbation on the cropped frames
+        # (`Hippocampus.py:995-1000`: 10 log10(sum x^2 / sum (adv - x)^2))
+        snrs.append(float(perturb.snr_db(x_crop, adv_crop)))
         all_probs.append(probs_i)
         all_sigma.append(sigma_i)
-        all_adv.append(center_crop_np(np.asarray(adv), cfg.out_size))
+        all_adv.append(adv_crop)
         all_y.append(y_crop)
 
     probs = np.concatenate(all_probs)
@@ -293,14 +335,34 @@ def run_adversarial(
 
     result: Dict[str, object] = {
         "accuracy": float(np.mean(accs)),
+        # SNR of the adversarial perturbation (`Hippocampus.py:995-1001`)
+        "snr_db": float(np.mean(snrs)) if snrs else float("inf"),
         "test_time_per_batch_s": t_infer / max(n_batches, 1),
         "out_dir": out_dir,
     }
+    # the full per-structure surface of the reference's adversarial report
+    # (`Hippocampus.py:1051-1118`): dice + std, Hausdorff, sensitivity,
+    # precision, specificity, RVD, over-/under-segmentation, c_score
     for s in structs:
         ms = acc_metrics[s]
         all_dice = np.concatenate([m.all_dice for m in ms])
         result[f"dice_{s}"] = float(np.nanmean(all_dice))
+        result[f"dice_{s}_std"] = float(np.nanstd(all_dice, ddof=1))
         result[f"hausdorff_{s}"] = float(np.mean([m.hausdorff for m in ms]))
+        for field in (
+            "sensitivity",
+            "precision",
+            "specificity",
+            "rvd",
+            "over_seg",
+            "under_seg",
+        ):
+            result[f"{field}_{s}"] = float(
+                np.nanmean([getattr(m, field) for m in ms])
+            )
+        result[f"c_score_{s}"] = M.c_score(
+            result[f"sensitivity_{s}"], result[f"specificity_{s}"]
+        )
 
     artifact = reports.save_uncertainty_artifact(
         out_dir, probs, sigma, advs, ys, acc=result["accuracy"]
@@ -320,6 +382,11 @@ def run_adversarial(
         dataset=exp.name,
     )
     result["mean_predictive_variance"] = unc["mean"]
+    # per-class / per-structure predictive variance lines the reference
+    # appends for targeted attacks (`Hippocampus.py:1105-1112`)
+    for k, v in unc.items():
+        if k != "mean":
+            result[f"predictive_variance_{k}"] = v
     reports.write_hyperparameters(
         out_dir,
         "Related_hyperparameters_adversarial.txt",

@@ -125,9 +125,13 @@ def os_and_us(
 
 def c_score(p: float, q: float) -> float:
     """Combined over/under score, signed by p < q
-    (`Hippocampus_functions.py:281-287`)."""
-    d = 2 * p * (1 - q) / (p + (1 - q)) + 2 * (1 - p) * q / ((1 - p) + q)
-    return -d if p < q else d
+    (`Hippocampus_functions.py:281-287`). NumPy division semantics: degenerate
+    inputs (p=1,q=0 / NaN) yield NaN/inf like the reference's np floats, not
+    an exception."""
+    p, q = np.float64(p), np.float64(q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = 2 * p * (1 - q) / (p + (1 - q)) + 2 * (1 - p) * q / ((1 - p) + q)
+    return float(-d if p < q else d)
 
 
 class StructureMetrics(NamedTuple):

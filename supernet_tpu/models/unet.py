@@ -140,20 +140,44 @@ def kl_regularizer(params: Params) -> Array:
     return total
 
 
-def forward(params: Params, x: Array, cfg: ModelConfig) -> Tuple[Array, Array]:
+def forward(
+    params: Params, x: Array, cfg: ModelConfig, tap=None, constrain=None
+) -> Tuple[Array, Array]:
     """Full VDP forward pass: image [B,H,W,Cin] -> (probs, sigma), both
     flattened to [B, H_out*W_out, n_classes] like the reference
-    (`Hippocampus.py:419-421`)."""
+    (`Hippocampus.py:419-421`).
+
+    ``tap(stage_name, shape)``, when given, is called with every
+    intermediate's shape during tracing — used (under ``jax.eval_shape``) to
+    pin the exact pad/crop/pool choreography against the reference's
+    documented chains (`Hippocampus.py:375-418`, `Brats.py:379-455`). It
+    must be None for jitted production calls.
+
+    ``constrain(m, s) -> (m, s)``, when given, is applied to the moment pair
+    after every block — the hook ``parallel.spatial.make_spatial_forward``
+    uses to re-pin the H axis's mesh sharding (GSPMD spatial partitioning)
+    between blocks.
+    """
     depth = cfg.depth
     fill = cfg.sigma_fill
+    if constrain is None:
+        constrain = lambda m, s: (m, s)  # noqa: E731
+
+    def _tap(name: str, m: Array) -> None:
+        if tap is not None:
+            tap(name, tuple(m.shape))
 
     def conv(name: str, m: Array, s: Array) -> Tuple[Array, Array]:
         p = params[name]
-        return vconv(m, s, p["w_mu"], p["w_sigma"])
+        m, s = vconv(m, s, p["w_mu"], p["w_sigma"])
+        _tap(name, m)
+        return m, s
 
     def conv_relu(name: str, m: Array, s: Array) -> Tuple[Array, Array]:
         p = params[name]
-        return vconv_relu(m, s, p["w_mu"], p["w_sigma"])
+        m, s = vconv_relu(m, s, p["w_mu"], p["w_sigma"])
+        _tap(name, m)
+        return m, s
 
     def block(fn):
         # cfg.remat: recompute each block's activations during backprop
@@ -165,6 +189,7 @@ def forward(params: Params, x: Array, cfg: ModelConfig) -> Tuple[Array, Array]:
     def encoder_block(i: int, m: Array, s: Array) -> Tuple[Array, Array]:
         if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
             m, s = vpad(m, s, cfg.bottleneck_pre_pad, fill)
+            _tap("pre_pad", m)
         m, s = conv_relu(f"conv{2 * i}", m, s)
         return conv_relu(f"conv{2 * i + 1}", m, s)
 
@@ -176,26 +201,36 @@ def forward(params: Params, x: Array, cfg: ModelConfig) -> Tuple[Array, Array]:
         # ops.moments.vunpool_conv2)
         p = params[f"up{j}_conv2x2"]
         m, s = vunpool_conv2(m, s, p["w_mu"], p["w_sigma"])
+        _tap(f"up{j}_conv2x2", m)
         m, s = vpad(m, s, (3, 3), fill)
+        _tap(f"up{j}_pad", m)
         m, s = vcrop_concat(m, s, m_e, s_e)
+        _tap(f"up{j}_concat", m)
         m, s = conv_relu(f"up{j}_conv1", m, s)
         m, s = vpad(m, s, (2, 2), fill)
+        _tap(f"up{j}_pad2", m)
         return conv_relu(f"up{j}_conv2", m, s)
 
     skips: List[Tuple[Array, Array]] = []
     p = params["conv_input"]
     m, s = vconv_input_relu(x, p["w_mu"], p["w_sigma"])
+    _tap("conv_input", m)
     m, s = conv_relu("conv1", m, s)
+    m, s = constrain(m, s)
     for i in range(depth):
         if i > 0:
             m, s = block(encoder_block)(i, m, s)
+            m, s = constrain(m, s)
         if i < depth - 1:
             skips.append((m, s))
             m, s = vmaxpool(m, s)
+            _tap(f"pool{i}", m)
+            m, s = constrain(m, s)
 
     for j in range(1, depth):
         m_e, s_e = skips[depth - 1 - j]
         m, s = block(decoder_block)(j, m, s, m_e, s_e)
+        m, s = constrain(m, s)
 
     m, s = conv("conv_final", m, s)
     return vsoftmax(m, s)

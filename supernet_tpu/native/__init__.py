@@ -29,6 +29,9 @@ _lib_lock = threading.Lock()
 
 
 def _build() -> bool:
+    # compile to a per-process temp name, then os.rename (atomic on POSIX):
+    # two processes importing concurrently never see a half-written .so
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++",
         "-O3",
@@ -38,12 +41,17 @@ def _build() -> bool:
         "-pthread",
         _SRC,
         "-o",
-        _SO,
+        tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.rename(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

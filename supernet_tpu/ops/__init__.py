@@ -21,6 +21,8 @@ from supernet_tpu.ops.moments import (
     crop_to_match,
     set_backend,
     get_backend,
+    set_conv_fold,
+    get_conv_fold,
     set_mxu_precision,
     get_mxu_precision,
 )
@@ -33,6 +35,8 @@ __all__ = [
     "vrelu",
     "set_backend",
     "get_backend",
+    "set_conv_fold",
+    "get_conv_fold",
     "set_mxu_precision",
     "get_mxu_precision",
     "vmaxpool",

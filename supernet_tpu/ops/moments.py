@@ -76,12 +76,14 @@ def get_mxu_precision() -> str:
 
 # Kernel backend for the VDP convs: "xla" composes lax convolutions (works
 # everywhere); "pallas" uses the fused single-HBM-pass TPU kernel
-# (supernet_tpu.ops.pallas); "auto" picks pallas on TPU, xla elsewhere.
+# (supernet_tpu.ops.pallas); "auto" picks pallas on TPU, xla elsewhere;
+# "naive" runs the reference's patch-matmul algorithm (ops/naive.py) — a
+# measured same-hardware baseline for bench.py, never a production path.
 _BACKEND: str = "xla"
 
 
 def set_backend(backend: str) -> None:
-    if backend not in ("xla", "pallas", "auto"):
+    if backend not in ("xla", "pallas", "auto", "naive"):
         raise ValueError(f"unknown backend {backend!r}")
     global _BACKEND
     _BACKEND = backend
@@ -92,10 +94,10 @@ def get_backend() -> str:
 
 
 def _use_pallas() -> bool:
-    if _BACKEND == "xla":
-        return False
     if _BACKEND == "pallas":
         return True
+    if _BACKEND != "auto":  # xla / naive
+        return False
     from supernet_tpu.ops.pallas import pallas_supported
 
     return pallas_supported()
@@ -112,6 +114,30 @@ def _use_pallas_for(x: Array, w_mu: Array) -> bool:
     b, h, w, cin = x.shape
     k, _, _, cout = w_mu.shape
     return shape_supported(h, w, cin, cout, k)
+
+
+# Conv-fold mode for the XLA backend's variance path:
+#   "none"  — 3 kernels per vconv: mu conv, sigma conv, ones-kernel winsum.
+#   "sigma" — fold the winsum into the sigma conv as an extra input+output
+#             channel (blockdiag [w_mu^2, 0; 0, ones]): 2 kernels, same MACs,
+#             removes the 1->1-channel conv the MXU hates.
+#   "full"  — ONE conv for everything: input [mu ‖ sigma ‖ winsum-src],
+#             kernel blockdiag [w_mu; w_mu^2; ones] -> [mu_out ‖ sig ‖ ws].
+#             2x the MACs of "none" but a single HBM pass; wins only if the
+#             layer is bandwidth/launch bound.
+# The default is set from TPU measurements (docs/PERFORMANCE.md).
+_CONV_FOLD: str = "sigma"
+
+
+def set_conv_fold(mode: str) -> None:
+    if mode not in ("none", "sigma", "full"):
+        raise ValueError(f"unknown conv fold mode {mode!r}")
+    global _CONV_FOLD
+    _CONV_FOLD = mode
+
+
+def get_conv_fold() -> str:
+    return _CONV_FOLD
 
 
 def _conv_valid(x: Array, w: Array, stride: int = 1) -> Array:
@@ -156,13 +182,28 @@ def vconv_input(
       w_mu: kernel means, [k, k, C_in, C_out].
       w_sigma: raw (pre-softplus) per-output-channel kernel variances, [C_out].
     """
+    if _BACKEND == "naive":
+        from supernet_tpu.ops.naive import vconv_input_naive
+
+        return vconv_input_naive(x, w_mu, w_sigma, stride)
     if stride == 1 and _use_pallas_for(x, w_mu):
         from supernet_tpu.ops.pallas import vdp_conv
 
         return vdp_conv(x, None, w_mu, w_sigma, precision=_MXU_PRECISION)
     k = w_mu.shape[0]
-    mu_out = _conv_valid(x, w_mu, stride)
     s_w = jax.nn.softplus(w_sigma)
+    if _CONV_FOLD != "none":
+        # one conv computes mu AND the window-sum: input [x ‖ sum(x^2)],
+        # kernel blockdiag [w_mu, 0; 0, ones] — the 1-channel winsum rides
+        # the MXU pass the mu conv already pays for.
+        cin, cout = w_mu.shape[2], w_mu.shape[3]
+        t = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+        z = jnp.concatenate([x, t], axis=-1)
+        kern = jnp.pad(w_mu, ((0, 0), (0, 0), (0, 1), (0, 1)))
+        kern = kern.at[:, :, cin, cout].set(1.0)
+        out = _conv_valid(z, kern, stride)
+        return out[..., :cout], out[..., cout:] * s_w
+    mu_out = _conv_valid(x, w_mu, stride)
     sigma_out = _window_sum(jnp.square(x), k, stride) * s_w
     return mu_out, sigma_out
 
@@ -178,13 +219,48 @@ def vconv(
       mu_out    = conv(mu, w_mu)
       sigma_out = winsum(mu^2 + sigma) * softplus(w_sigma) + conv(sigma, w_mu^2)
     """
+    if _BACKEND == "naive":
+        from supernet_tpu.ops.naive import vconv_naive
+
+        return vconv_naive(mu, sigma, w_mu, w_sigma, stride)
     if stride == 1 and _use_pallas_for(mu, w_mu):
         from supernet_tpu.ops.pallas import vdp_conv
 
         return vdp_conv(mu, sigma, w_mu, w_sigma, precision=_MXU_PRECISION)
     k = w_mu.shape[0]
-    mu_out = _conv_valid(mu, w_mu, stride)
+    cin, cout = w_mu.shape[2], w_mu.shape[3]
     s_w = jax.nn.softplus(w_sigma)
+    if _CONV_FOLD == "full":
+        # ONE conv: input [mu ‖ sigma ‖ sum(mu^2+sigma)], kernel blockdiag
+        # [w_mu -> mu_out; w_mu^2 -> sig; ones -> winsum]. 2x the MACs of
+        # the split form, but a single kernel / single HBM pass.
+        t = jnp.sum(jnp.square(mu) + sigma, axis=-1, keepdims=True)
+        z = jnp.concatenate([mu, sigma, t], axis=-1)
+        kern = jnp.zeros(
+            (k, k, 2 * cin + 1, 2 * cout + 1), jnp.float32
+        )
+        kern = kern.at[:, :, :cin, :cout].set(w_mu)
+        kern = kern.at[:, :, cin : 2 * cin, cout : 2 * cout].set(
+            jnp.square(w_mu)
+        )
+        kern = kern.at[:, :, 2 * cin, 2 * cout].set(1.0)
+        out = _conv_valid(z, kern, stride)
+        mu_out = out[..., :cout]
+        sigma_out = out[..., cout : 2 * cout] + out[..., 2 * cout :] * s_w
+        return mu_out, sigma_out
+    mu_out = _conv_valid(mu, w_mu, stride)
+    if _CONV_FOLD == "sigma":
+        # fold the winsum into the sigma conv: input [sigma ‖ sum(mu^2+sigma)],
+        # kernel blockdiag [w_mu^2, 0; 0, ones] — 2 kernels per vconv instead
+        # of 3, and no 1->1-channel conv (which occupies a full MXU pass for
+        # 1/128^2 of its throughput).
+        t = jnp.sum(jnp.square(mu) + sigma, axis=-1, keepdims=True)
+        z = jnp.concatenate([sigma, t], axis=-1)
+        kern = jnp.pad(jnp.square(w_mu), ((0, 0), (0, 0), (0, 1), (0, 1)))
+        kern = kern.at[:, :, cin, cout].set(1.0)
+        out = _conv_valid(z, kern, stride)
+        sigma_out = out[..., :cout] + out[..., cout:] * s_w
+        return mu_out, sigma_out
     sigma_out = _window_sum(jnp.square(mu) + sigma, k, stride) * s_w
     sigma_out = sigma_out + _conv_valid(sigma, jnp.square(w_mu), stride)
     return mu_out, sigma_out
@@ -248,6 +324,10 @@ def vmaxpool(mu: Array, sigma: Array) -> MomentPair:
     are -inf so they never win the max (all pool inputs in the reference
     models are even-sized, but partial windows stay correct).
     """
+    if _BACKEND == "naive":
+        from supernet_tpu.ops.naive import vmaxpool_naive
+
+        return vmaxpool_naive(mu, sigma)
     b, h, w, c = mu.shape
     hp, wp = -(-h // 2) * 2, -(-w // 2) * 2
     if (hp, wp) != (h, w):
@@ -322,6 +402,13 @@ def vunpool_conv2(
     path collapses the same way: the 2x2 window sum of the interleaved
     (mu^2 + sigma) is a single pixel's channel sum at every parity.
     """
+    if _BACKEND == "naive":
+        # the reference choreography: materialize the zero-interleaved
+        # upsample, then a full 2x2 patch-matmul conv (Hippocampus.py:394-396)
+        from supernet_tpu.ops.naive import vconv_naive
+
+        m_up, s_up = vunpool(mu, sigma)
+        return vconv_naive(m_up, s_up, w_mu, w_sigma)
     b, h, w, cin = mu.shape
     cout = w_mu.shape[3]
     sw = jax.nn.softplus(w_sigma)
@@ -421,6 +508,10 @@ def vsoftmax(mu: Array, sigma: Array) -> MomentPair:
     batch dim (the reference's bare ``tf.squeeze`` collapses B == 1 — a
     catalogued defect, SURVEY.md §2.7.7).
     """
+    if _BACKEND == "naive":
+        from supernet_tpu.ops.naive import vsoftmax_naive
+
+        return vsoftmax_naive(mu, sigma)
     b, h, w, c = mu.shape
     mu_flat = mu.reshape(b, h * w, c)
     sigma_flat = sigma.reshape(b, h * w, c)

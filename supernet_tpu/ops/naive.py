@@ -101,6 +101,28 @@ def vconv_naive(
     return mu_out, sigma_out
 
 
+def vmaxpool_naive(mu: Array, sigma: Array) -> tuple[Array, Array]:
+    """Reference algorithm for the pool (`Hippocampus.py:54-64,226-234`):
+    argmax over each 2x2 window + a gather of sigma at the argmax (the
+    TF ``max_pool_with_argmax`` + flat ``tf.gather`` analog; measured ~20x
+    slower than the strided-slice/where tree in moments.vmaxpool on TPU)."""
+    b, h, w, c = mu.shape
+    ho, wo = h // 2, w // 2
+    # [B, ho, 2, wo, 2, C] -> windows on one axis
+    mw = mu[:, : 2 * ho, : 2 * wo].reshape(b, ho, 2, wo, 2, c)
+    sw = sigma[:, : 2 * ho, : 2 * wo].reshape(b, ho, 2, wo, 2, c)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(b, ho, wo, 4, c)
+    sw = sw.transpose(0, 1, 3, 2, 4, 5).reshape(b, ho, wo, 4, c)
+    idx = jnp.argmax(mw, axis=3)  # first occurrence, like TF
+    mu_out = jnp.take_along_axis(mw, idx[:, :, :, None, :], axis=3)[
+        :, :, :, 0, :
+    ]
+    sigma_out = jnp.take_along_axis(sw, idx[:, :, :, None, :], axis=3)[
+        :, :, :, 0, :
+    ]
+    return mu_out, sigma_out
+
+
 def vsoftmax_naive(mu: Array, sigma: Array) -> tuple[Array, Array]:
     """Reference algorithm for the softmax head (`Hippocampus.py:273-292`):
     explicit per-pixel ``(J ∘ J) @ sigma`` matmul (without the B==1 squeeze

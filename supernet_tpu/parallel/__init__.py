@@ -1,5 +1,7 @@
 from supernet_tpu.parallel.spatial import (
     halo_exchange_rows,
+    make_spatial_encoder_block,
+    make_spatial_forward,
     make_spatial_vconv,
     trim_valid,
 )
@@ -14,6 +16,8 @@ from supernet_tpu.parallel.data_parallel import (
 
 __all__ = [
     "halo_exchange_rows",
+    "make_spatial_encoder_block",
+    "make_spatial_forward",
     "make_spatial_vconv",
     "trim_valid",
     "make_mesh",

@@ -109,6 +109,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     axis_name: str = "data",
     use_shard_map: bool = False,
+    with_pred: bool = False,
 ):
     """Data-parallel train step over ``mesh``.
 
@@ -117,6 +118,8 @@ def make_sharded_train_step(
     ``psum`` over ICI on its own. ``use_shard_map=True`` switches to an
     explicit per-shard ``value_and_grad`` + ``lax.pmean`` inside
     ``shard_map`` (identical numerics; manual collective placement).
+    ``with_pred=True`` additionally returns the batch-sharded argmax
+    prediction [B, H*W] for per-structure curve tracking.
     """
     opt = make_optimizer(tc)
     repl = NamedSharding(mesh, P())
@@ -125,12 +128,12 @@ def make_sharded_train_step(
     def _apply(state: TrainState, grads, loss, nll, kl, probs, y):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        acc = jnp.mean(
-            (jnp.argmax(probs, -1) == jnp.argmax(y, -1)).astype(jnp.float32)
-        )
+        pred = jnp.argmax(probs, -1).astype(jnp.int32)
+        acc = jnp.mean((pred == jnp.argmax(y, -1)).astype(jnp.float32))
         return (
             TrainState(params, opt_state, state.step + 1),
             StepMetrics(loss, nll, kl, acc),
+            pred,
         )
 
     if not use_shard_map:
@@ -138,7 +141,7 @@ def make_sharded_train_step(
         @functools.partial(
             jax.jit,
             in_shardings=(repl, data, data),
-            out_shardings=(repl, repl),
+            out_shardings=(repl, repl, data) if with_pred else (repl, repl),
             donate_argnums=(0,),
         )
         def step(state: TrainState, x: Array, y: Array):
@@ -146,7 +149,8 @@ def make_sharded_train_step(
             (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, x, y, cfg, tc)
-            return _apply(state, grads, loss, nll, kl, probs, y)
+            new_state, m, pred = _apply(state, grads, loss, nll, kl, probs, y)
+            return (new_state, m, pred) if with_pred else (new_state, m)
 
         return step
 
@@ -161,26 +165,36 @@ def make_sharded_train_step(
         loss = jax.lax.pmean(loss, axis_name)
         nll = jax.lax.pmean(nll, axis_name)
         # kl is a pure function of replicated params — already identical.
-        new_state, metrics = _apply(state, grads, loss, nll, kl, probs, y)
+        new_state, metrics, pred = _apply(
+            state, grads, loss, nll, kl, probs, y
+        )
         metrics = metrics._replace(
             accuracy=jax.lax.pmean(metrics.accuracy, axis_name)
         )
-        return new_state, metrics
+        return (
+            (new_state, metrics, pred) if with_pred else (new_state, metrics)
+        )
 
     state_specs = TrainState(P(), P(), P())
+    metric_specs = StepMetrics(P(), P(), P(), P())
+    out_specs = (
+        (state_specs, metric_specs, P(axis_name))
+        if with_pred
+        else (state_specs, metric_specs)
+    )
 
     smapped = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(state_specs, P(axis_name), P(axis_name)),
-        out_specs=(state_specs, StepMetrics(P(), P(), P(), P())),
+        out_specs=out_specs,
         check_vma=False,
     )
 
     @functools.partial(
         jax.jit,
         in_shardings=(repl, data, data),
-        out_shardings=(repl, repl),
+        out_shardings=(repl, repl, data) if with_pred else (repl, repl),
         donate_argnums=(0,),
     )
     def step(state: TrainState, x: Array, y: Array):

@@ -133,6 +133,51 @@ def make_spatial_encoder_block(mesh: Mesh, axis_name: str = "data"):
     return f
 
 
+def make_spatial_forward(cfg, mesh: Mesh, axis_name: str = "data"):
+    """The FULL U-Net forward with the image H axis sharded over the mesh —
+    spatial (sequence-parallel analog) partitioning of the whole model.
+
+    TPU-native design: instead of hand-rolling halo exchanges through every
+    VALID conv / pool / unpool / crop-concat (the offset bookkeeping the
+    manual blocks above do for one block), the model is jitted with the
+    batch replicated and H sharded, with a ``lax.with_sharding_constraint``
+    re-pinning H to the mesh after every encoder/decoder block. XLA's SPMD
+    partitioner (GSPMD, built for exactly this spatial partitioning) inserts
+    the minimal halo exchanges (collective-permutes over ICI) for each
+    window op and handles the uneven shard sizes the VALID chain produces.
+    Activation memory per chip scales ~1/D — this is the path for scans far
+    larger than one chip's HBM.
+
+    Returns ``f(params, x) -> (probs, sigma)`` (flattened like ``forward``);
+    numerically identical to the unsharded forward
+    (tests/test_spatial.py::test_spatial_forward_matches_unsharded).
+    """
+    from jax.sharding import NamedSharding
+
+    from supernet_tpu.models.unet import forward
+
+    repl = NamedSharding(mesh, P())
+    x_sharded = NamedSharding(mesh, P(None, axis_name))
+    h_sharding = NamedSharding(mesh, P(None, axis_name))
+
+    def constrain(m, s):
+        # re-pin H -> mesh after every block so GSPMD keeps the spatial
+        # partitioning through the whole net (uneven H is padded internally)
+        m = jax.lax.with_sharding_constraint(m, h_sharding)
+        s = jax.lax.with_sharding_constraint(s, h_sharding)
+        return m, s
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, x_sharded),
+        out_shardings=(repl, repl),
+    )
+    def f(params, x):
+        return forward(params, x, cfg, constrain=constrain)
+
+    return f
+
+
 def trim_valid(y: Array, k: int = 3) -> Array:
     """Drop the ``(k-1)//2`` zero-halo-contaminated rows at the global top
     and bottom of a spatially-sharded conv output, recovering the exact

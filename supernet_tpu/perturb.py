@@ -6,8 +6,9 @@ Reference: the noise branches of ``testing`` (`Hippocampus.py:1272-1307`,
 
 Semantics preserved:
 - gaussian: ``x + N(0, std)``; speckle: ``x + x * N(0, std)``;
-  salt&pepper: with flip prob ``p``, salt (ratio ``q``) pixels -> image max
-  (1.0 in the reference's normalized data), pepper -> low_clip (0).
+  salt&pepper: additive — with flip prob ``p``, salt (ratio ``q``) pixels
+  get +1 (saturating at the batch max after the clip), pepper +low_clip
+  (0 for non-negative data, i.e. unchanged; -1 for signed).
 - region masks are built from the *label*: Hippocampus ``'A'`` = anterior
   only (label == 1), ``'P'`` = posterior only (label == 2)
   (`Hippocampus.py:1278-1299`); BraTS ``'O'`` = object/tumor (label > 0),
@@ -63,18 +64,22 @@ def speckle_noise(key: Array, x: Array, std: float) -> Array:
 
 
 def salt_and_pepper(key: Array, x: Array, p: float, q: float = 0.5) -> Array:
-    """Additive S&P delta: flipped pixels moved to 1.0 (salt) or 0.0 (pepper).
-
-    Matches `Brats_functions.py:565-582`: flip probability ``p``, salt ratio
-    ``q``; returns the *delta* so region masking composes like the other
-    kinds (the reference applies it to the full image then region-blends).
+    """Additive S&P array per `Brats_functions.py:565-582`: with flip
+    probability ``p`` and salt ratio ``q``, flipped&salted pixels get +1,
+    flipped&peppered get +low_clip (0 for non-negative data, -1 for signed),
+    everything else +0. The reference then ADDS this to x and clips to the
+    clean batch's [min, max] (`Brats.py:1255-1275`), so salted pixels
+    saturate at the batch max and peppered pixels are unchanged on
+    non-negative data — ``apply_noise`` applies that clip for every kind.
     """
     k1, k2 = jax.random.split(key)
     flipped = jax.random.bernoulli(k1, p, x.shape)
     salted = jax.random.bernoulli(k2, q, x.shape)
-    low_clip = jnp.asarray(0.0, x.dtype)
-    target = jnp.where(salted, jnp.asarray(1.0, x.dtype), low_clip)
-    return jnp.where(flipped, target - x, jnp.zeros_like(x))
+    low_clip = jnp.where(
+        jnp.min(x) < 0, jnp.asarray(-1.0, x.dtype), jnp.asarray(0.0, x.dtype)
+    )
+    out = jnp.where(salted, jnp.asarray(1.0, x.dtype), low_clip)
+    return jnp.where(flipped, out, jnp.zeros_like(x))
 
 
 def apply_noise(
@@ -106,13 +111,9 @@ def apply_noise(
     if mask is not None:
         delta = delta * mask[..., None]
 
-    noisy = x + delta
-    if nc.kind != "salt_and_pepper":
-        # gaussian/speckle are clipped to the clean batch's range
-        # (Hippocampus.py:1298); S&P already writes the data-range extremes
-        # 1.0 / low_clip directly (Brats_functions.py:565-582) — clipping to
-        # the batch range would undo the flips on low-contrast batches.
-        noisy = jnp.clip(noisy, jnp.min(x), jnp.max(x))
+    # every kind — including S&P — is clipped to the clean batch's range
+    # (Hippocampus.py:1298, Brats.py:1264/1271/1275 clip in all branches)
+    noisy = jnp.clip(x + delta, jnp.min(x), jnp.max(x))
     snr = snr_db(x, noisy)
     return noisy, snr
 

@@ -218,6 +218,28 @@ def save_uncertainty_report(
     return out
 
 
+_REGION_NAME = {
+    "A": "anterior",
+    "P": "posterior",
+    "O": "object",
+    "B": "background",
+}
+
+
+def uncertainty_artifact_name(noise_std: float = 0.0, region: str = "all") -> str:
+    """The reference's noise-mode-specific artifact filename
+    (`Hippocampus.py:1408-1449`, `Brats.py:1363-1425`,
+    `Brats_functions.py:586-598`): clean -> ``uncertainty_info.pkl``;
+    region-masked noise -> ``uncertainty_info_on_{region}_noise_{std}.pkl``;
+    noise everywhere -> ``uncertainty_info_noise_{std}.pkl``."""
+    if not noise_std:
+        return "uncertainty_info.pkl"
+    name = _REGION_NAME.get(region)
+    if name is None:
+        return f"uncertainty_info_noise_{noise_std}.pkl"
+    return f"uncertainty_info_on_{name}_noise_{noise_std}.pkl"
+
+
 def save_uncertainty_artifact(
     path: str,
     probs: np.ndarray,
@@ -242,6 +264,25 @@ def save_uncertainty_artifact(
 def load_uncertainty_artifact(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def save_uncertainty(
+    path: str,
+    images_n: int = 10,
+    noise: float = 0.0,
+    where_noise: str = "all",
+    dataset: str = "hippocampus",
+) -> Dict[str, float]:
+    """The reference's ``save_uncertainty(path, images_n, noise,
+    where_noise)`` (`Hippocampus.py:1549-1568`, `Brats_functions.py:584-603`):
+    select the noise-mode-specific artifact inside ``path`` and re-render
+    the uncertainty report from it."""
+    artifact = os.path.join(
+        path, uncertainty_artifact_name(noise, where_noise)
+    )
+    return save_uncertainty_from_artifact(
+        artifact, images_n=images_n, dataset=dataset
+    )
 
 
 def save_uncertainty_from_artifact(
@@ -352,3 +393,78 @@ def save_history_pickle(path: str, history: Dict, name: str = "history.pkl"):
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, name), "wb") as f:
         pickle.dump(history, f)
+
+
+def save_reference_training_curves(
+    path: str, history: Dict[str, Sequence[float]], structures: Sequence[str]
+) -> None:
+    """The reference's named training-artifact set (`Hippocampus.py:744-796`):
+
+    - ``VDP_UNET_Data_acc.png``   — validation accuracy per epoch;
+    - ``VDP_UNET_Data_error.png`` — training + validation error (loss);
+    - ``VDP_UNET_Data_DICE.png``  — train/val Dice per structure;
+    - ``VDP_UNET_Data_Haus.png``  — train/val Hausdorff per structure;
+    - ``training_validation_acc_error.pkl`` = [train_acc, valid_acc,
+      train_err, valid_error].
+
+    PNGs are written only for multi-epoch runs (the reference's
+    ``epochs > 1`` guard); the pickle is always written.
+    """
+    os.makedirs(path, exist_ok=True)
+    train_acc = np.asarray(history.get("train_acc", []), np.float64)
+    valid_acc = np.asarray(history.get("val_acc", []), np.float64)
+    train_err = np.asarray(history.get("train_loss", []), np.float64)
+    valid_err = np.asarray(history.get("val_loss", []), np.float64)
+    with open(
+        os.path.join(path, "training_validation_acc_error.pkl"), "wb"
+    ) as f:
+        pickle.dump([train_acc, valid_acc, train_err, valid_err], f)
+
+    epochs = len(train_err)
+    if not _HAVE_MPL or epochs <= 1:  # pragma: no cover - mpl guard
+        return
+
+    def _fig(series, ylabel, fname, ylim=None, loc="lower right"):
+        fig = plt.figure(figsize=(15, 7))
+        plotted = 0
+        for label, values, colour in series:
+            if len(values):
+                plt.plot(values, colour, label=label)
+                plotted += 1
+        if ylim:
+            plt.ylim(*ylim)
+        plt.title("Density Propagation for Segmentation with UNET")
+        plt.xlabel("Epochs")
+        plt.ylabel(ylabel)
+        if plotted:
+            plt.legend(loc=loc)
+        plt.savefig(os.path.join(path, fname))
+        plt.close(fig)
+
+    _fig(
+        [("Validation acc", valid_acc, "r")],
+        "Accuracy",
+        "VDP_UNET_Data_acc.png",
+        ylim=(0, 1.1),
+    )
+    _fig(
+        [("Training error", train_err, "b"),
+         ("Validation error", valid_err, "r")],
+        "Error",
+        "VDP_UNET_Data_error.png",
+        loc="upper right",
+    )
+    palette = [("b", "r"), ("royalblue", "firebrick"), ("navy", "darkred")]
+    dice_series, haus_series = [], []
+    for i, s in enumerate(structures):
+        ct, cv = palette[i % len(palette)]
+        dice_series += [
+            (f"Training Dice {s}", history.get(f"train_dice_{s}", []), ct),
+            (f"Validation Dice {s}", history.get(f"val_dice_{s}", []), cv),
+        ]
+        haus_series += [
+            (f"Training Haus {s}", history.get(f"train_haus_{s}", []), ct),
+            (f"Validation Haus {s}", history.get(f"val_haus_{s}", []), cv),
+        ]
+    _fig(dice_series, "dice coefficient", "VDP_UNET_Data_DICE.png")
+    _fig(haus_series, "Hausdorff coefficient", "VDP_UNET_Data_Haus.png")

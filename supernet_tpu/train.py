@@ -111,43 +111,50 @@ def _train_step(
     opt: optax.GradientTransformation,
     cfg: ModelConfig,
     tc: TrainConfig,
-) -> Tuple[TrainState, StepMetrics]:
+) -> Tuple[TrainState, StepMetrics, Array]:
     y = ensure_one_hot(y, cfg.n_classes)
     (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.params, x, y, cfg, tc)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
-    acc = jnp.mean(
-        (jnp.argmax(probs, axis=-1) == jnp.argmax(y, axis=-1)).astype(
-            jnp.float32
-        )
-    )
+    pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B, H*W]
+    acc = jnp.mean((pred == jnp.argmax(y, axis=-1)).astype(jnp.float32))
     return (
         TrainState(params, opt_state, state.step + 1),
         StepMetrics(loss, nll, kl, acc),
+        pred,
     )
 
 
-def make_train_step(cfg: ModelConfig, tc: TrainConfig):
-    """Single-device jitted train step; donates the carried state."""
+def make_train_step(cfg: ModelConfig, tc: TrainConfig, with_pred: bool = False):
+    """Single-device jitted train step; donates the carried state.
+
+    ``with_pred=True`` additionally returns the per-pixel argmax prediction
+    [B, H*W] so the epoch driver can track the reference's per-structure
+    train Dice/Hausdorff curves (`Hippocampus.py:640-668`) without a second
+    forward pass."""
     opt = make_optimizer(tc)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, x: Array, y: Array):
-        return _train_step(state, x, y, opt, cfg, tc)
+        new_state, m, pred = _train_step(state, x, y, opt, cfg, tc)
+        return (new_state, m, pred) if with_pred else (new_state, m)
 
     return step
 
 
-def make_multi_train_step(cfg: ModelConfig, tc: TrainConfig, k_steps: int):
+def make_multi_train_step(
+    cfg: ModelConfig, tc: TrainConfig, k_steps: int, with_pred: bool = False
+):
     """K train steps per dispatch via ``lax.scan`` (epoch-on-device).
 
     Takes stacked batches ``x: [K, B, H, W, C]``, ``y: [K, B, H, W]`` and
     runs the whole chunk inside one XLA program — no host round-trip per
     step (measured ~0.6 ms dispatch overhead per step on a relayed TPU,
     ~11% of a bf16 Hippocampus step). Returns per-step StepMetrics stacked
-    along the leading axis.
+    along the leading axis (and, with ``with_pred``, predictions
+    [K, B, H*W]).
     """
     opt = make_optimizer(tc)
 
@@ -155,10 +162,11 @@ def make_multi_train_step(cfg: ModelConfig, tc: TrainConfig, k_steps: int):
     def steps(state: TrainState, x: Array, y: Array):
         def body(s, xy):
             xb, yb = xy
-            s, m = _train_step(s, xb, yb, opt, cfg, tc)
-            return s, m
+            s, m, pred = _train_step(s, xb, yb, opt, cfg, tc)
+            return s, ((m, pred) if with_pred else m)
 
-        return jax.lax.scan(body, state, (x, y), length=k_steps)
+        state, out = jax.lax.scan(body, state, (x, y), length=k_steps)
+        return (state, *out) if with_pred else (state, out)
 
     return steps
 

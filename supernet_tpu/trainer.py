@@ -59,6 +59,7 @@ class Trainer:
         out_dir: Optional[str] = None,
         mesh=None,
         steps_per_dispatch: int = 1,
+        track_curves: bool = True,
     ):
         self.exp = exp
         self.cfg = exp.model
@@ -69,6 +70,12 @@ class Trainer:
             exp.out_dir, exp.name, "saved_models_SUPER_u-Net"
         )
         self.mesh = mesh
+        # per-structure train/val Dice + Hausdorff every epoch, like the
+        # reference's epoch records (`Hippocampus.py:640-742`); costs one
+        # [B, H*W] int32 fetch per step + host metrics. Disable for
+        # throughput-only runs.
+        self.track_curves = track_curves
+        self.structures = M.dataset_structures(exp.name)
         # steps_per_dispatch > 1: chunk K batches into one lax.scan dispatch
         # (make_multi_train_step) — removes the per-step host round-trip
         self.k_steps = max(1, steps_per_dispatch)
@@ -82,10 +89,12 @@ class Trainer:
                 from supernet_tpu.train import make_multi_train_step
 
                 self.step_fn = make_multi_train_step(
-                    self.cfg, self.tc, self.k_steps
+                    self.cfg, self.tc, self.k_steps, with_pred=track_curves
                 )
             else:
-                self.step_fn = make_train_step(self.cfg, self.tc)
+                self.step_fn = make_train_step(
+                    self.cfg, self.tc, with_pred=track_curves
+                )
             self._put = jnp.asarray
         else:
             from supernet_tpu.parallel import (
@@ -94,10 +103,13 @@ class Trainer:
                 shard_batch,
             )
 
-            self.step_fn = make_sharded_train_step(self.cfg, self.tc, mesh)
+            self.step_fn = make_sharded_train_step(
+                self.cfg, self.tc, mesh, with_pred=track_curves
+            )
             self._put = lambda a: shard_batch(mesh, jnp.asarray(a))
             self._replicate = lambda t: replicate(mesh, t)
         self.eval_fn = make_eval_step(self.cfg, self.tc)
+        self._single_step = None  # built lazily for trailing batches
         self.history: Dict[str, List[float]] = {
             "train_loss": [],
             "train_acc": [],
@@ -164,10 +176,34 @@ class Trainer:
         self._finalize(state)
         return state
 
+    def _leftover_step(self, state, xb, yb):
+        """Single-batch train step for the tail of a steps_per_dispatch>1
+        epoch (same math as the scan body; numerics proven equal in
+        tests/test_multistep.py)."""
+        if self._single_step is None:
+            self._single_step = make_train_step(
+                self.cfg, self.tc, with_pred=self.track_curves
+            )
+        return self._single_step(state, xb, yb)
+
+    def _record_structures(self, pred_flat, y_np, dice_acc, haus_acc):
+        """Per-structure Dice + Hausdorff on one train batch (the
+        reference's per-step records, `Hippocampus.py:640-668`).
+        ``pred_flat`` [B, H*W] device array, ``y_np`` [B, out, out]."""
+        pred_img = np.asarray(pred_flat).reshape(y_np.shape)
+        for s in self.structures:
+            tm = M.binarize(y_np, s, self.exp.name)
+            pm = M.binarize(pred_img, s, self.exp.name)
+            d, _ = M.dice(tm, pm)
+            dice_acc[s].append(d)
+            haus_acc[s].append(M.compute_H(tm, pm))
+
     def _train_epoch(self, state, epoch, log):
         from supernet_tpu.profiling import StepTimer
 
         losses, accs = [], []
+        t_dice = {s: [] for s in self.structures}
+        t_haus = {s: [] for s in self.structures}
         timer = StepTimer()
         it = BatchIterator(
             self.train_ds.batches(
@@ -189,8 +225,16 @@ class Trainer:
                     continue
                 xb = self._put(np.stack(xs))
                 yb = self._put(np.stack(ys))
-                xs, ys = [], []
-                state, ms = self.step_fn(state, xb, yb)
+                chunk_ys, xs, ys = ys, [], []
+                if self.track_curves:
+                    state, ms, preds = self.step_fn(state, xb, yb)
+                    preds = np.asarray(preds)  # one [K, B, H*W] fetch
+                    for i, y_np in enumerate(chunk_ys):
+                        self._record_structures(
+                            preds[i], y_np, t_dice, t_haus
+                        )
+                else:
+                    state, ms = self.step_fn(state, xb, yb)
                 chunk_losses = np.asarray(ms.loss)
                 chunk_accs = np.asarray(ms.accuracy)
                 losses += chunk_losses.tolist()
@@ -207,7 +251,11 @@ class Trainer:
             xb = self._put(x)
             # integer labels; one-hot happens on device inside the jitted step
             yb = self._put(np.ascontiguousarray(y_c, np.int32))
-            state, m = self.step_fn(state, xb, yb)
+            if self.track_curves:
+                state, m, pred = self.step_fn(state, xb, yb)
+                self._record_structures(pred, y_c, t_dice, t_haus)
+            else:
+                state, m = self.step_fn(state, xb, yb)
             if step % self.tc.log_every == 0:
                 log(
                     f"epoch {epoch} step {step}: loss={float(m.loss):.4f} "
@@ -219,11 +267,35 @@ class Trainer:
             step += 1
             timer.tick()
         if xs:
+            # trailing batches that don't fill a steps-per-dispatch chunk
+            # are trained through the single-step path so no data is dropped
             log(
-                f"epoch {epoch}: note - {len(xs)} trailing batch(es) were "
-                f"not a full steps-per-dispatch chunk of {self.k_steps}; "
-                "carried over (dropped at epoch end)"
+                f"epoch {epoch}: {len(xs)} trailing batch(es) below the "
+                f"steps-per-dispatch chunk of {self.k_steps}; running them "
+                "through the single-step path"
             )
+            for x, y_c in zip(xs, ys):
+                if self.track_curves:
+                    state, m, pred = self._leftover_step(
+                        state, self._put(x), self._put(y_c)
+                    )
+                    self._record_structures(pred, y_c, t_dice, t_haus)
+                else:
+                    state, m = self._leftover_step(
+                        state, self._put(x), self._put(y_c)
+                    )
+                losses.append(float(m.loss))
+                accs.append(float(m.accuracy))
+                step += 1
+                timer.tick()
+        if self.track_curves:
+            for s in self.structures:
+                self.history.setdefault(f"train_dice_{s}", []).append(
+                    float(np.nanmean(t_dice[s]))
+                )
+                self.history.setdefault(f"train_haus_{s}", []).append(
+                    float(np.nanmean(t_haus[s]))
+                )
         timer.sync(state.params)
         # drop the first interval (it absorbs the jit compile) when possible
         window = max(len(timer.times) - 1, 2)
@@ -240,6 +312,8 @@ class Trainer:
 
     def _validate(self, state, epoch, log):
         losses, accs, dices = [], [], []
+        v_dice = {s: [] for s in self.structures}
+        v_haus = {s: [] for s in self.structures}
         params = state.params
         for x, y in self.val_ds.batches(
             self.tc.batch_size, drop_remainder=False
@@ -253,15 +327,25 @@ class Trainer:
             pred_img = np.asarray(pred).reshape(
                 len(x), self.cfg.out_size, self.cfg.out_size
             )
-            for s in M.dataset_structures(self.exp.name):
-                d, _ = M.dice(
-                    M.binarize(y_c, s, self.exp.name),
-                    M.binarize(pred_img, s, self.exp.name),
-                )
+            for s in self.structures:
+                tm = M.binarize(y_c, s, self.exp.name)
+                pm = M.binarize(pred_img, s, self.exp.name)
+                d, _ = M.dice(tm, pm)
                 dices.append(d)
+                v_dice[s].append(d)
+                if self.track_curves:
+                    v_haus[s].append(M.compute_H(tm, pm))
         self.history["val_loss"].append(float(np.mean(losses)))
         self.history["val_acc"].append(float(np.mean(accs)))
         self.history["val_dice"].append(float(np.nanmean(dices)))
+        for s in self.structures:
+            self.history.setdefault(f"val_dice_{s}", []).append(
+                float(np.nanmean(v_dice[s]))
+            )
+            if self.track_curves:
+                self.history.setdefault(f"val_haus_{s}", []).append(
+                    float(np.nanmean(v_haus[s]))
+                )
         log(
             f"epoch {epoch} val: loss={self.history['val_loss'][-1]:.4f} "
             f"acc={self.history['val_acc'][-1]:.4f} "
@@ -272,6 +356,23 @@ class Trainer:
         out = self.out_dir
         reports.save_training_curves(out, self.history)
         reports.save_history_pickle(out, self.history)
+        # the reference's named curve set + acc/error pickle
+        # (`Hippocampus.py:744-796`)
+        reports.save_reference_training_curves(
+            out, self.history, self.structures
+        )
+        # final-epoch per-structure summary lines, like the reference's
+        # "Averaged Training dice score <structure>" (`Hippocampus.py:820-833`)
+        summary = {}
+        for s in self.structures:
+            for key in (
+                f"train_dice_{s}",
+                f"val_dice_{s}",
+                f"train_haus_{s}",
+                f"val_haus_{s}",
+            ):
+                if self.history.get(key):
+                    summary[f"final_{key}"] = self.history[key][-1]
         reports.write_hyperparameters(
             out,
             "Related_hyperparameters.txt",
@@ -279,5 +380,6 @@ class Trainer:
                 **dataclasses.asdict(self.tc),
                 **dataclasses.asdict(self.cfg),
                 "total_training_time_s": getattr(self, "total_time", 0.0),
+                **summary,
             },
         )

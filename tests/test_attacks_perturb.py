@@ -120,15 +120,36 @@ def test_clip_to_clean_range():
     assert float(jnp.min(noisy)) >= 0.0 and float(jnp.max(noisy)) <= 1.0
 
 
-def test_salt_and_pepper_values():
+def test_salt_and_pepper_additive_clip_semantics():
+    """Reference semantics (Brats_functions.py:565-582 + Brats.py:1255-1275):
+    the S&P array is ADDED to x and the result clipped to the clean batch
+    range — salted pixels saturate at the batch max, peppered pixels add
+    low_clip=0 (unchanged) on non-negative data."""
     key = jax.random.PRNGKey(3)
-    x = jnp.full((1, 16, 16, 1), 0.5)
+    x = jnp.asarray(
+        np.linspace(0.0, 1.0, 256, dtype=np.float32).reshape(1, 16, 16, 1)
+    )
     y = jnp.zeros((1, 16, 16), jnp.int32)
     nc = NoiseConfig(kind="salt_and_pepper", std=0.5, region="all")
     noisy, _ = perturb.apply_noise(key, x, y, nc, "brats")
-    vals = set(np.unique(np.asarray(noisy)).tolist())
-    assert vals.issubset({0.0, 0.5, 1.0})
-    assert len(vals) == 3  # with p=0.5 on 256 pixels, both flips occur
+    xn, nn = np.asarray(x), np.asarray(noisy)
+    changed = nn != xn
+    assert changed.any()  # with p=0.5 on 256 pixels, salt flips occur
+    # every changed pixel is a salted flip: x+1 clipped to max(x)=1
+    np.testing.assert_allclose(nn[changed], 1.0)
+    assert (nn >= xn - 1e-7).all()  # pepper never lowers non-negative data
+
+
+def test_salt_and_pepper_signed_low_clip():
+    """Signed input selects low_clip=-1 (Brats_functions.py:571-575)."""
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        np.linspace(-1.0, 1.0, 64, dtype=np.float32).reshape(1, 8, 8, 1)
+    )
+    delta = perturb.salt_and_pepper(key, x, p=0.7, q=0.5)
+    vals = set(np.unique(np.asarray(delta)).tolist())
+    assert vals.issubset({-1.0, 0.0, 1.0})
+    assert -1.0 in vals and 1.0 in vals
 
 
 def test_snr_db():

@@ -54,6 +54,88 @@ def test_keras_h5_shape_mismatch_raises(tmp_path):
         ckpt.import_keras_h5(path, bad_cfg)
 
 
+def _write_keras2_fixture(path, cfg, rename=None):
+    """Hand-build an H5 file in the exact Keras 2 ``save_weights`` layout,
+    independently of export_keras_h5: root attrs ``layer_names`` /
+    ``backend`` / ``keras_version``, one group per layer carrying a
+    ``weight_names`` attr, datasets nested at
+    ``{layer}/{layer}/{weight}:0``. Keras auto-names subclassed layers by
+    class in creation order: ``my_conv_input``, ``my_conv_intermediate``,
+    ``my_conv_intermediate_1``, ... (`Hippocampus.py:343-364`); the input
+    conv's weights are ``w_mu1``/``w_sigma1``, the rest ``w_mu``/``w_sigma``
+    (`Hippocampus.py:114-122,167-175`). Each layer's arrays are filled with
+    its creation index so the import mapping is value-checkable."""
+    import h5py
+
+    from supernet_tpu.models import layer_names
+
+    rename = rename or {}
+    with h5py.File(path, "w") as f:
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.15.0"
+        layer_list = []
+        for i, (name, k, cin, cout) in enumerate(layer_names(cfg)):
+            if i == 0:
+                klayer, suffix = "my_conv_input", "1"
+            else:
+                klayer = (
+                    "my_conv_intermediate"
+                    if i == 1
+                    else f"my_conv_intermediate_{i - 1}"
+                )
+                suffix = ""
+            klayer = rename.get(klayer, klayer)
+            layer_list.append(klayer.encode())
+            g = f.create_group(klayer)
+            wnames = []
+            for wkey, shape in (
+                (f"w_mu{suffix}:0", (k, k, cin, cout)),
+                (f"w_sigma{suffix}:0", (cout,)),
+            ):
+                g.create_dataset(
+                    f"{klayer}/{wkey}",
+                    data=np.full(shape, float(i), np.float32),
+                )
+                wnames.append(f"{klayer}/{wkey}".encode())
+            g.attrs["weight_names"] = wnames
+        f.attrs["layer_names"] = layer_list
+
+
+def test_import_keras2_layout_fixture(tmp_path):
+    """import_keras_h5 against a hand-built file in the documented Keras 2
+    save_weights layout (NOT produced by export_keras_h5): every layer must
+    map to the right slot — the fill value equals the creation index."""
+    from supernet_tpu.models import layer_names
+
+    path = str(tmp_path / "vdp_UNET_model.weights.h5")
+    _write_keras2_fixture(path, CFG)
+    got = ckpt.import_keras_h5(path, CFG)
+    for i, (name, k, cin, cout) in enumerate(layer_names(CFG)):
+        assert got[name]["w_mu"].shape == (k, k, cin, cout), name
+        assert got[name]["w_sigma"].shape == (cout,), name
+        np.testing.assert_array_equal(
+            np.asarray(got[name]["w_mu"]),
+            np.full((k, k, cin, cout), float(i), np.float32),
+            err_msg=name,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[name]["w_sigma"]),
+            np.full((cout,), float(i), np.float32),
+            err_msg=name,
+        )
+
+
+def test_import_keras2_broken_naming_raises(tmp_path):
+    """A file violating the creation-order naming scheme fails with a clean
+    KeyError naming the missing layer, not a silent mis-mapping."""
+    path = str(tmp_path / "broken.weights.h5")
+    _write_keras2_fixture(
+        path, CFG, rename={"my_conv_intermediate_3": "my_conv_intermediate_99"}
+    )
+    with pytest.raises(KeyError, match="my_conv_intermediate_3"):
+        ckpt.import_keras_h5(path, CFG)
+
+
 def test_npz_roundtrip(tmp_path):
     params = _params()
     path = str(tmp_path / "params.npz")

@@ -48,6 +48,25 @@ def test_train_smoke(tmp_path):
     assert ckpt.latest_epoch(str(tmp_path / "run")) == 1
     assert os.path.exists(tmp_path / "run" / "Related_hyperparameters.txt")
     assert os.path.exists(tmp_path / "run" / "history.pkl")
+    # per-epoch per-structure curves (`Hippocampus.py:640-742`)
+    for s in ("anterior", "posterior"):
+        assert len(tr.history[f"train_dice_{s}"]) == 2
+        assert len(tr.history[f"val_dice_{s}"]) == 2
+        assert len(tr.history[f"train_haus_{s}"]) == 2
+        assert len(tr.history[f"val_haus_{s}"]) == 2
+    # the reference's named artifact set (`Hippocampus.py:744-796`)
+    import pickle
+
+    with open(tmp_path / "run" / "training_validation_acc_error.pkl", "rb") as f:
+        tacc, vacc, terr, verr = pickle.load(f)
+    assert len(tacc) == len(verr) == 2
+    for png in (
+        "VDP_UNET_Data_acc.png",
+        "VDP_UNET_Data_error.png",
+        "VDP_UNET_Data_DICE.png",
+        "VDP_UNET_Data_Haus.png",
+    ):
+        assert os.path.exists(tmp_path / "run" / png), png
 
 
 def test_testing_protocol_clean_and_noisy(tmp_path):
@@ -63,6 +82,7 @@ def test_testing_protocol_clean_and_noisy(tmp_path):
         os.path.join(res["out_dir"], "Predictive_variance_tasks.txt")
     )
     assert "dice_anterior" in res and "hausdorff_posterior" in res
+    assert "c_score_anterior" in res and "c_score_posterior" in res
 
     noisy = run_testing(
         EXP,
@@ -85,6 +105,27 @@ def test_adversarial_protocol(tmp_path):
     assert os.path.exists(
         os.path.join(res["out_dir"], "Related_hyperparameters_adversarial.txt")
     )
+    # full reference report surface (`Hippocampus.py:1051-1118`): SNR of the
+    # perturbation, per-structure dice std / sens / prec / spec / RVD /
+    # over-under / c_score, per-structure predictive variance
+    assert np.isfinite(res["snr_db"]) and res["snr_db"] > 0
+    for s in ("anterior", "posterior"):
+        for f in (
+            "dice_{}_std",
+            "sensitivity_{}",
+            "precision_{}",
+            "specificity_{}",
+            "rvd_{}",
+            "over_seg_{}",
+            "under_seg_{}",
+            "c_score_{}",
+            "predictive_variance_{}",
+        ):
+            assert f.format(s) in res, f.format(s)
+    txt = open(
+        os.path.join(res["out_dir"], "Related_hyperparameters_adversarial.txt")
+    ).read()
+    assert "snr_db" in txt and "c_score_anterior" in txt
 
 
 def test_cli_eval_synthetic(tmp_path, capsys):
@@ -157,6 +198,28 @@ def test_trainer_with_streaming_pickle_dataset(tmp_path):
     assert np.isfinite(tr.history["train_loss"][0])
 
 
+def test_steps_per_dispatch_trailing_batches_trained(tmp_path):
+    """With K>1 and a batch count not divisible by K, the trailing batches
+    run through the single-step path (nothing dropped): epoch losses and
+    final params match a steps_per_dispatch=1 run."""
+    tr1 = Trainer(EXP, _ds(12), None, out_dir=str(tmp_path / "a"))
+    s1 = tr1.run(epochs=1, log=lambda *_: None)
+    tr2 = Trainer(
+        EXP, _ds(12), None, out_dir=str(tmp_path / "b"), steps_per_dispatch=2
+    )
+    logs = []
+    s2 = tr2.run(epochs=1, log=logs.append)
+    assert any("single-step path" in str(m) for m in logs), logs
+    np.testing.assert_allclose(
+        tr1.history["train_loss"], tr2.history["train_loss"], rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_noise_sweep_protocol(tmp_path):
     """The module-level sweep driver (`Hippocampus.py:1578-1601`): clean
     eval first, then gaussian noise at each level x region, each with the
@@ -176,11 +239,30 @@ def test_noise_sweep_protocol(tmp_path):
     # region-specific directory scheme preserved
     assert results[1]["out_dir"].endswith("gaussian_0.1/on_anterior")
     assert results[2]["out_dir"].endswith("gaussian_0.1/on_all")
+    # noise-mode-specific artifact filenames (`Hippocampus.py:1408-1449`)
+    assert os.path.basename(results[0]["artifact"]) == "uncertainty_info.pkl"
+    assert (
+        os.path.basename(results[1]["artifact"])
+        == "uncertainty_info_on_anterior_noise_0.1.pkl"
+    )
+    assert (
+        os.path.basename(results[2]["artifact"])
+        == "uncertainty_info_noise_0.1.pkl"
+    )
     for r in results:
-        assert os.path.exists(os.path.join(r["out_dir"], "uncertainty_info.pkl"))
+        assert os.path.exists(r["artifact"])
         assert os.path.exists(
             os.path.join(r["out_dir"], "Related_hyperparameters.txt")
         )
+    # save_uncertainty re-renders from the noise-mode-specific artifact
+    # (`Hippocampus.py:1549-1568`)
+    from supernet_tpu import reports
+
+    unc = reports.save_uncertainty(
+        results[1]["out_dir"], images_n=0, noise=0.1, where_noise="A",
+        dataset="hippocampus",
+    )
+    assert np.isfinite(unc["mean"])
 
 
 def test_adversarial_untargeted_brats_branch(tmp_path):

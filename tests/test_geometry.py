@@ -79,6 +79,65 @@ def test_brats_layer_inventory():
     assert len(got) == 2 * 5 + 3 * 4 + 1
 
 
+def _shape_chain(cfg, image_size, in_channels):
+    """Record every intermediate H via the forward's tap under eval_shape."""
+    import dataclasses
+
+    from supernet_tpu.models import init_params
+    from supernet_tpu.models.unet import forward
+
+    cfg = dataclasses.replace(cfg, remat=False)  # remat re-traces blocks
+    rec = {}
+
+    def tap(name, shape):
+        rec[name] = shape[1]
+
+    params = jax.eval_shape(lambda k: init_params(k, cfg), jax.random.PRNGKey(0))
+    x = jax.ShapeDtypeStruct((1, image_size, image_size, in_channels), jnp.float32)
+    jax.eval_shape(lambda p, xx: forward(p, xx, cfg, tap=tap), params, x)
+    return rec
+
+
+def test_hippocampus_intermediate_chain():
+    """The full documented geometry chain (`Hippocampus.py:375-418`):
+    64 -> 62 -> 60 -> 30 -> 28 -> 26 -> 13 -> 11 -> 9 -> 18 -> 24 -> 22 ->
+    26 -> 24 -> 48 -> 54 -> 52 -> 56 -> 54. A pad/crop choreography change
+    whose errors cancel at the output cannot pass this."""
+    rec = _shape_chain(HIPPOCAMPUS.model, 64, 1)
+    assert rec == {
+        "conv_input": 62, "conv1": 60, "pool0": 30,
+        "conv2": 28, "conv3": 26, "pool1": 13,
+        "conv4": 11, "conv5": 9,
+        "up1_conv2x2": 18, "up1_pad": 24, "up1_concat": 24,
+        "up1_conv1": 22, "up1_pad2": 26, "up1_conv2": 24,
+        "up2_conv2x2": 48, "up2_pad": 54, "up2_concat": 54,
+        "up2_conv1": 52, "up2_pad2": 56, "up2_conv2": 54,
+        "conv_final": 54,
+    }
+
+
+def test_brats_intermediate_chain():
+    """The depth-5 BraTS chain incl. the (1,0) bottleneck pre-pad
+    (`Brats.py:379-455`)."""
+    rec = _shape_chain(BRATS.model, 204, 4)
+    assert rec == {
+        "conv_input": 202, "conv1": 200, "pool0": 100,
+        "conv2": 98, "conv3": 96, "pool1": 48,
+        "conv4": 46, "conv5": 44, "pool2": 22,
+        "conv6": 20, "conv7": 18, "pool3": 9,
+        "pre_pad": 10, "conv8": 8, "conv9": 6,
+        "up1_conv2x2": 12, "up1_pad": 18, "up1_concat": 18,
+        "up1_conv1": 16, "up1_pad2": 20, "up1_conv2": 18,
+        "up2_conv2x2": 36, "up2_pad": 42, "up2_concat": 42,
+        "up2_conv1": 40, "up2_pad2": 44, "up2_conv2": 42,
+        "up3_conv2x2": 84, "up3_pad": 90, "up3_concat": 90,
+        "up3_conv1": 88, "up3_pad2": 92, "up3_conv2": 90,
+        "up4_conv2x2": 180, "up4_pad": 186, "up4_concat": 186,
+        "up4_conv1": 184, "up4_pad2": 188, "up4_conv2": 186,
+        "conv_final": 186,
+    }
+
+
 def test_param_count_and_init_ranges():
     cfg = HIPPOCAMPUS.model
     model = VDPUNet(cfg)

@@ -58,6 +58,30 @@ def test_extract_patches_matches_manual():
 # ---------------------------------------------------------------- vconv
 
 
+@pytest.mark.parametrize("fold", ["none", "sigma", "full"])
+def test_conv_fold_modes_agree(fold):
+    """The folded variance paths (winsum riding the sigma/mu conv as extra
+    channels, moments.py _CONV_FOLD) are numerically equal to the split
+    3-kernel form for both vconv and vconv_input."""
+    x = jnp.asarray(_rand(2, 9, 9, 4))
+    mu = jnp.asarray(_rand(2, 9, 9, 4))
+    sg = jnp.asarray(_rand(2, 9, 9, 4, positive=True))
+    w_mu = jnp.asarray(_rand(3, 3, 4, 6) * 0.1)
+    w_sigma = jnp.asarray(RNG.uniform(-12, -2, 6).astype(np.float32))
+    prev = moments.get_conv_fold()
+    try:
+        moments.set_conv_fold("none")
+        ref_i = vconv_input(x, w_mu, w_sigma)
+        ref_c = vconv(mu, sg, w_mu, w_sigma)
+        moments.set_conv_fold(fold)
+        got_i = vconv_input(x, w_mu, w_sigma)
+        got_c = vconv(mu, sg, w_mu, w_sigma)
+    finally:
+        moments.set_conv_fold(prev)
+    for a, b in zip(ref_i + ref_c, got_i + got_c):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("k,cin,cout", [(3, 1, 8), (2, 4, 6), (1, 5, 3)])
 def test_vconv_input_matches_naive(k, cin, cout):
     x = jnp.asarray(_rand(2, 9, 9, cin))

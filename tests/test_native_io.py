@@ -38,6 +38,25 @@ def test_python_fallback_covers_all_samples(tmp_path):
     assert len(got) == len(xb)  # no duplicates
 
 
+def test_shard_dir_name_containing_x_prefix(tmp_path):
+    """y-paths are derived from the basename only — a directory whose own
+    name contains 'x_' (e.g. .../x_set/) must still pair shards."""
+    d = tmp_path / "x_set"
+    x, y = _make_shards(d, n=12, shard_size=6)
+    ds = ShardDataset(str(d), use_native=False, shuffle=False)
+    assert len(ds) == 12
+    xb, yb = _collect(ds, 6)
+    np.testing.assert_array_equal(xb, x)
+    np.testing.assert_array_equal(yb, y)
+
+
+def test_batches_override_does_not_mutate(tmp_path):
+    _make_shards(tmp_path, n=12, shard_size=6)
+    ds = ShardDataset(str(tmp_path), use_native=False, shuffle=True, seed=5)
+    list(ds.batches(4, shuffle=False, seed=9))
+    assert ds.shuffle is True and ds.seed == 5
+
+
 @pytest.mark.skipif(not native_available(), reason="g++/native lib missing")
 def test_native_loader_matches_python_sample_set(tmp_path):
     x, y = _make_shards(tmp_path, n=40, shard_size=8)

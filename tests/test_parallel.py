@@ -171,3 +171,67 @@ def test_run_testing_with_mesh(tmp_path):
     assert par["dice_anterior"] == pytest.approx(
         ref["dice_anterior"], abs=1e-6
     )
+
+
+def test_run_testing_with_mesh_nondivisible_tail(tmp_path):
+    """The trailing partial batch is padded-and-masked under a mesh: metrics
+    equal single-device on a dataset size NOT divisible by the batch."""
+    import dataclasses
+
+    from supernet_tpu.configs import HIPPOCAMPUS, NoiseConfig
+    from supernet_tpu.data import PickleDataset, synthetic_dataset
+    from supernet_tpu.evaluate import run_testing
+    from supernet_tpu.models import init_params
+    from supernet_tpu.parallel import make_mesh_for_batch
+
+    exp = HIPPOCAMPUS.replace(
+        model=dataclasses.replace(
+            HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+        ),
+        train=dataclasses.replace(HIPPOCAMPUS.train, batch_size=8),
+        out_dir=str(tmp_path),
+    )
+    x, y = synthetic_dataset(exp.model, 13, seed=0)  # 8 + tail of 5
+    ds = PickleDataset(x, y, 1)
+    params = init_params(jax.random.PRNGKey(0), exp.model)
+
+    ref = run_testing(exp, params, ds, NoiseConfig(), images_n=0,
+                      out_dir=str(tmp_path / "ref"))
+    par = run_testing(exp, params, ds, NoiseConfig(), images_n=0,
+                      out_dir=str(tmp_path / "par"),
+                      mesh=make_mesh_for_batch(8))
+    for k in ("accuracy", "dice_anterior", "dice_posterior",
+              "hausdorff_anterior", "sensitivity_posterior"):
+        assert par[k] == pytest.approx(ref[k], abs=1e-5, nan_ok=True), k
+
+
+def test_run_adversarial_with_mesh_matches_single_device(tmp_path):
+    """The PGD attack itself is sharded under the mesh; adversarial metrics
+    (incl. the tail batch) equal the single-device run."""
+    import dataclasses
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.data import PickleDataset, synthetic_dataset
+    from supernet_tpu.evaluate import run_adversarial
+    from supernet_tpu.models import init_params
+    from supernet_tpu.parallel import make_mesh_for_batch
+
+    exp = HIPPOCAMPUS.replace(
+        model=dataclasses.replace(
+            HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+        ),
+        train=dataclasses.replace(HIPPOCAMPUS.train, batch_size=8),
+        attack=dataclasses.replace(
+            HIPPOCAMPUS.attack, max_adv_step=2, epsilon=0.01
+        ),
+        out_dir=str(tmp_path),
+    )
+    x, y = synthetic_dataset(exp.model, 11, seed=0)  # 8 + tail of 3
+    ds = PickleDataset(x, y, 1)
+    params = init_params(jax.random.PRNGKey(0), exp.model)
+
+    ref = run_adversarial(exp, params, ds, out_dir=str(tmp_path / "ref"))
+    par = run_adversarial(exp, params, ds, out_dir=str(tmp_path / "par"),
+                          mesh=make_mesh_for_batch(8))
+    for k in ("accuracy", "snr_db", "dice_anterior", "dice_posterior"):
+        assert par[k] == pytest.approx(ref[k], rel=1e-4, nan_ok=True), k

@@ -76,3 +76,28 @@ def test_spatial_encoder_block_matches_unsharded():
     m_sp, s_sp = trim_valid(m_sp), trim_valid(s_sp)
     np.testing.assert_allclose(np.asarray(m_sp), np.asarray(m_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_sp), np.asarray(s_ref), atol=2e-5)
+
+
+def test_spatial_forward_matches_unsharded():
+    """The FULL Hippocampus U-Net forward with the image H axis sharded
+    over 8 devices (GSPMD spatial partitioning via sharding constraints,
+    make_spatial_forward) equals the unsharded forward."""
+    import dataclasses
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import init_params
+    from supernet_tpu.models.unet import forward
+    from supernet_tpu.parallel import make_spatial_forward
+
+    cfg = dataclasses.replace(HIPPOCAMPUS.model, base_kernels=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 1)).astype(np.float32))
+
+    p_ref, s_ref = jax.jit(lambda p, xx: forward(p, xx, cfg))(params, x)
+
+    mesh = make_mesh(8)
+    f = make_spatial_forward(cfg, mesh)
+    p_sp, s_sp = f(params, x)
+    np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_sp), np.asarray(s_ref), atol=2e-5)
