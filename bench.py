@@ -140,6 +140,14 @@ def main() -> None:
     # SUPERNET_BACKEND=xla|pallas|auto selects the conv kernel backend.
     set_mxu_precision(os.environ.get("SUPERNET_PRECISION", "default"))
     set_backend(os.environ.get("SUPERNET_BACKEND", "xla"))
+    # SUPERNET_ACT_DTYPE=float32|bfloat16 — inter-layer activation dtype.
+    # bf16 halves the HBM traffic of this data-movement-bound model; the
+    # loss head and all conv accumulations stay f32 (ops/moments.py).
+    dt = os.environ.get("SUPERNET_ACT_DTYPE")
+    if dt:
+        from supernet_tpu.ops import set_act_dtype
+
+        set_act_dtype(dt)
     # SUPERNET_CONV_FOLD=none|sigma|full — variance-path kernel fusion mode
     # (see ops/moments.py); default is the module default (measured best).
     fold = os.environ.get("SUPERNET_CONV_FOLD")

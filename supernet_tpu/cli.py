@@ -184,6 +184,12 @@ def _load_params(exp, args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # process-level kernel knobs (SUPERNET_PRECISION / SUPERNET_BACKEND /
+    # SUPERNET_CONV_FOLD / SUPERNET_ACT_DTYPE)
+    from supernet_tpu.ops import apply_env_overrides
+
+    apply_env_overrides()
+
     if args.cmd == "bench":
         import bench
 

@@ -25,6 +25,9 @@ from supernet_tpu.ops.moments import (
     get_conv_fold,
     set_mxu_precision,
     get_mxu_precision,
+    set_act_dtype,
+    get_act_dtype,
+    apply_env_overrides,
 )
 
 __all__ = [
@@ -39,6 +42,9 @@ __all__ = [
     "get_conv_fold",
     "set_mxu_precision",
     "get_mxu_precision",
+    "set_act_dtype",
+    "get_act_dtype",
+    "apply_env_overrides",
     "vmaxpool",
     "vunpool",
     "vunpool_conv2",

@@ -125,8 +125,13 @@ def _use_pallas_for(x: Array, w_mu: Array) -> bool:
 #             kernel blockdiag [w_mu; w_mu^2; ones] -> [mu_out ‖ sig ‖ ws].
 #             2x the MACs of "none" but a single HBM pass; wins only if the
 #             layer is bandwidth/launch bound.
-# The default is set from TPU measurements (docs/PERFORMANCE.md).
-_CONV_FOLD: str = "sigma"
+# The default is set from TPU measurements (docs/PERFORMANCE.md): on a real
+# v5e the folded variants LOSE — the pre-conv concatenate materializes a full
+# extra activation tensor in HBM each layer, costing more than the 1-channel
+# winsum conv they remove (BraTS 182 img/s none vs 118 sigma vs 105 full;
+# Hippocampus 3883 vs 2498). "none" is the default; the folds stay as
+# A/B-able modes (SUPERNET_CONV_FOLD) for future shapes where they may pay.
+_CONV_FOLD: str = "none"
 
 
 def set_conv_fold(mode: str) -> None:
@@ -140,16 +145,80 @@ def get_conv_fold() -> str:
     return _CONV_FOLD
 
 
+# Activation dtype for the moment tensors between layers. float32 is the
+# parity-grade default. bfloat16 halves the HBM traffic of every layer —
+# profiling shows this model is data-movement-bound on TPU (the MXU convs
+# are ~10 ms of a 109 ms BraTS step; the rest is copies/slices/elementwise),
+# so storing activations in bf16 is the single biggest lever. Convs always
+# accumulate in f32 (preferred_element_type); the loss head runs in f32.
+_ACT_DTYPE = jnp.float32
+
+
+def set_act_dtype(dtype: str) -> None:
+    """Set the inter-layer activation dtype ('float32'|'bfloat16')."""
+    global _ACT_DTYPE
+    if dtype in ("float32", "f32"):
+        _ACT_DTYPE = jnp.float32
+    elif dtype in ("bfloat16", "bf16"):
+        _ACT_DTYPE = jnp.bfloat16
+    else:
+        raise ValueError(f"unknown activation dtype {dtype!r}")
+
+
+def get_act_dtype():
+    return _ACT_DTYPE
+
+
+def apply_env_overrides() -> None:
+    """Apply the SUPERNET_* env knobs to the ops-module globals:
+
+    SUPERNET_PRECISION=highest|high|default   (MXU passes for f32 moments)
+    SUPERNET_BACKEND=xla|pallas|auto|naive    (conv kernel backend)
+    SUPERNET_CONV_FOLD=none|sigma|full        (variance-path fusion mode)
+    SUPERNET_ACT_DTYPE=float32|bfloat16       (inter-layer activation dtype)
+
+    Called by the CLI entry point and bench.py so one process-level switch
+    controls every jitted function built afterwards.
+    """
+    import os
+
+    v = os.environ.get("SUPERNET_PRECISION")
+    if v:
+        set_mxu_precision(v)
+    v = os.environ.get("SUPERNET_BACKEND")
+    if v:
+        set_backend(v)
+    v = os.environ.get("SUPERNET_CONV_FOLD")
+    if v:
+        set_conv_fold(v)
+    v = os.environ.get("SUPERNET_ACT_DTYPE")
+    if v:
+        set_act_dtype(v)
+
+
+def _act(x: Array) -> Array:
+    """Cast an activation (or a weight entering a conv) to the activation
+    dtype. For f32 this is a no-op; for bf16 the cast's transpose also
+    returns weight gradients to f32 for the optimizer."""
+    return x.astype(_ACT_DTYPE)
+
+
 def _conv_valid(x: Array, w: Array, stride: int = 1) -> Array:
-    """VALID 2-D convolution (cross-correlation), NHWC x HWIO -> NHWC."""
+    """VALID 2-D convolution (cross-correlation), NHWC x HWIO -> NHWC.
+
+    The output dtype matches the input dtype (conv_general_dilated's
+    transpose rule rejects mixed in/out dtypes, which reverse-mode AD needs).
+    For bf16 inputs the MXU still accumulates partial products in f32
+    internally; only the final output is rounded to bf16.
+    """
     return lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=_DIMSPEC,
         precision=_MXU_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
 
 
@@ -163,7 +232,11 @@ def _window_sum(x: Array, k: int, stride: int = 1) -> Array:
     inside ``jit`` (reduce_window's generic primitive fails linearization
     under jit(grad) in current JAX; needed by FGSM/PGD, attacks.py).
     """
-    xc = jnp.sum(x, axis=-1, keepdims=True)
+    # channel reduction in f32 even under bf16 activations: the window-sum
+    # feeds the variance terms, and bf16 accumulation over wide channel dims
+    # would inject relative noise into sigma for no bandwidth win (the
+    # summed tensor is single-channel).
+    xc = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
     ones = jnp.ones((k, k, 1, 1), jnp.float32)
     return _conv_valid(xc, ones, stride)
 
@@ -192,6 +265,17 @@ def vconv_input(
         return vdp_conv(x, None, w_mu, w_sigma, precision=_MXU_PRECISION)
     k = w_mu.shape[0]
     s_w = jax.nn.softplus(w_sigma)
+    x = _act(x)
+    if k == 1 and stride == 1:
+        # 1x1 conv: the k x k window-sum over input channels is a plain
+        # channel sum — no ones-kernel conv (whose C_out == 1 occupies a
+        # full MXU pass at 1/128 of its throughput).
+        w2 = _act(w_mu[0, 0])
+        mu_out = jnp.einsum(
+            "bhwc,co->bhwo", x, w2, preferred_element_type=x.dtype
+        )
+        t = jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
+        return _act(mu_out), _act(t * s_w)
     if _CONV_FOLD != "none":
         # one conv computes mu AND the window-sum: input [x ‖ sum(x^2)],
         # kernel blockdiag [w_mu, 0; 0, ones] — the 1-channel winsum rides
@@ -202,10 +286,10 @@ def vconv_input(
         kern = jnp.pad(w_mu, ((0, 0), (0, 0), (0, 1), (0, 1)))
         kern = kern.at[:, :, cin, cout].set(1.0)
         out = _conv_valid(z, kern, stride)
-        return out[..., :cout], out[..., cout:] * s_w
+        return _act(out[..., :cout]), _act(out[..., cout:] * s_w)
     mu_out = _conv_valid(x, w_mu, stride)
     sigma_out = _window_sum(jnp.square(x), k, stride) * s_w
-    return mu_out, sigma_out
+    return _act(mu_out), _act(sigma_out)
 
 
 def vconv(
@@ -230,6 +314,24 @@ def vconv(
     k = w_mu.shape[0]
     cin, cout = w_mu.shape[2], w_mu.shape[3]
     s_w = jax.nn.softplus(w_sigma)
+    mu, sigma = _act(mu), _act(sigma)
+    if k == 1 and stride == 1:
+        # 1x1 conv (the softmax head): window-sum == channel sum; both
+        # matmuls are einsums — no conv machinery, no C_out==1 kernel.
+        w2 = _act(w_mu[0, 0])
+        mu_out = jnp.einsum(
+            "bhwc,co->bhwo", mu, w2, preferred_element_type=mu.dtype
+        )
+        t = jnp.sum(
+            (jnp.square(mu) + sigma).astype(jnp.float32), -1, keepdims=True
+        )
+        sigma_out = t * s_w + jnp.einsum(
+            "bhwc,co->bhwo",
+            sigma,
+            jnp.square(w2),
+            preferred_element_type=sigma.dtype,
+        )
+        return _act(mu_out), _act(sigma_out)
     if _CONV_FOLD == "full":
         # ONE conv: input [mu ‖ sigma ‖ sum(mu^2+sigma)], kernel blockdiag
         # [w_mu -> mu_out; w_mu^2 -> sig; ones -> winsum]. 2x the MACs of
@@ -247,7 +349,7 @@ def vconv(
         out = _conv_valid(z, kern, stride)
         mu_out = out[..., :cout]
         sigma_out = out[..., cout : 2 * cout] + out[..., 2 * cout :] * s_w
-        return mu_out, sigma_out
+        return _act(mu_out), _act(sigma_out)
     mu_out = _conv_valid(mu, w_mu, stride)
     if _CONV_FOLD == "sigma":
         # fold the winsum into the sigma conv: input [sigma ‖ sum(mu^2+sigma)],
@@ -260,10 +362,10 @@ def vconv(
         kern = kern.at[:, :, cin, cout].set(1.0)
         out = _conv_valid(z, kern, stride)
         sigma_out = out[..., :cout] + out[..., cout:] * s_w
-        return mu_out, sigma_out
+        return _act(mu_out), _act(sigma_out)
     sigma_out = _window_sum(jnp.square(mu) + sigma, k, stride) * s_w
     sigma_out = sigma_out + _conv_valid(sigma, jnp.square(w_mu), stride)
-    return mu_out, sigma_out
+    return _act(mu_out), _act(sigma_out)
 
 
 def vconv_relu(
@@ -328,40 +430,97 @@ def vmaxpool(mu: Array, sigma: Array) -> MomentPair:
         from supernet_tpu.ops.naive import vmaxpool_naive
 
         return vmaxpool_naive(mu, sigma)
+    return _vmaxpool_fast(mu, sigma)
+
+
+def _pool_taps(x: Array):
+    """The four 2x2-window elements as quarter-size strided slices, in
+    row-major (TF flat-index) order."""
+    return (
+        x[:, 0::2, 0::2, :],
+        x[:, 0::2, 1::2, :],
+        x[:, 1::2, 0::2, :],
+        x[:, 1::2, 1::2, :],
+    )
+
+
+def _interleave2x2(t00: Array, t01: Array, t10: Array, t11: Array) -> Array:
+    """Inverse of ``_pool_taps``: four [B,h,w,C] tap grids -> [B,2h,2w,C]
+    pixel shuffle (stack + reshape — lowers to concat, never a scatter)."""
+    b, h, w, c = t00.shape
+    top = jnp.stack([t00, t01], axis=3)  # [B,h,w,2,C]
+    bot = jnp.stack([t10, t11], axis=3)
+    y = jnp.stack([top, bot], axis=2)  # [B,h,2,w,2,C]
+    return y.reshape(b, 2 * h, 2 * w, c)
+
+
+def _select_first(m00, m01, m10, m11, mx, t00, t01, t10, t11):
+    # row-major first-occurrence-of-max selection (TF's argmax tie rule).
+    return jnp.where(
+        m00 == mx,
+        t00,
+        jnp.where(m01 == mx, t01, jnp.where(m10 == mx, t10, t11)),
+    )
+
+
+@jax.custom_vjp
+def _vmaxpool_fast(mu: Array, sigma: Array) -> MomentPair:
+    mu_out, sigma_out, _ = _vmaxpool_fwd_impl(mu, sigma)
+    return mu_out, sigma_out
+
+
+def _vmaxpool_fwd_impl(mu: Array, sigma: Array):
     b, h, w, c = mu.shape
     hp, wp = -(-h // 2) * 2, -(-w // 2) * 2
     if (hp, wp) != (h, w):
         pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
-        mu = jnp.pad(mu, pad, constant_values=-jnp.inf)
+        fill = jnp.finfo(mu.dtype).min
+        mu = jnp.pad(mu, pad, constant_values=fill)
         sigma = jnp.pad(sigma, pad)
+    m00, m01, m10, m11 = _pool_taps(mu)
+    mx = jnp.maximum(jnp.maximum(m00, m01), jnp.maximum(m10, m11))
+    s00, s01, s10, s11 = _pool_taps(sigma)
+    sigma_out = _select_first(m00, m01, m10, m11, mx, s00, s01, s10, s11)
+    # first-occurrence masks for the backward (p_k = "tap k was selected")
+    p0 = m00 == mx
+    p1 = jnp.logical_and(~p0, m01 == mx)
+    p2 = jnp.logical_and(~jnp.logical_or(p0, p1), m10 == mx)
+    return mx, sigma_out, (p0, p1, p2, (h, w))
 
-    m00 = mu[:, 0::2, 0::2, :]
-    m01 = mu[:, 0::2, 1::2, :]
-    m10 = mu[:, 1::2, 0::2, :]
-    m11 = mu[:, 1::2, 1::2, :]
-    mx = lax.stop_gradient(
-        jnp.maximum(jnp.maximum(m00, m01), jnp.maximum(m10, m11))
-    )
 
-    def select_first(t00, t01, t10, t11):
-        # row-major first-occurrence-of-max selection; `where` routes the
-        # full gradient to the selected tap (TF's max_pool gradient sends
-        # 1.0 to the first argmax on ties, whereas jnp.maximum would split
-        # tie gradients 0.5/0.5 — ties are ubiquitous right after ReLU).
-        return jnp.where(
-            m00 == mx,
-            t00,
-            jnp.where(m01 == mx, t01, jnp.where(m10 == mx, t10, t11)),
+def _vmaxpool_fwd(mu, sigma):
+    mu_out, sigma_out, res = _vmaxpool_fwd_impl(mu, sigma)
+    return (mu_out, sigma_out), res
+
+
+def _vmaxpool_bwd(res, g):
+    """Route each output grad to its selected window tap and pixel-shuffle
+    the four tap-grids back to full resolution.
+
+    XLA lowers the naive backward (transpose of 4 strided slices under the
+    `where` tree) into chains of sequential scatters — measured ~9 ms of a
+    109 ms BraTS step for pool0 alone. The interleave form is pure
+    stack+reshape: no scatter, one pass per moment.
+    """
+    g_mu, g_sigma = g
+    p0, p1, p2, (h, w) = res
+    p3 = ~jnp.logical_or(jnp.logical_or(p0, p1), p2)
+
+    def route(gg):
+        zero = jnp.zeros_like(gg)
+        return _interleave2x2(
+            jnp.where(p0, gg, zero),
+            jnp.where(p1, gg, zero),
+            jnp.where(p2, gg, zero),
+            jnp.where(p3, gg, zero),
         )
 
-    mu_out = select_first(m00, m01, m10, m11)
-    sigma_out = select_first(
-        sigma[:, 0::2, 0::2, :],
-        sigma[:, 0::2, 1::2, :],
-        sigma[:, 1::2, 0::2, :],
-        sigma[:, 1::2, 1::2, :],
-    )
-    return mu_out, sigma_out
+    d_mu = route(g_mu)[:, :h, :w, :]
+    d_sigma = route(g_sigma)[:, :h, :w, :]
+    return d_mu, d_sigma
+
+
+_vmaxpool_fast.defvjp(_vmaxpool_fwd, _vmaxpool_bwd)
 
 
 def _unpool_one(x: Array) -> Array:
@@ -412,16 +571,18 @@ def vunpool_conv2(
     b, h, w, cin = mu.shape
     cout = w_mu.shape[3]
     sw = jax.nn.softplus(w_sigma)
-    t = jnp.sum(jnp.square(mu) + sigma, axis=-1, keepdims=True)  # [B,h,w,1]
+    mu, sigma = _act(mu), _act(sigma)
+    t = (jnp.square(mu) + sigma).astype(jnp.float32)
+    t = jnp.sum(t, axis=-1, keepdims=True)  # [B,h,w,1]
 
     def tap(x: Array, kernel: Array) -> Array:
         # 1x1 conv: [B,h,w,Cin] @ [Cin,Cout]
         return jnp.einsum(
             "bhwc,co->bhwo",
             x,
-            kernel,
+            kernel.astype(x.dtype),
             precision=_MXU_PRECISION,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )
 
     # out parity (r, s) uses tap W[1-r, 1-s]
@@ -440,7 +601,7 @@ def vunpool_conv2(
         y = jnp.stack(rows, axis=2)  # [B,h,2,w,2,C]
         return y.reshape(b, 2 * h, 2 * w, -1)
 
-    return interleave(mu_taps), interleave(sg_taps)
+    return _act(interleave(mu_taps)), _act(interleave(sg_taps))
 
 
 def vpad(
@@ -513,8 +674,10 @@ def vsoftmax(mu: Array, sigma: Array) -> MomentPair:
 
         return vsoftmax_naive(mu, sigma)
     b, h, w, c = mu.shape
-    mu_flat = mu.reshape(b, h * w, c)
-    sigma_flat = sigma.reshape(b, h * w, c)
+    # head runs in f32 regardless of the activation dtype: the probabilities
+    # feed log() in the NLL loss and the uncertainty artifacts.
+    mu_flat = mu.reshape(b, h * w, c).astype(jnp.float32)
+    sigma_flat = sigma.reshape(b, h * w, c).astype(jnp.float32)
     p = jax.nn.softmax(mu_flat, axis=-1)
     p_sq = jnp.square(p)
     s_tot = jnp.sum(p_sq * sigma_flat, axis=-1, keepdims=True)

@@ -326,3 +326,96 @@ def test_vmaxpool_tie_gradient_routes_to_first():
     # sigma is taken from the same first-max element
     s_out = vmaxpool(mu, jnp.asarray([[[[1.0], [2.0]], [[3.0], [4.0]]]]))[1]
     assert float(s_out[0, 0, 0, 0]) == 1.0
+
+
+def test_vmaxpool_custom_bwd_matches_where_tree():
+    """The custom-VJP backward (interleave form, no scatters — see
+    moments._vmaxpool_bwd) must equal the gradients of a plain jnp
+    where-tree formulation on random inputs, both moments, incl. the
+    odd-spatial SAME-pad branch."""
+
+    def pool_naive(mu, sigma):
+        b, h, w, c = mu.shape
+        hp, wp = -(-h // 2) * 2, -(-w // 2) * 2
+        if (hp, wp) != (h, w):
+            pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+            mu = jnp.pad(mu, pad, constant_values=-jnp.inf)
+            sigma = jnp.pad(sigma, pad)
+        m00, m01 = mu[:, 0::2, 0::2, :], mu[:, 0::2, 1::2, :]
+        m10, m11 = mu[:, 1::2, 0::2, :], mu[:, 1::2, 1::2, :]
+        mx = jax.lax.stop_gradient(
+            jnp.maximum(jnp.maximum(m00, m01), jnp.maximum(m10, m11))
+        )
+
+        def sel(t00, t01, t10, t11):
+            return jnp.where(
+                m00 == mx, t00,
+                jnp.where(m01 == mx, t01, jnp.where(m10 == mx, t10, t11)),
+            )
+
+        return sel(m00, m01, m10, m11), sel(
+            sigma[:, 0::2, 0::2, :], sigma[:, 0::2, 1::2, :],
+            sigma[:, 1::2, 0::2, :], sigma[:, 1::2, 1::2, :],
+        )
+
+    rng = np.random.default_rng(11)
+    for shape in [(2, 6, 6, 3), (2, 5, 7, 3)]:
+        # quantized values force plenty of exact ties (as after ReLU)
+        mu = jnp.asarray(
+            np.round(rng.normal(0, 1, shape) * 2) / 2
+        ).astype(jnp.float32)
+        sg = jnp.abs(jnp.asarray(rng.normal(0, 1, shape).astype(np.float32)))
+
+        for f in (vmaxpool, pool_naive):
+            a, b = f(mu, sg)
+        np.testing.assert_array_equal(
+            np.asarray(vmaxpool(mu, sg)[0]), np.asarray(pool_naive(mu, sg)[0])
+        )
+
+        def loss(fn):
+            return lambda m, s: (
+                jnp.sum(jnp.sin(fn(m, s)[0])) + jnp.sum(jnp.cos(fn(m, s)[1]))
+            )
+
+        g_fast = jax.grad(loss(vmaxpool), (0, 1))(mu, sg)
+        g_ref = jax.grad(loss(pool_naive), (0, 1))(mu, sg)
+        for x, y in zip(g_fast, g_ref):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_act_dtype_bfloat16_mode():
+    """bf16 activation mode: forward agrees with f32 within bf16 tolerance,
+    the head still emits f32, param grads come back f32, and k=1 conv takes
+    the einsum path in both dtypes."""
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import init_params
+    from supernet_tpu.models.unet import forward
+
+    cfg = HIPPOCAMPUS.model
+    x = jnp.asarray(RNG.normal(0, 1, (2, 64, 64, 1)).astype(np.float32))
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    p32, s32 = forward(params, x, cfg)
+    try:
+        moments.set_act_dtype("bfloat16")
+        p16, s16 = forward(params, x, cfg)
+        assert p16.dtype == jnp.float32 and s16.dtype == jnp.float32
+        # probabilities: absolute tolerance; bf16 has ~3 decimal digits
+        np.testing.assert_allclose(
+            np.asarray(p16), np.asarray(p32), atol=0.03
+        )
+        # per-pixel predicted class almost always agrees
+        agree = np.mean(
+            np.argmax(np.asarray(p16), -1) == np.argmax(np.asarray(p32), -1)
+        )
+        assert agree > 0.99
+
+        def loss(params):
+            p, s = forward(params, x, cfg)
+            return jnp.mean(jnp.square(p)) + jnp.mean(s)
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree.leaves(g)
+        assert all(a.dtype == jnp.float32 for a in flat)
+        assert all(np.isfinite(np.asarray(a)).all() for a in flat)
+    finally:
+        moments.set_act_dtype("float32")
