@@ -142,12 +142,15 @@ def main() -> None:
     set_backend(os.environ.get("SUPERNET_BACKEND", "xla"))
     # SUPERNET_ACT_DTYPE=float32|bfloat16 — inter-layer activation dtype.
     # bf16 halves the HBM traffic of this data-movement-bound model; the
-    # loss head and all conv accumulations stay f32 (ops/moments.py).
-    dt = os.environ.get("SUPERNET_ACT_DTYPE")
-    if dt:
-        from supernet_tpu.ops import set_act_dtype
+    # loss head and all conv accumulations stay f32 (ops/moments.py). The
+    # bench measures the TPU production mode — bf16 — by default (300-step
+    # Hippocampus loss curve matches f32-high to 0.41%, within f32-default's
+    # own 0.24% deviation; docs/PERFORMANCE.md); the library default stays
+    # f32 for reference-exact numerics. Set SUPERNET_ACT_DTYPE=float32 to
+    # bench the conservative mode.
+    from supernet_tpu.ops import set_act_dtype
 
-        set_act_dtype(dt)
+    set_act_dtype(os.environ.get("SUPERNET_ACT_DTYPE", "bfloat16"))
     # SUPERNET_CONV_FOLD=none|sigma|full — variance-path kernel fusion mode
     # (see ops/moments.py); default is the module default (measured best).
     fold = os.environ.get("SUPERNET_CONV_FOLD")

@@ -275,7 +275,9 @@ def vconv_input(
             "bhwc,co->bhwo", x, w2, preferred_element_type=x.dtype
         )
         t = jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
-        return _act(mu_out), _act(t * s_w)
+        # cast the single-channel window-sum BEFORE the broadcast multiply:
+        # t * s_w at f32 would materialize a full-width f32 tensor per layer
+        return _act(mu_out), _act(t) * _act(s_w)
     if _CONV_FOLD != "none":
         # one conv computes mu AND the window-sum: input [x ‖ sum(x^2)],
         # kernel blockdiag [w_mu, 0; 0, ones] — the 1-channel winsum rides
@@ -288,8 +290,8 @@ def vconv_input(
         out = _conv_valid(z, kern, stride)
         return _act(out[..., :cout]), _act(out[..., cout:] * s_w)
     mu_out = _conv_valid(x, w_mu, stride)
-    sigma_out = _window_sum(jnp.square(x), k, stride) * s_w
-    return _act(mu_out), _act(sigma_out)
+    ws = _act(_window_sum(jnp.square(x), k, stride))
+    return _act(mu_out), ws * _act(s_w)
 
 
 def vconv(
@@ -325,7 +327,7 @@ def vconv(
         t = jnp.sum(
             (jnp.square(mu) + sigma).astype(jnp.float32), -1, keepdims=True
         )
-        sigma_out = t * s_w + jnp.einsum(
+        sigma_out = _act(t) * _act(s_w) + jnp.einsum(
             "bhwc,co->bhwo",
             sigma,
             jnp.square(w2),
@@ -363,8 +365,10 @@ def vconv(
         out = _conv_valid(z, kern, stride)
         sigma_out = out[..., :cout] + out[..., cout:] * s_w
         return _act(mu_out), _act(sigma_out)
-    sigma_out = _window_sum(jnp.square(mu) + sigma, k, stride) * s_w
-    sigma_out = sigma_out + _conv_valid(sigma, jnp.square(w_mu), stride)
+    # cast the [B,H',W',1] window-sum before the broadcast multiply so the
+    # full-width sigma chain stays in the activation dtype
+    ws = _act(_window_sum(jnp.square(mu) + sigma, k, stride))
+    sigma_out = ws * _act(s_w) + _conv_valid(sigma, jnp.square(w_mu), stride)
     return _act(mu_out), _act(sigma_out)
 
 
@@ -573,7 +577,10 @@ def vunpool_conv2(
     sw = jax.nn.softplus(w_sigma)
     mu, sigma = _act(mu), _act(sigma)
     t = (jnp.square(mu) + sigma).astype(jnp.float32)
-    t = jnp.sum(t, axis=-1, keepdims=True)  # [B,h,w,1]
+    # [B,h,w,1] channel sum in f32, cast back before the broadcast add so
+    # the sigma taps (and their interleave) stay in the activation dtype
+    t = _act(jnp.sum(t, axis=-1, keepdims=True))
+    sw_a = _act(sw)
 
     def tap(x: Array, kernel: Array) -> Array:
         # 1x1 conv: [B,h,w,Cin] @ [Cin,Cout]
@@ -589,7 +596,7 @@ def vunpool_conv2(
     mu_taps = [[tap(mu, w_mu[1 - r, 1 - s]) for s in (0, 1)] for r in (0, 1)]
     sg_taps = [
         [
-            tap(sigma, jnp.square(w_mu[1 - r, 1 - s])) + t * sw
+            tap(sigma, jnp.square(w_mu[1 - r, 1 - s])) + t * sw_a
             for s in (0, 1)
         ]
         for r in (0, 1)
