@@ -103,6 +103,43 @@ def _use_pallas() -> bool:
     return pallas_supported()
 
 
+# Max-pool implementation. "xla" (default): the where-tree composition —
+# in the full model XLA fuses the preceding ReLU into the pool's slices
+# and keeps its preferred tiled layouts, which beats the Pallas kernel
+# pair end-to-end (BraTS step 67.5 vs 71.1 ms) even though the kernels
+# win in isolation 1.8x (the custom-call boundary forces standard layouts
+# and materializes the pool inputs). "auto"/"pallas": the fused kernels
+# (ops/pallas/pool.py) — "auto" falls back off-TPU or for odd spatial
+# dims; tests force "pallas" with interpret mode on CPU.
+_POOL: str = "xla"
+
+
+def set_pool_impl(v: str) -> None:
+    if v not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown pool impl {v!r}")
+    global _POOL
+    _POOL = v
+
+
+def get_pool_impl() -> str:
+    return _POOL
+
+
+def _use_pallas_pool(mu: Array) -> bool:
+    if _POOL == "xla" or _BACKEND == "naive":
+        return False
+    from supernet_tpu.ops.pallas.pool import pool_shape_supported
+
+    _, h, w, _ = mu.shape
+    if not pool_shape_supported(h, w):
+        return False
+    if _POOL == "pallas":
+        return True
+    from supernet_tpu.ops.pallas import pallas_supported
+
+    return pallas_supported()
+
+
 def _use_pallas_for(x: Array, w_mu: Array) -> bool:
     """Backend says pallas AND this layer's shape is inside the fused
     kernel's compile-safe envelope; otherwise the XLA composition is used
@@ -176,6 +213,7 @@ def apply_env_overrides() -> None:
     SUPERNET_BACKEND=xla|pallas|auto|naive    (conv kernel backend)
     SUPERNET_CONV_FOLD=none|sigma|full        (variance-path fusion mode)
     SUPERNET_ACT_DTYPE=float32|bfloat16       (inter-layer activation dtype)
+    SUPERNET_POOL=auto|xla|pallas             (max-pool implementation)
 
     Called by the CLI entry point and bench.py so one process-level switch
     controls every jitted function built afterwards.
@@ -194,6 +232,9 @@ def apply_env_overrides() -> None:
     v = os.environ.get("SUPERNET_ACT_DTYPE")
     if v:
         set_act_dtype(v)
+    v = os.environ.get("SUPERNET_POOL")
+    if v:
+        set_pool_impl(v)
 
 
 def _act(x: Array) -> Array:
@@ -434,6 +475,10 @@ def vmaxpool(mu: Array, sigma: Array) -> MomentPair:
         from supernet_tpu.ops.naive import vmaxpool_naive
 
         return vmaxpool_naive(mu, sigma)
+    if _use_pallas_pool(mu):
+        from supernet_tpu.ops.pallas.pool import vmaxpool_pallas
+
+        return vmaxpool_pallas(mu, sigma)
     return _vmaxpool_fast(mu, sigma)
 
 

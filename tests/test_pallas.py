@@ -96,3 +96,79 @@ def test_model_forward_pallas_backend_matches():
 
     np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), atol=1e-5)
+
+
+class TestPallasPool:
+    """Fused Pallas max-pool kernels vs the XLA where-tree composition
+    (ops/pallas/pool.py): bit-exact forward AND backward, including
+    first-occurrence tie routing; interpreter mode so it runs on CPU."""
+
+    def _setup(self, shape, ties=True, seed=0):
+        from supernet_tpu.ops import pallas as P
+
+        rng = np.random.default_rng(seed)
+        if ties:
+            mu = jnp.asarray(
+                rng.integers(-3, 3, shape).astype(np.float32)
+            )
+        else:
+            mu = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+        sigma = jnp.abs(jnp.asarray(rng.normal(0, 1, shape).astype(np.float32)))
+        return mu, sigma
+
+    @pytest.mark.parametrize("shape,ties", [
+        ((2, 8, 8, 32), True),
+        ((1, 12, 16, 8), False),
+        ((3, 4, 4, 130), True),  # >1 lane tile
+    ])
+    def test_pool_fwd_bwd_matches_xla(self, shape, ties):
+        from supernet_tpu.ops.moments import _vmaxpool_fast
+        from supernet_tpu.ops.pallas import pool as pool_mod
+
+        mu, sigma = self._setup(shape, ties)
+        pool_mod.set_interpret(True)
+        try:
+            a1, b1 = jax.jit(_vmaxpool_fast)(mu, sigma)
+            a2, b2 = jax.jit(pool_mod.vmaxpool_pallas)(mu, sigma)
+            np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+            def mkloss(f):
+                def L(m, s):
+                    o1, o2 = f(m, s)
+                    return jnp.sum(o1 * 1.3) + jnp.sum(o2 * 0.7)
+
+                return jax.jit(jax.grad(L, argnums=(0, 1)))
+
+            g1 = mkloss(_vmaxpool_fast)(mu, sigma)
+            g2 = mkloss(pool_mod.vmaxpool_pallas)(mu, sigma)
+            for x, y in zip(g1, g2):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        finally:
+            pool_mod.set_interpret(False)
+
+    def test_pool_impl_knob(self):
+        from supernet_tpu.ops import get_pool_impl, set_pool_impl
+
+        assert get_pool_impl() == "xla"
+        set_pool_impl("pallas")
+        assert get_pool_impl() == "pallas"
+        set_pool_impl("xla")
+        with pytest.raises(ValueError):
+            set_pool_impl("nope")
+
+    def test_odd_shape_falls_back(self):
+        # odd spatial dims are outside the kernel envelope: vmaxpool with
+        # pool impl forced to pallas must still work (XLA fallback)
+        from supernet_tpu.ops import set_pool_impl, vmaxpool
+        from supernet_tpu.ops.moments import _vmaxpool_fast
+
+        mu, sigma = self._setup((2, 7, 9, 4))
+        set_pool_impl("pallas")
+        try:
+            a2, b2 = vmaxpool(mu, sigma)
+        finally:
+            set_pool_impl("xla")
+        a1, b1 = _vmaxpool_fast(mu, sigma)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
