@@ -598,11 +598,13 @@ def vunpool_conv2(
 
         out[2i+1-a, 2j+1-b] = sum_c x[i,j,c] * W[a,b,c,o]
 
-    so the pair is four 1x1 convolutions (one per window tap) interleaved by
-    output parity — 4x fewer MXU FLOPs than convolving the zero-padded map,
-    and the (2w+1)^2 interleaved tensors are never materialized. Variance
-    path collapses the same way: the 2x2 window sum of the interleaved
-    (mu^2 + sigma) is a single pixel's channel sum at every parity.
+    Expressed as ONE input-dilated (lhs_dilation=2) convolution per moment:
+    XLA's TPU conv emitter skips the zero positions natively, so the MXU
+    work equals the four-parity-1x1-convs formulation this replaces, with
+    none of that formulation's stack/reshape pixel-shuffle relayouts
+    (measured: bit-identical outputs, BraTS bf16 step 64.9 -> 64.2 ms).
+    The 2x2 window sum of the interleaved (mu^2 + sigma) sees exactly one
+    nonzero pixel per window, so it is the channel sum nearest-upsampled.
     """
     if _BACKEND == "naive":
         # the reference choreography: materialize the zero-interleaved
@@ -611,43 +613,30 @@ def vunpool_conv2(
 
         m_up, s_up = vunpool(mu, sigma)
         return vconv_naive(m_up, s_up, w_mu, w_sigma)
-    b, h, w, cin = mu.shape
-    cout = w_mu.shape[3]
     sw = jax.nn.softplus(w_sigma)
     mu, sigma = _act(mu), _act(sigma)
     t = (jnp.square(mu) + sigma).astype(jnp.float32)
-    # [B,h,w,1] channel sum in f32, cast back before the broadcast add so
-    # the sigma taps (and their interleave) stay in the activation dtype
-    t = _act(jnp.sum(t, axis=-1, keepdims=True))
-    sw_a = _act(sw)
+    # [B,h,w,1] channel sum in f32, cast back before the broadcast ops so
+    # the sigma chain stays in the activation dtype
+    t_up = _upsample2_nearest(_act(jnp.sum(t, axis=-1, keepdims=True)))
 
-    def tap(x: Array, kernel: Array) -> Array:
-        # 1x1 conv: [B,h,w,Cin] @ [Cin,Cout]
-        return jnp.einsum(
-            "bhwc,co->bhwo",
+    def dconv(x: Array, kernel: Array) -> Array:
+        # unpool + 2x2 VALID conv == conv with 2x input dilation and a
+        # 1-px border (the unpool's top/left zero pad + the symmetric tail)
+        return lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=_DIMSPEC,
             precision=_MXU_PRECISION,
             preferred_element_type=x.dtype,
         )
 
-    # out parity (r, s) uses tap W[1-r, 1-s]
-    mu_taps = [[tap(mu, w_mu[1 - r, 1 - s]) for s in (0, 1)] for r in (0, 1)]
-    sg_taps = [
-        [
-            tap(sigma, jnp.square(w_mu[1 - r, 1 - s])) + t * sw_a
-            for s in (0, 1)
-        ]
-        for r in (0, 1)
-    ]
-
-    def interleave(taps) -> Array:
-        # [B,h,w,C] x4 -> [B,2h,2w,C] pixel shuffle
-        rows = [jnp.stack(pair, axis=3) for pair in taps]  # [B,h,w,2,C]
-        y = jnp.stack(rows, axis=2)  # [B,h,2,w,2,C]
-        return y.reshape(b, 2 * h, 2 * w, -1)
-
-    return _act(interleave(mu_taps)), _act(interleave(sg_taps))
+    mu_out = dconv(mu, w_mu)
+    sigma_out = t_up * _act(sw) + dconv(sigma, jnp.square(w_mu))
+    return mu_out, _act(sigma_out)
 
 
 def vpad(
