@@ -273,12 +273,17 @@ def _window_sum(x: Array, k: int, stride: int = 1) -> Array:
     inside ``jit`` (reduce_window's generic primitive fails linearization
     under jit(grad) in current JAX; needed by FGSM/PGD, attacks.py).
     """
-    # channel reduction in f32 even under bf16 activations: the window-sum
-    # feeds the variance terms, and bf16 accumulation over wide channel dims
-    # would inject relative noise into sigma for no bandwidth win (the
-    # summed tensor is single-channel).
-    xc = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
-    ones = jnp.ones((k, k, 1, 1), jnp.float32)
+    # channel reduction accumulates in f32 even under bf16 activations
+    # (bf16 accumulation over wide channel dims would inject sqrt(C)-scale
+    # noise into sigma); only the single-channel RESULT is stored in the
+    # activation dtype — one rounding, same 2^-8 relative error as every
+    # other bf16 op in the sigma chain, and it keeps the f32 upcast out of
+    # the backward broadcast (BraTS bf16 step 63.9 -> 60.5 ms). The k x k
+    # ones-conv accumulates in f32 on the MXU regardless of input dtype.
+    xc = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True).astype(
+        x.dtype
+    )
+    ones = jnp.ones((k, k, 1, 1), x.dtype)
     return _conv_valid(xc, ones, stride)
 
 
@@ -483,13 +488,21 @@ def vmaxpool(mu: Array, sigma: Array) -> MomentPair:
 
 
 def _pool_taps(x: Array):
-    """The four 2x2-window elements as quarter-size strided slices, in
-    row-major (TF flat-index) order."""
+    """The four 2x2-window elements as quarter-size views, in row-major
+    (TF flat-index) order.
+
+    Expressed as one reshape splitting H and W by 2 plus unit-index
+    slices instead of four stride-2 slices: identical values, but XLA
+    lowers this to a single relayout feeding cheap contiguous reads
+    rather than four strided-window passes (BraTS bf16 step 60.5 ->
+    58.6 ms together with the window-sum dtype change)."""
+    b, h, w, c = x.shape
+    r = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return (
-        x[:, 0::2, 0::2, :],
-        x[:, 0::2, 1::2, :],
-        x[:, 1::2, 0::2, :],
-        x[:, 1::2, 1::2, :],
+        r[:, :, 0, :, 0],
+        r[:, :, 0, :, 1],
+        r[:, :, 1, :, 0],
+        r[:, :, 1, :, 1],
     )
 
 
