@@ -88,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--split", default="train", choices=["train", "test"])
     c.add_argument("--out", required=True, help="shard output directory")
 
+    x = sub.add_parser(
+        "export",
+        help="serving bundle: StableHLO module + npz params + metadata",
+    )
+    _add_common(x)
+    x.add_argument("--export-batch-size", type=int, default=8,
+                   help="static batch size the module is compiled for "
+                        "(serving pads/chunks requests to it)")
+
     b = sub.add_parser("bench", help="throughput benchmark")
     return ap
 
@@ -240,6 +249,20 @@ def main(argv=None) -> int:
         return 0
 
     params = _load_params(exp, args)
+
+    if args.cmd == "export":
+        from supernet_tpu.serving import export_bundle
+
+        meta = export_bundle(
+            params,
+            exp.model,
+            args.out_dir,
+            batch_size=args.export_batch_size,
+            config_name=exp.name,
+        )
+        print(json.dumps(meta))
+        return 0
+
     ds = _load_data(exp, args, "test")
 
     mesh = None

@@ -1,0 +1,206 @@
+"""Inference/serving surface: AOT compilation, StableHLO export, and a
+padded-batch inference session.
+
+The reference has no deployment story — prediction happens inline in the
+training scripts via ``model(...)`` calls (`Hippocampus.py:894-1049`,
+`Brats.py:984-1049`). A production framework needs a frozen,
+compile-once inference path. TPU-native design decisions:
+
+- the forward pass is a pure function ``(params, x) -> (probs, sigma)``
+  (models/unet.py), so serving is: AOT-compile that function ONCE at a
+  fixed batch size and keep the parameters resident in device HBM;
+- variable request sizes are handled by pad-to-batch + slice rather
+  than recompilation — XLA specializes on static shapes, and a fresh
+  compile (~20-40 s on TPU) in the request path would stall serving;
+- ``export_stablehlo`` emits the portable StableHLO module for external
+  runtimes (PJRT plugins / IFRT serving stacks) so deployment does not
+  require Python or this package;
+- a ``jax.sharding.Mesh`` turns the same session into a data-parallel
+  server: parameters replicated, request batch sharded on the batch
+  axis (same shardings as parallel/data_parallel.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supernet_tpu.configs import ModelConfig
+from supernet_tpu.models import forward_images
+
+Array = jax.Array
+
+
+def _input_spec(cfg: ModelConfig, batch_size: int) -> jax.ShapeDtypeStruct:
+    return jax.ShapeDtypeStruct(
+        (batch_size, cfg.image_size, cfg.image_size, cfg.in_channels),
+        jnp.float32,
+    )
+
+
+def _make_fn(cfg: ModelConfig, mesh=None):
+    def fn(params, x):
+        return forward_images(params, x, cfg)
+
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        fn,
+        in_shardings=(rep, batched),
+        out_shardings=(batched, batched),
+    )
+
+
+def lower(params, cfg: ModelConfig, batch_size: int = 8, mesh=None):
+    """``jax.jit(forward).lower(...)`` at a fixed batch size — the common
+    stem for both AOT compilation and StableHLO export."""
+    return _make_fn(cfg, mesh).lower(
+        jax.eval_shape(lambda p: p, params), _input_spec(cfg, batch_size)
+    )
+
+
+def export_stablehlo(
+    params,
+    cfg: ModelConfig,
+    batch_size: int = 8,
+    path: Optional[str] = None,
+) -> str:
+    """Serialize the inference computation as StableHLO module text.
+
+    The module closes over nothing: parameters are explicit arguments in
+    ``layer_names`` order, so any PJRT-capable runtime can execute it
+    against a checkpoint exported with ``checkpoint.save_npz``.
+    """
+    text = lower(params, cfg, batch_size).as_text(dialect="stablehlo")
+    if path is not None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
+def aot_compile(params, cfg: ModelConfig, batch_size: int = 8, mesh=None):
+    """Ahead-of-time compile the inference step; returns the loaded
+    executable (``jax.stages.Compiled``) plus XLA's cost analysis."""
+    compiled = lower(params, cfg, batch_size, mesh).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # per-device list on some backends
+            cost = cost[0] if cost else {}
+    except Exception:  # pragma: no cover - backend-dependent
+        cost = {}
+    return compiled, cost
+
+
+class InferenceSession:
+    """Compile-once, padded-batch inference.
+
+    ``predict(x)`` accepts any leading batch size: the input is chunked
+    to the compiled batch size, the final partial chunk is padded by
+    repeating its last row and the padding sliced off the outputs — the
+    exact pad-and-mask scheme the mesh evaluation path uses
+    (evaluate._pad_batch), so numbers match the library's own eval.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        batch_size: int = 8,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.batch_size = int(batch_size)
+        self._mesh = mesh
+        if mesh is not None:
+            from supernet_tpu.parallel import replicate
+
+            params = replicate(mesh, params)
+        else:
+            params = jax.device_put(params)
+        self._params = params
+        self._fn = _make_fn(cfg, mesh)
+
+    def warmup(self) -> "InferenceSession":
+        """Trigger compilation outside the request path."""
+        x = jnp.zeros(
+            _input_spec(self.cfg, self.batch_size).shape, jnp.float32
+        )
+        probs, sigma = self._fn(self._params, x)
+        jax.block_until_ready((probs, sigma))
+        return self
+
+    def predict(self, x) -> Tuple[np.ndarray, np.ndarray]:
+        """[N, H, W, C] -> (probs, sigma), each [N, H_out, W_out, classes]."""
+        x = np.asarray(x, np.float32)
+        n = len(x)
+        probs_out, sigma_out = [], []
+        for i in range(0, n, self.batch_size):
+            chunk = x[i : i + self.batch_size]
+            b = len(chunk)
+            if b < self.batch_size:
+                reps = np.repeat(
+                    chunk[-1:], self.batch_size - b, axis=0
+                )
+                chunk = np.concatenate([chunk, reps], axis=0)
+            p, s = self._fn(self._params, jnp.asarray(chunk))
+            probs_out.append(np.asarray(p)[:b])
+            sigma_out.append(np.asarray(s)[:b])
+        return np.concatenate(probs_out), np.concatenate(sigma_out)
+
+
+def export_bundle(
+    params,
+    cfg: ModelConfig,
+    out_dir: str,
+    batch_size: int = 8,
+    config_name: str = "",
+) -> dict:
+    """Write a self-contained serving bundle:
+
+    - ``model.stablehlo.mlir`` — the inference computation;
+    - ``params.npz``            — flat parameter checkpoint
+      (checkpoint.save_params_npz layout, keys
+      ``{layer}/w_mu``/``{layer}/w_sigma``);
+    - ``export_meta.json``      — shapes, dtypes, per-image FLOPs, config.
+
+    Returns the metadata dict (also printed by ``cli.py export``).
+    """
+    from supernet_tpu import flops as F
+    from supernet_tpu.checkpoint import save_params_npz
+
+    os.makedirs(out_dir, exist_ok=True)
+    hlo_path = os.path.join(out_dir, "model.stablehlo.mlir")
+    export_stablehlo(params, cfg, batch_size, path=hlo_path)
+    save_params_npz(os.path.join(out_dir, "params.npz"), params)
+    spec = _input_spec(cfg, batch_size)
+    meta = {
+        "config": config_name,
+        "batch_size": batch_size,
+        "input_shape": list(spec.shape),
+        "input_dtype": "float32",
+        "output_shape": [
+            batch_size, cfg.out_size, cfg.out_size, cfg.n_classes
+        ],
+        "outputs": ["probs", "sigma"],
+        "forward_gflops_per_image": round(
+            F.forward_flops(cfg, 1) / 1e9, 3
+        ),
+        "param_count": int(
+            sum(int(np.prod(v.shape)) for p in params.values()
+                for v in p.values())
+        ),
+        "files": ["model.stablehlo.mlir", "params.npz"],
+    }
+    with open(os.path.join(out_dir, "export_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta

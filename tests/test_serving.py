@@ -1,0 +1,107 @@
+"""Serving subsystem (supernet_tpu/serving.py): StableHLO export,
+AOT compile, padded-batch inference session (single-device and mesh),
+and the CLI export bundle."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from supernet_tpu.configs import HIPPOCAMPUS
+from supernet_tpu.models import forward_images, init_params
+from supernet_tpu import serving
+
+CFG = dataclasses.replace(
+    HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(3), CFG)
+
+
+def _x(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 1, (n, 32, 32, 1)).astype(np.float32)
+
+
+def test_export_stablehlo_text(params, tmp_path):
+    path = str(tmp_path / "m.mlir")
+    text = serving.export_stablehlo(params, CFG, batch_size=2, path=path)
+    assert "module" in text and "stablehlo" in text
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+    # static input shape is baked in
+    assert "2x32x32x1" in text
+
+
+def test_aot_compile_runs(params):
+    compiled, cost = serving.aot_compile(params, CFG, batch_size=2)
+    probs, sigma = compiled(params, jax.numpy.asarray(_x(2)))
+    assert probs.shape == (2, 22, 22, 3)
+    assert sigma.shape == (2, 22, 22, 3)
+    # XLA cost analysis reports the conv FLOPs
+    assert cost.get("flops", 0) > 0
+
+
+def test_session_matches_forward_exact_batch(params):
+    sess = serving.InferenceSession(params, CFG, batch_size=4).warmup()
+    x = _x(4)
+    p, s = sess.predict(x)
+    pr, sr = forward_images(params, jax.numpy.asarray(x), CFG)
+    np.testing.assert_allclose(p, np.asarray(pr), atol=1e-6)
+    np.testing.assert_allclose(s, np.asarray(sr), atol=1e-6)
+
+
+def test_session_pads_and_chunks(params):
+    # N=7 with batch 4: one full chunk + one padded chunk; padding rows
+    # must never leak into the outputs
+    sess = serving.InferenceSession(params, CFG, batch_size=4)
+    x = _x(7, seed=1)
+    p, s = sess.predict(x)
+    assert p.shape == (7, 22, 22, 3)
+    # compare per chunk against the batch-4 static shape's own reference
+    pr4, _ = forward_images(params, jax.numpy.asarray(x[:4]), CFG)
+    np.testing.assert_allclose(p[:4], np.asarray(pr4), atol=1e-6)
+    pr_t, _ = forward_images(
+        params, jax.numpy.asarray(np.concatenate([x[4:7], x[6:7]])), CFG
+    )
+    np.testing.assert_allclose(p[4:7], np.asarray(pr_t)[:3], atol=1e-6)
+
+
+def test_session_mesh_matches_single_device(params):
+    from supernet_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    x = _x(8, seed=2)
+    p1, s1 = serving.InferenceSession(params, CFG, batch_size=8).predict(x)
+    p2, s2 = serving.InferenceSession(
+        params, CFG, batch_size=8, mesh=mesh
+    ).predict(x)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_export_bundle_and_cli(params, tmp_path):
+    out = str(tmp_path / "bundle")
+    meta = serving.export_bundle(
+        params, CFG, out, batch_size=2, config_name="hippocampus"
+    )
+    for f in ("model.stablehlo.mlir", "params.npz", "export_meta.json"):
+        assert os.path.exists(os.path.join(out, f))
+    assert meta["outputs"] == ["probs", "sigma"]
+    assert meta["param_count"] > 0
+    with open(os.path.join(out, "export_meta.json")) as f:
+        assert json.load(f)["batch_size"] == 2
+    # npz roundtrip reproduces the exact parameters
+    from supernet_tpu.checkpoint import load_params_npz
+
+    loaded = load_params_npz(os.path.join(out, "params.npz"))
+    for layer, ws in params.items():
+        for k, v in ws.items():
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(loaded[layer][k])
+            )
