@@ -36,8 +36,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_IMAGES_PER_SEC = 100.0  # estimated reference TF2 single-GPU rate
 
-_EXPS = {}
-
 
 def _exp(name):
     from supernet_tpu.configs import BRATS, HIPPOCAMPUS, LUNGS
@@ -101,8 +99,6 @@ def _bench_model(name: str, n_iters: int, data_parallel: bool) -> dict:
         x, y = shard_batch(mesh, x, y)
         step = make_sharded_train_step(cfg, tc, mesh)
     elif k_steps > 1:
-        import jax.numpy as jnp
-
         x = jnp.broadcast_to(x[None], (k_steps,) + x.shape)
         y = jnp.broadcast_to(y[None], (k_steps,) + y.shape)
         step = make_multi_train_step(cfg, tc, k_steps)
@@ -123,8 +119,6 @@ def _bench_model(name: str, n_iters: int, data_parallel: bool) -> dict:
     assert float(jax.numpy.min(metrics.loss)) > -1e30  # fetch = completion
     dt = time.perf_counter() - t0
     n_iters = n_disp * k_steps
-
-    import jax
 
     n_dev = jax.device_count() if data_parallel else 1
     ips = n_iters * batch / dt  # global

@@ -253,10 +253,11 @@ def main(argv=None) -> int:
     if args.cmd == "export":
         from supernet_tpu.serving import export_bundle
 
+        out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}/export"
         meta = export_bundle(
             params,
             exp.model,
-            args.out_dir,
+            out_dir,
             batch_size=args.export_batch_size,
             config_name=exp.name,
         )

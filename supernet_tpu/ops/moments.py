@@ -318,7 +318,11 @@ def vconv_input(
         # full MXU pass at 1/128 of its throughput).
         w2 = _act(w_mu[0, 0])
         mu_out = jnp.einsum(
-            "bhwc,co->bhwo", x, w2, preferred_element_type=x.dtype
+            "bhwc,co->bhwo",
+            x,
+            w2,
+            precision=_MXU_PRECISION,
+            preferred_element_type=x.dtype,
         )
         t = jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
         # cast the single-channel window-sum BEFORE the broadcast multiply:
@@ -329,7 +333,11 @@ def vconv_input(
         # kernel blockdiag [w_mu, 0; 0, ones] — the 1-channel winsum rides
         # the MXU pass the mu conv already pays for.
         cin, cout = w_mu.shape[2], w_mu.shape[3]
-        t = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+        # f32 accumulation, result in the activation dtype (same policy
+        # as _window_sum)
+        t = jnp.sum(
+            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True
+        ).astype(x.dtype)
         z = jnp.concatenate([x, t], axis=-1)
         kern = jnp.pad(w_mu, ((0, 0), (0, 0), (0, 1), (0, 1)))
         kern = kern.at[:, :, cin, cout].set(1.0)
@@ -368,7 +376,11 @@ def vconv(
         # matmuls are einsums — no conv machinery, no C_out==1 kernel.
         w2 = _act(w_mu[0, 0])
         mu_out = jnp.einsum(
-            "bhwc,co->bhwo", mu, w2, preferred_element_type=mu.dtype
+            "bhwc,co->bhwo",
+            mu,
+            w2,
+            precision=_MXU_PRECISION,
+            preferred_element_type=mu.dtype,
         )
         t = jnp.sum(
             (jnp.square(mu) + sigma).astype(jnp.float32), -1, keepdims=True
@@ -377,6 +389,7 @@ def vconv(
             "bhwc,co->bhwo",
             sigma,
             jnp.square(w2),
+            precision=_MXU_PRECISION,
             preferred_element_type=sigma.dtype,
         )
         return _act(mu_out), _act(sigma_out)
@@ -384,7 +397,11 @@ def vconv(
         # ONE conv: input [mu ‖ sigma ‖ sum(mu^2+sigma)], kernel blockdiag
         # [w_mu -> mu_out; w_mu^2 -> sig; ones -> winsum]. 2x the MACs of
         # the split form, but a single kernel / single HBM pass.
-        t = jnp.sum(jnp.square(mu) + sigma, axis=-1, keepdims=True)
+        t = jnp.sum(
+            (jnp.square(mu) + sigma).astype(jnp.float32),
+            axis=-1,
+            keepdims=True,
+        ).astype(mu.dtype)
         z = jnp.concatenate([mu, sigma, t], axis=-1)
         kern = jnp.zeros(
             (k, k, 2 * cin + 1, 2 * cout + 1), jnp.float32
@@ -404,7 +421,11 @@ def vconv(
         # kernel blockdiag [w_mu^2, 0; 0, ones] — 2 kernels per vconv instead
         # of 3, and no 1->1-channel conv (which occupies a full MXU pass for
         # 1/128^2 of its throughput).
-        t = jnp.sum(jnp.square(mu) + sigma, axis=-1, keepdims=True)
+        t = jnp.sum(
+            (jnp.square(mu) + sigma).astype(jnp.float32),
+            axis=-1,
+            keepdims=True,
+        ).astype(mu.dtype)
         z = jnp.concatenate([sigma, t], axis=-1)
         kern = jnp.pad(jnp.square(w_mu), ((0, 0), (0, 0), (0, 1), (0, 1)))
         kern = kern.at[:, :, cin, cout].set(1.0)

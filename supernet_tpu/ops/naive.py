@@ -107,10 +107,17 @@ def vmaxpool_naive(mu: Array, sigma: Array) -> tuple[Array, Array]:
     TF ``max_pool_with_argmax`` + flat ``tf.gather`` analog; measured ~20x
     slower than the strided-slice/where tree in moments.vmaxpool on TPU)."""
     b, h, w, c = mu.shape
-    ho, wo = h // 2, w // 2
+    # SAME-pad odd spatial dims at the bottom/right like the production
+    # vmaxpool (padded mu lanes are -inf so they never win)
+    ho, wo = -(-h // 2), -(-w // 2)
+    if (2 * ho, 2 * wo) != (h, w):
+        pad = ((0, 0), (0, 2 * ho - h), (0, 2 * wo - w), (0, 0))
+        fill = jnp.finfo(mu.dtype).min
+        mu = jnp.pad(mu, pad, constant_values=fill)
+        sigma = jnp.pad(sigma, pad)
     # [B, ho, 2, wo, 2, C] -> windows on one axis
-    mw = mu[:, : 2 * ho, : 2 * wo].reshape(b, ho, 2, wo, 2, c)
-    sw = sigma[:, : 2 * ho, : 2 * wo].reshape(b, ho, 2, wo, 2, c)
+    mw = mu.reshape(b, ho, 2, wo, 2, c)
+    sw = sigma.reshape(b, ho, 2, wo, 2, c)
     mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(b, ho, wo, 4, c)
     sw = sw.transpose(0, 1, 3, 2, 4, 5).reshape(b, ho, wo, 4, c)
     idx = jnp.argmax(mw, axis=3)  # first occurrence, like TF

@@ -39,7 +39,7 @@ Array = jax.Array
 _VMEM_BUDGET = 12 << 20
 
 
-def _pick_th(h_out: int, w: int, c: int, itemsize: int = 2) -> int:
+def _pick_th(h_out: int, w: int, c: int, itemsize: int) -> int:
     """H-out tile: full H when it fits, else halve until within budget."""
     lanes = -(-c // 128) * 128  # lane dim pads to 128 in VMEM
 
@@ -176,7 +176,7 @@ def vmaxpool_pallas(mu: Array, sigma: Array):
 
 def _vmp_fwd(mu: Array, sigma: Array):
     b, h, w, c = mu.shape
-    th = _pick_th(h // 2, w, c)
+    th = _pick_th(h // 2, w, c, mu.dtype.itemsize)
     # tile must divide H_out exactly (Blocked specs recompute otherwise)
     while (h // 2) % th:
         th -= 1
@@ -187,7 +187,7 @@ def _vmp_fwd(mu: Array, sigma: Array):
 def _vmp_bwd(idx, g):
     g_mu, g_sigma = g
     b, ho, wo, c = idx.shape
-    th = _pick_th(ho, 2 * wo, c)
+    th = _pick_th(ho, 2 * wo, c, g_mu.dtype.itemsize)
     while ho % th:
         th -= 1
     d_mu, d_sigma = _pool_bwd_call(idx, g_mu, g_sigma, th, _INTERPRET)

@@ -143,6 +143,10 @@ class InferenceSession:
         """[N, H, W, C] -> (probs, sigma), each [N, H_out, W_out, classes]."""
         x = np.asarray(x, np.float32)
         n = len(x)
+        if n == 0:
+            shape = (0, self.cfg.out_size, self.cfg.out_size,
+                     self.cfg.n_classes)
+            return np.zeros(shape, np.float32), np.zeros(shape, np.float32)
         probs_out, sigma_out = [], []
         for i in range(0, n, self.batch_size):
             chunk = x[i : i + self.batch_size]

@@ -72,8 +72,8 @@ class Trainer:
         self.mesh = mesh
         # per-structure train/val Dice + Hausdorff every epoch, like the
         # reference's epoch records (`Hippocampus.py:640-742`); costs one
-        # [B, H*W] int32 fetch per step + host metrics. Disable for
-        # throughput-only runs.
+        # [B, H*W] int32 fetch per step + host metrics (excluded from the
+        # reported images/sec). Disable for throughput-only runs.
         self.track_curves = track_curves
         self.structures = M.dataset_structures(exp.name)
         # steps_per_dispatch > 1: chunk K batches into one lax.scan dispatch
@@ -205,6 +205,16 @@ class Trainer:
         t_dice = {s: [] for s in self.structures}
         t_haus = {s: [] for s in self.structures}
         timer = StepTimer()
+        # per-tick bookkeeping so images/sec is exact for partial batches
+        # and trailing single-step chunks, and so the host-side curve
+        # metrics (track_curves) don't contaminate the device rate
+        tick_imgs: List[int] = []
+        tick_host: List[float] = []
+
+        def record(pred_flat, y_np) -> float:
+            t0 = time.perf_counter()
+            self._record_structures(pred_flat, y_np, t_dice, t_haus)
+            return time.perf_counter() - t0
         it = BatchIterator(
             self.train_ds.batches(
                 self.tc.batch_size,
@@ -225,14 +235,18 @@ class Trainer:
                     continue
                 xb = self._put(np.stack(xs))
                 yb = self._put(np.stack(ys))
+                n_imgs = sum(len(b) for b in xs)
                 chunk_ys, xs, ys = ys, [], []
+                host_s = 0.0
                 if self.track_curves:
                     state, ms, preds = self.step_fn(state, xb, yb)
+                    t0 = time.perf_counter()
                     preds = np.asarray(preds)  # one [K, B, H*W] fetch
                     for i, y_np in enumerate(chunk_ys):
                         self._record_structures(
                             preds[i], y_np, t_dice, t_haus
                         )
+                    host_s = time.perf_counter() - t0
                 else:
                     state, ms = self.step_fn(state, xb, yb)
                 chunk_losses = np.asarray(ms.loss)
@@ -247,13 +261,16 @@ class Trainer:
                     )
                 step += self.k_steps
                 timer.tick()
+                tick_imgs.append(n_imgs)
+                tick_host.append(host_s)
                 continue
             xb = self._put(x)
             # integer labels; one-hot happens on device inside the jitted step
             yb = self._put(np.ascontiguousarray(y_c, np.int32))
+            host_s = 0.0
             if self.track_curves:
                 state, m, pred = self.step_fn(state, xb, yb)
-                self._record_structures(pred, y_c, t_dice, t_haus)
+                host_s = record(pred, y_c)
             else:
                 state, m = self.step_fn(state, xb, yb)
             if step % self.tc.log_every == 0:
@@ -266,6 +283,8 @@ class Trainer:
             accs.append(float(m.accuracy))
             step += 1
             timer.tick()
+            tick_imgs.append(len(x))
+            tick_host.append(host_s)
         if xs:
             # trailing batches that don't fill a steps-per-dispatch chunk
             # are trained through the single-step path so no data is dropped
@@ -275,11 +294,12 @@ class Trainer:
                 "through the single-step path"
             )
             for x, y_c in zip(xs, ys):
+                host_s = 0.0
                 if self.track_curves:
                     state, m, pred = self._leftover_step(
                         state, self._put(x), self._put(y_c)
                     )
-                    self._record_structures(pred, y_c, t_dice, t_haus)
+                    host_s = record(pred, y_c)
                 else:
                     state, m = self._leftover_step(
                         state, self._put(x), self._put(y_c)
@@ -288,6 +308,8 @@ class Trainer:
                 accs.append(float(m.accuracy))
                 step += 1
                 timer.tick()
+                tick_imgs.append(len(x))
+                tick_host.append(host_s)
         if self.track_curves:
             for s in self.structures:
                 self.history.setdefault(f"train_dice_{s}", []).append(
@@ -297,10 +319,17 @@ class Trainer:
                     float(np.nanmean(t_haus[s]))
                 )
         timer.sync(state.params)
-        # drop the first interval (it absorbs the jit compile) when possible
-        window = max(len(timer.times) - 1, 2)
-        rate = timer.rate(window=window)  # dispatches/sec
-        ips = rate * self.tc.batch_size * self.k_steps
+        # images/sec from exact per-tick image counts (partial batches and
+        # trailing single-step chunks count what they actually trained),
+        # minus the host-side curve-metric time so track_curves does not
+        # contaminate the device rate. The first interval absorbs the jit
+        # compile and is dropped when there is more than one.
+        n_ticks = len(tick_imgs)
+        skip = 1 if n_ticks > 1 else 0
+        secs = timer.times[-1] - timer.times[skip] if n_ticks > skip else 0.0
+        secs -= sum(tick_host[skip:])
+        imgs = sum(tick_imgs[skip:])
+        ips = imgs / secs if secs > 0 else 0.0
         self.history.setdefault("images_per_sec", []).append(ips)
         log(
             f"epoch {epoch}: {ips:.4g} images/sec "
