@@ -211,6 +211,12 @@ def test_vmaxpool_odd_size():
     # Bottom-right corner window contains just element (4,4).
     np.testing.assert_allclose(mu_o[:, 2, 2, :], mu[:, 4, 4, :])
     np.testing.assert_allclose(sg_o[:, 2, 2, :], sigma[:, 4, 4, :])
+    # the naive oracle SAME-pads odd dims identically (it used to truncate)
+    from supernet_tpu.ops.naive import vmaxpool_naive
+
+    mu_n, sg_n = vmaxpool_naive(mu, sigma)
+    np.testing.assert_array_equal(np.asarray(mu_o), np.asarray(mu_n))
+    np.testing.assert_array_equal(np.asarray(sg_o), np.asarray(sg_n))
 
 
 # ---------------------------------------------------------------- vunpool
