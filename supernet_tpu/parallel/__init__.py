@@ -2,6 +2,7 @@ from supernet_tpu.parallel.spatial import (
     halo_exchange_rows,
     make_spatial_encoder_block,
     make_spatial_forward,
+    make_spatial_train_step,
     make_spatial_vconv,
     trim_valid,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "halo_exchange_rows",
     "make_spatial_encoder_block",
     "make_spatial_forward",
+    "make_spatial_train_step",
     "make_spatial_vconv",
     "trim_valid",
     "make_mesh",

@@ -178,6 +178,52 @@ def make_spatial_forward(cfg, mesh: Mesh, axis_name: str = "data"):
     return f
 
 
+def make_spatial_train_step(cfg, tc, mesh: Mesh, axis_name: str = "data"):
+    """Full training step with the image H axis sharded over the mesh —
+    spatial partitioning of forward AND backward.
+
+    Same GSPMD recipe as ``make_spatial_forward``: parameters and labels
+    replicated, the input's H axis sharded, the per-block ``constrain``
+    hook re-pinning H to the mesh through the whole net. The partitioner
+    inserts the halo exchanges for every conv, conv-transpose and pool
+    gradient, and all-reduces the (replicated-output) weight gradients —
+    so ACTIVATION memory for the step scales ~1/D while the optimizer
+    state stays replicated. This is the training-side path for inputs
+    too large for one chip's HBM, complementary to data parallelism
+    (which needs batch >= mesh and scales neither activation height nor
+    per-sample memory).
+
+    Numerics match the unsharded step to f32 reduction-order tolerance
+    (tests/test_spatial.py::test_spatial_train_step_matches_unsharded).
+    """
+    from jax.sharding import NamedSharding
+
+    from supernet_tpu.train import _train_step, make_optimizer
+
+    opt = make_optimizer(tc)
+    repl = NamedSharding(mesh, P())
+    x_sharded = NamedSharding(mesh, P(None, axis_name))
+    h_sharding = NamedSharding(mesh, P(None, axis_name))
+
+    def constrain(m, s):
+        m = jax.lax.with_sharding_constraint(m, h_sharding)
+        s = jax.lax.with_sharding_constraint(s, h_sharding)
+        return m, s
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, x_sharded, repl),
+        donate_argnums=(0,),
+    )
+    def step(state, x, y):
+        new_state, metrics, _ = _train_step(
+            state, x, y, opt, cfg, tc, constrain=constrain
+        )
+        return new_state, metrics
+
+    return step
+
+
 def trim_valid(y: Array, k: int = 3) -> Array:
     """Drop the ``(k-1)//2`` zero-halo-contaminated rows at the global top
     and bottom of a spatially-sharded conv output, recovering the exact

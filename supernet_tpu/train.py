@@ -86,12 +86,15 @@ def loss_fn(
     y: Array,
     cfg: ModelConfig,
     tc: TrainConfig,
+    constrain=None,
 ) -> Tuple[Array, Tuple[Array, Array, Array, Array]]:
     """Total loss + auxiliaries. ``y`` is one-hot flattened [B, N, C] or an
     integer label map [B, H, W] (one-hot encoded on device, inside jit — the
-    host then ships 4-byte labels instead of C float rows per pixel)."""
+    host then ships 4-byte labels instead of C float rows per pixel).
+    ``constrain`` is the per-block sharding hook forwarded to the model
+    (parallel.spatial uses it to keep the H axis mesh-sharded)."""
     y = ensure_one_hot(y, cfg.n_classes)
-    probs, sigma = forward(params, x, cfg)
+    probs, sigma = forward(params, x, cfg, constrain=constrain)
     kl = kl_regularizer(params)
     loss = elbo_loss(
         y, probs, sigma, kl, tc.kl_factor,
@@ -111,11 +114,12 @@ def _train_step(
     opt: optax.GradientTransformation,
     cfg: ModelConfig,
     tc: TrainConfig,
+    constrain=None,
 ) -> Tuple[TrainState, StepMetrics, Array]:
     y = ensure_one_hot(y, cfg.n_classes)
     (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
-    )(state.params, x, y, cfg, tc)
+    )(state.params, x, y, cfg, tc, constrain)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B, H*W]

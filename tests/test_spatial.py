@@ -101,3 +101,56 @@ def test_spatial_forward_matches_unsharded():
     p_sp, s_sp = f(params, x)
     np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_sp), np.asarray(s_ref), atol=2e-5)
+
+
+def test_spatial_train_step_matches_unsharded():
+    """One FULL training step (loss + grads + Adam + clipnorm) with the
+    image H axis sharded over 8 devices equals the unsharded step —
+    GSPMD partitions the backward's halo exchanges and all-reduces the
+    weight gradients. Tolerance covers f32 reduction-order differences."""
+    import dataclasses
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import init_params
+    from supernet_tpu.parallel import make_spatial_train_step
+    from supernet_tpu.train import (
+        create_train_state,
+        make_train_step,
+        one_hot_flatten,
+    )
+
+    exp = HIPPOCAMPUS
+    cfg = dataclasses.replace(exp.model, base_kernels=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 1)).astype(np.float32))
+    y = one_hot_flatten(
+        jnp.asarray(
+            rng.integers(0, cfg.n_classes, (2, cfg.out_size, cfg.out_size))
+            .astype(np.int32)
+        ),
+        cfg.n_classes,
+    )
+
+    # independent buffer copies: both steps donate their carried state
+    params2 = jax.tree.map(jnp.array, params)
+    state_ref, _ = create_train_state(params, exp.train)
+    step_ref = make_train_step(cfg, exp.train)
+    state_ref, m_ref = step_ref(state_ref, x, y)
+
+    mesh = make_mesh(8)
+    state_sp, _ = create_train_state(params2, exp.train)
+    step_sp = make_spatial_train_step(cfg, exp.train, mesh)
+    state_sp, m_sp = step_sp(state_sp, x, y)
+
+    np.testing.assert_allclose(
+        float(m_sp.loss), float(m_ref.loss), rtol=1e-5
+    )
+    for layer, ws in state_ref.params.items():
+        for k, v in ws.items():
+            np.testing.assert_allclose(
+                np.asarray(state_sp.params[layer][k]),
+                np.asarray(v),
+                atol=2e-5,
+                err_msg=f"{layer}/{k}",
+            )
