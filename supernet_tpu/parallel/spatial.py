@@ -152,20 +152,9 @@ def make_spatial_forward(cfg, mesh: Mesh, axis_name: str = "data"):
     numerically identical to the unsharded forward
     (tests/test_spatial.py::test_spatial_forward_matches_unsharded).
     """
-    from jax.sharding import NamedSharding
-
     from supernet_tpu.models.unet import forward
 
-    repl = NamedSharding(mesh, P())
-    x_sharded = NamedSharding(mesh, P(None, axis_name))
-    h_sharding = NamedSharding(mesh, P(None, axis_name))
-
-    def constrain(m, s):
-        # re-pin H -> mesh after every block so GSPMD keeps the spatial
-        # partitioning through the whole net (uneven H is padded internally)
-        m = jax.lax.with_sharding_constraint(m, h_sharding)
-        s = jax.lax.with_sharding_constraint(s, h_sharding)
-        return m, s
+    repl, x_sharded, constrain = _spatial_shardings(mesh, axis_name)
 
     @functools.partial(
         jax.jit,
@@ -176,6 +165,24 @@ def make_spatial_forward(cfg, mesh: Mesh, axis_name: str = "data"):
         return forward(params, x, cfg, constrain=constrain)
 
     return f
+
+
+def _spatial_shardings(mesh: Mesh, axis_name: str):
+    """The shared GSPMD spatial recipe: (replicated sharding, H-sharded
+    activation sharding, per-block constrain hook re-pinning H to the mesh
+    so the partitioner keeps the spatial split through the whole net —
+    uneven H is padded internally)."""
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    h_sharded = NamedSharding(mesh, P(None, axis_name))
+
+    def constrain(m, s):
+        m = jax.lax.with_sharding_constraint(m, h_sharded)
+        s = jax.lax.with_sharding_constraint(s, h_sharded)
+        return m, s
+
+    return repl, h_sharded, constrain
 
 
 def make_spatial_train_step(cfg, tc, mesh: Mesh, axis_name: str = "data"):
@@ -196,23 +203,19 @@ def make_spatial_train_step(cfg, tc, mesh: Mesh, axis_name: str = "data"):
     Numerics match the unsharded step to f32 reduction-order tolerance
     (tests/test_spatial.py::test_spatial_train_step_matches_unsharded).
     """
-    from jax.sharding import NamedSharding
-
     from supernet_tpu.train import _train_step, make_optimizer
 
     opt = make_optimizer(tc)
-    repl = NamedSharding(mesh, P())
-    x_sharded = NamedSharding(mesh, P(None, axis_name))
-    h_sharding = NamedSharding(mesh, P(None, axis_name))
-
-    def constrain(m, s):
-        m = jax.lax.with_sharding_constraint(m, h_sharding)
-        s = jax.lax.with_sharding_constraint(s, h_sharding)
-        return m, s
+    repl, x_sharded, constrain = _spatial_shardings(mesh, axis_name)
 
     @functools.partial(
         jax.jit,
         in_shardings=(repl, x_sharded, repl),
+        # pin the carried state AND metrics replicated: without this GSPMD
+        # may pick a sharded layout for some leaf and every iteration would
+        # pay an implicit reshard to satisfy in_shardings (and break the
+        # donation)
+        out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
     def step(state, x, y):

@@ -141,6 +141,11 @@ def test_spatial_train_step_matches_unsharded():
     mesh = make_mesh(8)
     state_sp, _ = create_train_state(params2, exp.train)
     step_sp = make_spatial_train_step(cfg, exp.train, mesh)
+    # the step must actually execute H-sharded: GSPMD's halo exchanges
+    # show up as collective-permutes in the partitioned module (numeric
+    # parity alone would also pass for a silently-replicated fallback)
+    hlo = step_sp.lower(state_sp, x, y).compile().as_text()
+    assert "collective-permute" in hlo or "all-to-all" in hlo
     state_sp, m_sp = step_sp(state_sp, x, y)
 
     np.testing.assert_allclose(
