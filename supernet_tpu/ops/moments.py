@@ -146,10 +146,16 @@ def _use_pallas_for(x: Array, w_mu: Array) -> bool:
     for this layer (per-layer mixed dispatch)."""
     if not _use_pallas():
         return False
+    k = w_mu.shape[0]
+    if k == 1:
+        # the 1x1 einsum special-case below beats the kernel (no window
+        # sum to fuse), and the head-layer kernel can exceed the scoped
+        # VMEM limit (measured: [20,54,54,32]->3 OOMs by 1.3M)
+        return False
     from supernet_tpu.ops.pallas.vdp_conv import shape_supported
 
     b, h, w, cin = x.shape
-    k, _, _, cout = w_mu.shape
+    _, _, _, cout = w_mu.shape
     return shape_supported(h, w, cin, cout, k)
 
 

@@ -455,9 +455,23 @@ def vdp_conv(
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Fused VDP conv (+ optional ReLU). ``sigma=None`` selects the
-    deterministic-input form (the reference's ``myConv_input``)."""
+    deterministic-input form (the reference's ``myConv_input``).
+
+    The kernel computes in f32 (bf16 compares/selects are rejected by
+    this toolchain's Mosaic — see ops/pallas/pool.py); under bf16
+    activations the moment tensors are upcast at this boundary and the
+    outputs cast back, so the mixed backend composes with
+    ``SUPERNET_ACT_DTYPE=bfloat16``.
+    """
+    import jax.numpy as jnp
+
+    act_dt = mu.dtype
+    if act_dt != jnp.float32:
+        mu = mu.astype(jnp.float32)
+        sigma = sigma.astype(jnp.float32) if sigma is not None else None
     k = w_mu.shape[0]
     f = _make_vdp_conv(k, fuse_relu, sigma is not None, precision, interpret)
-    if sigma is None:
-        return f(mu, w_mu, w_sigma)
-    return f(mu, sigma, w_mu, w_sigma)
+    out = f(mu, w_mu, w_sigma) if sigma is None else f(mu, sigma, w_mu, w_sigma)
+    if act_dt != jnp.float32:
+        out = tuple(o.astype(act_dt) for o in out)
+    return out
