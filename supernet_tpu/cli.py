@@ -225,9 +225,23 @@ def main(argv=None) -> int:
 
         mesh = None
         if args.data_parallel:
-            from supernet_tpu.parallel import make_mesh
+            import jax
 
-            mesh = make_mesh()
+            from supernet_tpu.parallel import make_mesh_for_batch
+
+            # the batch axis must divide over the mesh (NamedSharding);
+            # shrink the mesh to the largest divisor of batch_size so the
+            # default batch (20) works on any device count (e.g. 8 -> 5)
+            mesh = make_mesh_for_batch(exp.train.batch_size)
+            if len(mesh.devices.flat) < jax.device_count():
+                print(
+                    f"note: batch {exp.train.batch_size} does not divide "
+                    f"over {jax.device_count()} devices; using a "
+                    f"{len(mesh.devices.flat)}-device mesh (pass "
+                    "--batch-size as a multiple of the device count to "
+                    "use all devices)",
+                    file=sys.stderr,
+                )
         train_ds = _load_data(exp, args, "train")
         if getattr(args, "val_data", None):
             val_ds = _load_data(exp.replace(data_path=args.val_data),

@@ -66,6 +66,59 @@ def _forward_fn(cfg, mesh=None):
     return f
 
 
+def _nanmean(a) -> float:
+    """np.nanmean that returns NaN silently on an all-NaN input (untargeted
+    BraTS attacks can zero out a structure in every image, making e.g.
+    per-image dice all-NaN — the reference's np.nanmean emits a
+    RuntimeWarning there and still yields NaN)."""
+    a = np.asarray(a, np.float64)
+    if not np.any(np.isfinite(a)):
+        return float("nan")
+    return float(np.nanmean(a))
+
+
+def _nanstd(a, ddof: int = 1) -> float:
+    """np.nanstd(ddof=1) without the degrees-of-freedom warning when fewer
+    than 2 finite values exist."""
+    a = np.asarray(a, np.float64)
+    if np.sum(np.isfinite(a)) <= ddof:
+        return float("nan")
+    return float(np.nanstd(a, ddof=ddof))
+
+
+def _aggregate_structures(
+    result: Dict[str, object],
+    structs,
+    acc_metrics: Dict[str, List[M.StructureMetrics]],
+) -> None:
+    """The reference's per-structure report block (`Hippocampus.py:1051-1118`,
+    `:1360-1399`): dice + std, Hausdorff, sens/prec/spec, RVD, over/under
+    segmentation, c_score — NaN-safe for structures absent from every image
+    (untargeted BraTS attacks)."""
+    for s in structs:
+        ms = acc_metrics[s]
+        all_dice = np.concatenate([m.all_dice for m in ms])
+        result[f"dice_{s}"] = _nanmean(all_dice)
+        result[f"dice_{s}_std"] = _nanstd(all_dice)
+        result[f"hausdorff_{s}"] = float(np.mean([m.hausdorff for m in ms]))
+        for field in (
+            "sensitivity",
+            "precision",
+            "specificity",
+            "rvd",
+            "over_seg",
+            "under_seg",
+        ):
+            result[f"{field}_{s}"] = _nanmean(
+                [getattr(m, field) for m in ms]
+            )
+        # combined over/under score from mean sensitivity + specificity
+        # (`Hippocampus.py:1024,1394`: c_score(test_s, test_sp))
+        result[f"c_score_{s}"] = M.c_score(
+            result[f"sensitivity_{s}"], result[f"specificity_{s}"]
+        )
+
+
 def _crop_label(y: np.ndarray, size: int) -> np.ndarray:
     yc = center_crop_np(y[..., None] if y.ndim == 3 else y, size)
     return yc[..., 0] if yc.ndim == 4 else yc
@@ -125,21 +178,29 @@ def run_testing(
         yb_full = jnp.asarray(y.astype(np.int32))
         if noise.kind != "none" and noise.std > 0:
             key, sub = jax.random.split(key)
-            xb, snr = perturb.apply_noise(sub, xb, yb_full, noise, exp.name)
+            # crop_size: clip range + SNR use the center-cropped frames,
+            # exactly like the reference (`Hippocampus.py:1270-1271,1302-1307`)
+            xb, snr = perturb.apply_noise(
+                sub, xb, yb_full, noise, exp.name, crop_size=cfg.out_size
+            )
             snrs.append(float(snr))
         if mesh is not None:
             xb = _pad_batch(xb, exp.train.batch_size)
 
         t0 = time.perf_counter()
         probs, sigma = fwd(params, xb)
-        probs = np.asarray(probs)  # host fetch = true device completion
+        # host fetch of BOTH outputs = true device completion; the reference
+        # times the whole (logits, sigma) materialization
+        # (`Hippocampus.py:952-954`)
+        probs = np.asarray(probs)
+        sigma = np.asarray(sigma)
         t_infer += time.perf_counter() - t0
         n_batches += 1
 
-        probs_i = np.asarray(probs)[:b].reshape(
+        probs_i = probs[:b].reshape(
             b, cfg.out_size, cfg.out_size, cfg.n_classes
         )
-        sigma_i = np.asarray(sigma)[:b].reshape(
+        sigma_i = sigma[:b].reshape(
             b, cfg.out_size, cfg.out_size, cfg.n_classes
         )
         pred = np.argmax(probs_i, axis=-1)
@@ -176,28 +237,7 @@ def run_testing(
         "test_time_per_batch_s": t_infer / max(n_batches, 1),
         "out_dir": out_dir,
     }
-    for s in structs:
-        ms = acc_metrics[s]
-        all_dice = np.concatenate([m.all_dice for m in ms])
-        result[f"dice_{s}"] = float(np.nanmean(all_dice))
-        result[f"dice_{s}_std"] = float(np.nanstd(all_dice, ddof=1))
-        result[f"hausdorff_{s}"] = float(np.mean([m.hausdorff for m in ms]))
-        for field in (
-            "sensitivity",
-            "precision",
-            "specificity",
-            "rvd",
-            "over_seg",
-            "under_seg",
-        ):
-            result[f"{field}_{s}"] = float(
-                np.nanmean([getattr(m, field) for m in ms])
-            )
-        # combined over/under score from mean sensitivity + specificity
-        # (`Hippocampus.py:1024,1394`: c_score(test_s, test_sp))
-        result[f"c_score_{s}"] = M.c_score(
-            result[f"sensitivity_{s}"], result[f"specificity_{s}"]
-        )
+    _aggregate_structures(result, structs, acc_metrics)
 
     artifact = reports.save_uncertainty_artifact(
         out_dir,
@@ -292,14 +332,16 @@ def run_adversarial(
 
         t0 = time.perf_counter()
         probs, sigma = fwd(params, adv)
-        probs = np.asarray(probs)  # host fetch = true device completion
+        # both outputs fetched inside the timed window (`Hippocampus.py:952-954`)
+        probs = np.asarray(probs)
+        sigma = np.asarray(sigma)
         t_infer += time.perf_counter() - t0
         n_batches += 1
 
-        probs_i = np.asarray(probs)[:b].reshape(
+        probs_i = probs[:b].reshape(
             b, cfg.out_size, cfg.out_size, cfg.n_classes
         )
-        sigma_i = np.asarray(sigma)[:b].reshape(
+        sigma_i = sigma[:b].reshape(
             b, cfg.out_size, cfg.out_size, cfg.n_classes
         )
         pred = np.argmax(probs_i, axis=-1)
@@ -340,29 +382,7 @@ def run_adversarial(
         "test_time_per_batch_s": t_infer / max(n_batches, 1),
         "out_dir": out_dir,
     }
-    # the full per-structure surface of the reference's adversarial report
-    # (`Hippocampus.py:1051-1118`): dice + std, Hausdorff, sensitivity,
-    # precision, specificity, RVD, over-/under-segmentation, c_score
-    for s in structs:
-        ms = acc_metrics[s]
-        all_dice = np.concatenate([m.all_dice for m in ms])
-        result[f"dice_{s}"] = float(np.nanmean(all_dice))
-        result[f"dice_{s}_std"] = float(np.nanstd(all_dice, ddof=1))
-        result[f"hausdorff_{s}"] = float(np.mean([m.hausdorff for m in ms]))
-        for field in (
-            "sensitivity",
-            "precision",
-            "specificity",
-            "rvd",
-            "over_seg",
-            "under_seg",
-        ):
-            result[f"{field}_{s}"] = float(
-                np.nanmean([getattr(m, field) for m in ms])
-            )
-        result[f"c_score_{s}"] = M.c_score(
-            result[f"sensitivity_{s}"], result[f"specificity_{s}"]
-        )
+    _aggregate_structures(result, structs, acc_metrics)
 
     artifact = reports.save_uncertainty_artifact(
         out_dir, probs, sigma, advs, ys, acc=result["accuracy"]

@@ -42,6 +42,35 @@ _PEAK_BF16_TFLOPS = (
     ("v2", 45.0),
 )
 
+# peak HBM bandwidth GB/s per chip (public spec sheets) — the other roofline
+# axis: a step is bandwidth-bound when min_hbm_bytes / peak_BW ~= step time.
+_PEAK_HBM_GBPS = (
+    ("v6", 1640.0),  # Trillium
+    ("v5p", 2765.0),
+    ("v5e", 819.0),
+    ("v5", 819.0),
+    ("v4", 1228.0),
+    ("v3", 900.0),
+    ("v2", 700.0),
+)
+
+
+def peak_hbm_gbps(device=None) -> float:
+    """Peak HBM GB/s of ``device`` (default: first visible device); 0.0 when
+    unknown. Override with SUPERNET_TPU_PEAK_HBM_GBPS."""
+    import os
+
+    env = os.environ.get("SUPERNET_TPU_PEAK_HBM_GBPS")
+    if env:
+        return float(env)
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, gbps in _PEAK_HBM_GBPS:
+        if key in kind.replace(" ", ""):
+            return gbps
+    return 0.0
+
 
 def peak_tflops(device=None) -> float:
     """bf16 peak TFLOP/s of ``device`` (default: first visible device); 0.0
@@ -122,3 +151,87 @@ def mfu(flops_per_second: float, device=None) -> float:
     if peak <= 0:
         return 0.0
     return flops_per_second / (peak * 1e12)
+
+
+# ---------------------------------------------------------------------------
+# HBM bytes model (the roofline's other axis)
+# ---------------------------------------------------------------------------
+
+
+def param_bytes(cfg: ModelConfig, dtype_bytes: int = 4) -> float:
+    """Total parameter bytes (w_mu + w_sigma across all layers)."""
+    import numpy as np
+
+    from supernet_tpu.models import init_params
+
+    params = jax.eval_shape(
+        lambda k: init_params(k, cfg), jax.random.PRNGKey(0)
+    )
+    return float(
+        sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
+        * dtype_bytes
+    )
+
+
+def forward_act_bytes(
+    cfg: ModelConfig, batch: int = 1, act_bytes: int = 2
+) -> float:
+    """MINIMUM forward HBM activation traffic at ``act_bytes``/element.
+
+    Counts, for every conv layer, one read of its (mu, sigma) input pair and
+    one write of its output pair — i.e. every inter-layer tensor moves
+    through HBM exactly once each way, with all elementwise ops (relu masks,
+    pads, variance scaling) perfectly fused into the convs. Pool/concat
+    re-reads are not charged. This is the optimistic lower bound a
+    bandwidth-roofline needs: if even this traffic at peak HBM GB/s ~= the
+    measured step time, the step is memory-bound.
+
+    Geometry: VALID convs read (H_out + k - 1)^2; the fused unpool+2x2 convs
+    (``vunpool_conv2``, ops/moments.py:629) read the PRE-unpool tensor of
+    size (H_out / 2)^2 — one of the wins over the reference's materialized
+    zero-interleave (`Hippocampus.py:26-51`).
+    """
+    from supernet_tpu.models import layer_names
+
+    shapes = dict(_conv_shapes(cfg))
+    total = 0.0
+    for name, k, cin, cout in layer_names(cfg):
+        h_out = shapes[name]
+        if name.endswith("_conv2x2"):
+            h_in = h_out // 2
+        else:
+            h_in = h_out + k - 1
+        n_in_moments = 1 if name == "conv_input" else 2
+        total += h_in * h_in * cin * n_in_moments  # read mu(,sigma)
+        total += h_out * h_out * cout * 2  # write mu+sigma
+    return float(total) * batch * act_bytes
+
+
+def train_step_min_bytes(
+    cfg: ModelConfig, batch: int, act_bytes: int = 2
+) -> float:
+    """HBM traffic model of one train step under the STORE-EVERYTHING
+    strategy: forward + backward activation movement (bwd reads every
+    residual and moves the grad stream both ways ~= 2x forward) +
+    parameter/optimizer traffic (params read fwd+bwd, grads written+read,
+    Adam m/v read+write, params written ~= 9x param bytes, f32).
+
+    Two caveats vs the truth: (a) remat/fusion can UNDERCUT this by
+    recomputing instead of storing (XLA fuses aggressively; its own
+    bytes-accessed estimate for the compiled BraTS step is ~3x below this
+    model); (b) re-reads from poor scheduling can exceed it. Treat it as
+    the traffic scale of the classic roofline, reported alongside XLA's
+    compiled-module estimate in bench.py, not as a hard bound."""
+    return 3.0 * forward_act_bytes(cfg, batch, act_bytes) + 9.0 * param_bytes(
+        cfg
+    )
+
+
+def hbm_utilization(
+    bytes_per_second: float, device=None
+) -> float:
+    """Achieved HBM bandwidth vs the chip's peak; 0.0 if peak unknown."""
+    peak = peak_hbm_gbps(device)
+    if peak <= 0:
+        return 0.0
+    return bytes_per_second / (peak * 1e9)

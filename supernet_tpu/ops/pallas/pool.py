@@ -11,11 +11,14 @@ Why a kernel: in the XLA composition the pool subsystem costs ~10 ms of a
 6-D interleave copies in the custom VJP), where the pure bandwidth bound
 is ~1 ms. A Pallas pair does each direction in one HBM pass:
 
-  fwd: read mu, sigma -> write mu_out, sigma_out, idx (int8 tap index)
+  fwd: read mu, sigma -> write mu_out, sigma_out, idx (tap index 0..3)
   bwd: read idx, g_mu, g_sigma -> write d_mu, d_sigma
 
-The tap index is the only residual (quarter-res int8), so the backward
-never re-reads the full-resolution inputs.
+The tap index is the only residual. It is stored in the ACTIVATION dtype
+(values 0..3 are exact in bf16/f32) because this toolchain's Mosaic lowers
+mixed int8/float block stores poorly; at quarter resolution that residual
+is still <=1/8 of either input, so the backward never re-reads the
+full-resolution inputs.
 
 Tiling: grid ``(B, H_out/TH)``; input blocks ``[1, 2*TH, W, C]``, output
 blocks ``[1, TH, W/2, C]`` — plain Blocked specs only (this toolchain's

@@ -14,9 +14,12 @@ Semantics preserved:
   (`Hippocampus.py:1278-1299`); BraTS ``'O'`` = object/tumor (label > 0),
   ``'B'`` = background (label == 0) (`Brats.py:1257-1276`); anything else =
   everywhere.
-- after adding noise the image is clipped to the clean batch's [min, max]
-  (`Hippocampus.py:1298`).
-- SNR per batch: ``10 * log10(sum(x^2) / sum((x - noisy)^2))``
+- after adding noise the image is clipped to the [min, max] of the
+  CENTER-CROPPED clean batch (``max_val = np.amax(x1)`` where ``x1`` is the
+  crop to the model's output size, `Hippocampus.py:1270-1271,1298`) — pass
+  ``crop_size`` to ``apply_noise`` for this.
+- SNR per batch on the CROPPED frames:
+  ``10 * log10(sum(x1^2) / sum((x_crop - x1)^2))``
   (`Hippocampus.py:1302-1307`).
 
 All of it is jittable and runs on-device; the reference round-trips every
@@ -88,12 +91,21 @@ def apply_noise(
     y: Array,
     nc: NoiseConfig,
     dataset: str = "hippocampus",
+    crop_size: int = 0,
 ) -> Tuple[Array, Array]:
     """Corrupt ``x`` per the protocol; returns (noisy_x, snr_db).
 
-    ``x``: [B, H, W, C] images; ``y``: [B, H, W] integer labels (same spatial
-    size as x — callers crop first, as the reference does at
-    `Hippocampus.py:1256-1261`).
+    ``x``: [B, H, W, C] full-frame images; ``y``: [B, H, W] integer labels
+    (same spatial size as x — the reference builds the region mask from the
+    FULL-frame label, `Hippocampus.py:1279-1292`).
+
+    ``crop_size`` > 0 reproduces the reference's cropped-frame semantics
+    exactly: the clip range is the min/max of the CENTER-CROPPED clean batch
+    (``max_val = np.amax(x1)`` where ``x1`` is the crop,
+    `Hippocampus.py:1270-1271,1298`) and the SNR compares the CROPPED clean
+    vs cropped noisy frames (``t_x = x1; diff = x_crop - t_x``,
+    `Hippocampus.py:1302-1307`). With ``crop_size=0`` both use the full
+    frame (crop == frame).
     """
     if nc.kind == "none" or nc.std == 0.0:
         return x, jnp.asarray(jnp.inf, jnp.float32)
@@ -111,10 +123,21 @@ def apply_noise(
     if mask is not None:
         delta = delta * mask[..., None]
 
-    # every kind — including S&P — is clipped to the clean batch's range
-    # (Hippocampus.py:1298, Brats.py:1264/1271/1275 clip in all branches)
-    noisy = jnp.clip(x + delta, jnp.min(x), jnp.max(x))
-    snr = snr_db(x, noisy)
+    if crop_size and crop_size != x.shape[1]:
+        from supernet_tpu.ops.moments import crop_center
+
+        x_ref = crop_center(x, crop_size, crop_size)
+    else:
+        x_ref = x
+    # every kind — including S&P — is clipped to the CROP frame's range
+    # (Hippocampus.py:1270-1271,1298; Brats.py:1264/1271/1275 clip in all
+    # branches). Salt&pepper low_clip also keys off the crop frame.
+    noisy = jnp.clip(x + delta, jnp.min(x_ref), jnp.max(x_ref))
+    if crop_size and crop_size != x.shape[1]:
+        noisy_ref = crop_center(noisy, crop_size, crop_size)
+    else:
+        noisy_ref = noisy
+    snr = snr_db(x_ref, noisy_ref)
     return noisy, snr
 
 

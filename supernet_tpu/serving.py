@@ -122,6 +122,16 @@ class InferenceSession:
         self.batch_size = int(batch_size)
         self._mesh = mesh
         if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            if self.batch_size % n_dev != 0:
+                # surface the sharding constraint at setup, not inside the
+                # first predict() call's jit
+                raise ValueError(
+                    f"batch_size {self.batch_size} is not divisible by the "
+                    f"{n_dev}-device mesh; the compiled batch must shard "
+                    "evenly over the data axis"
+                )
+        if mesh is not None:
             from supernet_tpu.parallel import replicate
 
             params = replicate(mesh, params)

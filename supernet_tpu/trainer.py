@@ -84,6 +84,15 @@ class Trainer:
                 "steps_per_dispatch > 1 is not supported together with a "
                 "device mesh yet; drop one of the two options"
             )
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            if self.tc.batch_size % n_dev != 0:
+                raise ValueError(
+                    f"batch_size {self.tc.batch_size} is not divisible by "
+                    f"the {n_dev}-device mesh; use "
+                    "parallel.make_mesh_for_batch(batch_size) or pick a "
+                    "batch that is a multiple of the device count"
+                )
         if mesh is None:
             if self.k_steps > 1:
                 from supernet_tpu.train import make_multi_train_step
@@ -212,8 +221,13 @@ class Trainer:
         tick_host: List[float] = []
 
         def record(pred_flat, y_np) -> float:
+            # the fetch blocks on device completion of the step — it belongs
+            # to the device interval, so sync BEFORE opening the host timer
+            # (otherwise host_s would swallow the step compute and its
+            # subtraction below would inflate images/sec)
+            pred_np = np.asarray(pred_flat)
             t0 = time.perf_counter()
-            self._record_structures(pred_flat, y_np, t_dice, t_haus)
+            self._record_structures(pred_np, y_np, t_dice, t_haus)
             return time.perf_counter() - t0
         it = BatchIterator(
             self.train_ds.batches(
@@ -240,8 +254,9 @@ class Trainer:
                 host_s = 0.0
                 if self.track_curves:
                     state, ms, preds = self.step_fn(state, xb, yb)
-                    t0 = time.perf_counter()
+                    # fetch (= device sync) outside the host-metric timer
                     preds = np.asarray(preds)  # one [K, B, H*W] fetch
+                    t0 = time.perf_counter()
                     for i, y_np in enumerate(chunk_ys):
                         self._record_structures(
                             preds[i], y_np, t_dice, t_haus

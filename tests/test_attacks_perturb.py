@@ -167,3 +167,50 @@ def test_speckle_scales_with_signal():
     noisy, _ = perturb.apply_noise(key, x, y, nc, "hippocampus")
     # speckle noise on zero signal is zero
     np.testing.assert_array_equal(np.asarray(noisy), np.asarray(x))
+
+
+def test_cropped_frame_clip_and_snr_semantics():
+    """The reference clips noisy images to the min/max of the CENTER-CROPPED
+    clean batch (`max_val = np.amax(x1)`, `Hippocampus.py:1270-1271,1298`)
+    and computes SNR on the cropped frames (`t_x = x1; diff = x_crop - t_x`,
+    `Hippocampus.py:1302-1307`). Pinned with a deterministic S&P (+1
+    everywhere) batch whose border values lie outside the crop range."""
+    B, H, crop = 1, 6, 4
+    x = np.full((B, H, H, 1), -3.0, np.float32)  # border below crop min
+    x[0, 0, 0, 0] = 7.0  # and above crop max
+    interior = np.linspace(0.0, 1.0, crop * crop, dtype=np.float32).reshape(
+        crop, crop
+    )
+    x[0, 1:5, 1:5, 0] = interior
+    y = np.zeros((B, H, H), np.int32)
+    # p=1, q=1: every pixel salted -> delta = +1 everywhere (deterministic)
+    nc = NoiseConfig(kind="salt_and_pepper", std=1.0, sp_ratio=1.0,
+                     region="all")
+    noisy, snr = perturb.apply_noise(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y), nc, "brats",
+        crop_size=crop,
+    )
+    nn = np.asarray(noisy)[0, :, :, 0]
+    # clip range is the CROP frame's [0, 1], not the full frame's [-3, 7]
+    expected = np.clip(x[0, :, :, 0] + 1.0, 0.0, 1.0)
+    np.testing.assert_allclose(nn, expected, rtol=1e-6)
+    # SNR compares only the cropped frames (all-ones after the clip)
+    noisy_c = expected[1:5, 1:5]
+    exp_snr = 10.0 * np.log10(
+        np.sum(interior**2) / np.sum((noisy_c - interior) ** 2)
+    )
+    assert float(snr) == pytest.approx(float(exp_snr), abs=1e-4)
+
+
+def test_apply_noise_without_crop_matches_full_frame():
+    """crop_size=0 (or == frame) keeps the old full-frame behavior."""
+    key = jax.random.PRNGKey(1)
+    x = jnp.asarray(
+        np.linspace(0, 1, 36, dtype=np.float32).reshape(1, 6, 6, 1)
+    )
+    y = jnp.zeros((1, 6, 6), jnp.int32)
+    nc = NoiseConfig(kind="gaussian", std=0.3, region="all")
+    n0, s0 = perturb.apply_noise(key, x, y, nc, "hippocampus")
+    n1, s1 = perturb.apply_noise(key, x, y, nc, "hippocampus", crop_size=6)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    assert float(s0) == pytest.approx(float(s1))

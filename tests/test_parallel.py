@@ -235,3 +235,44 @@ def test_run_adversarial_with_mesh_matches_single_device(tmp_path):
                           mesh=make_mesh_for_batch(8))
     for k in ("accuracy", "snr_db", "dice_anterior", "dice_posterior"):
         assert par[k] == pytest.approx(ref[k], rel=1e-4, nan_ok=True), k
+
+
+def test_trainer_mesh_divisibility_guard():
+    """The DP train path must fail fast (not at device_put) when the batch
+    does not divide over the mesh (VERDICT r2 #3)."""
+    import dataclasses as dc
+
+    from supernet_tpu.data import PickleDataset, synthetic_dataset
+    from supernet_tpu.trainer import Trainer
+
+    exp = HIPPOCAMPUS.replace(
+        model=CFG, train=dc.replace(TC, batch_size=20)
+    )
+    x, y = synthetic_dataset(CFG, 20, seed=0)
+    ds = PickleDataset(x, y, 1)
+    with pytest.raises(ValueError, match="not divisible"):
+        Trainer(exp, ds, mesh=make_mesh(8))
+
+
+def test_trainer_dp_default_batch_on_non_dividing_devices(tmp_path):
+    """cli train --data-parallel with the default batch (20) on 8 devices:
+    make_mesh_for_batch shrinks the mesh to 5 devices and training runs."""
+    import dataclasses as dc
+
+    from supernet_tpu.data import PickleDataset, synthetic_dataset
+    from supernet_tpu.parallel import make_mesh_for_batch
+    from supernet_tpu.trainer import Trainer
+
+    exp = HIPPOCAMPUS.replace(
+        model=CFG,
+        train=dc.replace(TC, batch_size=20, epochs=1, log_every=100),
+    )
+    mesh = make_mesh_for_batch(20)
+    assert int(np.prod(mesh.devices.shape)) == 5  # 8 -> largest divisor of 20
+    x, y = synthetic_dataset(CFG, 20, seed=0)
+    ds = PickleDataset(x, y, 1)
+    tr = Trainer(
+        exp, ds, out_dir=str(tmp_path / "dp"), mesh=mesh, track_curves=False
+    )
+    tr.run(epochs=1, log=lambda *_: None)
+    assert np.isfinite(tr.history["train_loss"][-1])
