@@ -81,12 +81,22 @@ def build_parser() -> argparse.ArgumentParser:
     sl.add_argument("--images-n", type=int, default=4)
 
     c = sub.add_parser(
-        "convert", help="convert reference pickles to .npy shards"
+        "convert",
+        help="convert reference pickles OR raw NIfTI volumes to .npy shards",
     )
     _add_common(c)
     c.add_argument("--shard-size", type=int, default=256)
     c.add_argument("--split", default="train", choices=["train", "test"])
     c.add_argument("--out", required=True, help="shard output directory")
+    c.add_argument("--from-nifti", action="store_true",
+                   help="--data is a Medical-Segmentation-Decathlon task "
+                        "dir (imagesTr/labelsTr of .nii.gz volumes); "
+                        "extract+normalize 2D slices per the paper protocol")
+    c.add_argument("--keep-empty", action="store_true",
+                   help="with --from-nifti: keep slices whose label has "
+                        "no foreground")
+    c.add_argument("--max-volumes", type=int, default=0,
+                   help="with --from-nifti: cap the volumes read (smoke runs)")
 
     x = sub.add_parser(
         "export",
@@ -208,15 +218,28 @@ def main(argv=None) -> int:
     exp = _get_exp(args)
 
     if args.cmd == "convert":
-        from supernet_tpu.data import convert_pickles
+        if args.from_nifti:
+            from supernet_tpu.data import convert_nifti_dir
 
-        pairs = convert_pickles(
-            exp.data_path,
-            args.out,
-            in_channels=exp.model.in_channels,
-            shard_size=args.shard_size,
-            split=args.split,
-        )
+            pairs = convert_nifti_dir(
+                exp.data_path,
+                args.out,
+                image_size=exp.model.image_size,
+                split=args.split,
+                shard_size=args.shard_size,
+                keep_empty=args.keep_empty,
+                max_volumes=args.max_volumes,
+            )
+        else:
+            from supernet_tpu.data import convert_pickles
+
+            pairs = convert_pickles(
+                exp.data_path,
+                args.out,
+                in_channels=exp.model.in_channels,
+                shard_size=args.shard_size,
+                split=args.split,
+            )
         print(json.dumps({"shards": len(pairs), "out": args.out}))
         return 0
 

@@ -5,6 +5,12 @@ from supernet_tpu.data.loaders import (
     center_crop_np,
     load_hippocampus_pickle,
 )
+from supernet_tpu.data.nifti import (
+    convert_nifti_dir,
+    read_nifti,
+    volume_to_slices,
+    write_nifti,
+)
 from supernet_tpu.data.shards import (
     ShardDataset,
     convert_pickles,
@@ -19,9 +25,13 @@ __all__ = [
     "ShardDataset",
     "StreamingPickleDataset",
     "center_crop_np",
+    "convert_nifti_dir",
     "convert_pickles",
     "load_hippocampus_pickle",
+    "read_nifti",
     "shard_pairs",
     "synthetic_dataset",
+    "volume_to_slices",
+    "write_nifti",
     "write_shards",
 ]
