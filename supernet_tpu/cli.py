@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="K>1 runs K train steps per device dispatch "
                         "(lax.scan) - removes per-step host round-trips")
+    t.add_argument("--adversarial-training", default=None,
+                   choices=["none", "fgsm", "pgd"],
+                   help="train on adv_alpha*L(clean)+(1-adv_alpha)*L(adv) "
+                        "with FGSM/PGD examples generated in the jitted step")
+    t.add_argument("--adv-epsilon", type=float, default=None,
+                   help="L-inf radius for adversarial training")
+    t.add_argument("--adv-alpha", type=float, default=None,
+                   help="clean-loss weight (0 = train on adversarial only)")
 
     e = sub.add_parser("eval", help="clean evaluation + uncertainty report")
     _add_common(e)
@@ -126,6 +134,12 @@ def _get_exp(args):
         tkw["batch_size"] = args.batch_size
     if getattr(args, "continue_training", False):
         tkw["continue_training"] = True
+    if getattr(args, "adversarial_training", None) is not None:
+        tkw["adversarial_training"] = args.adversarial_training
+    if getattr(args, "adv_epsilon", None) is not None:
+        tkw["adv_epsilon"] = args.adv_epsilon
+    if getattr(args, "adv_alpha", None) is not None:
+        tkw["adv_alpha"] = args.adv_alpha
     if tkw:
         ekw["train"] = dataclasses.replace(exp.train, **tkw)
     akw = {}

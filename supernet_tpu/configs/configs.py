@@ -62,6 +62,17 @@ class TrainConfig:
     saved_model_epochs: int = 50
     log_every: int = 20
     checkpoint_every: int = 1  # epochs
+    # adversarial training (BASELINE.json configs[4]: "FGSM/PGD attack
+    # training"): the reference's Adversarial_noise branch is eval-only
+    # (`Hippocampus.py:839`) — this is the training half the blueprint
+    # names. Objective: adv_alpha * L(clean) + (1 - adv_alpha) * L(adv),
+    # adversarial examples generated INSIDE the jitted step with the
+    # current (gradient-stopped) parameters.
+    adversarial_training: str = "none"  # none | fgsm | pgd
+    adv_alpha: float = 0.5  # clean-loss weight in the mixed objective
+    adv_epsilon: float = 0.01  # L-inf ball radius
+    adv_step_size: float = 0.005  # PGD step
+    adv_steps: int = 5  # PGD iterations
 
 
 @dataclass(frozen=True)

@@ -36,8 +36,8 @@ from supernet_tpu.train import (
     StepMetrics,
     TrainState,
     ensure_one_hot,
-    loss_fn,
     make_optimizer,
+    value_and_grad_step,
 )
 
 Array = jax.Array
@@ -146,9 +146,9 @@ def make_sharded_train_step(
         )
         def step(state: TrainState, x: Array, y: Array):
             y = ensure_one_hot(y, cfg.n_classes)
-            (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, x, y, cfg, tc)
+            (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
+                state.params, x, y, cfg, tc
+            )
             new_state, m, pred = _apply(state, grads, loss, nll, kl, probs, y)
             return (new_state, m, pred) if with_pred else (new_state, m)
 
@@ -156,9 +156,9 @@ def make_sharded_train_step(
 
     def per_shard(state: TrainState, x: Array, y: Array):
         y = ensure_one_hot(y, cfg.n_classes)
-        (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, x, y, cfg, tc)
+        (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
+            state.params, x, y, cfg, tc
+        )
         # Per-shard losses/grads are means over the local batch; the global
         # mean is the mean of per-shard means (equal shard sizes).
         grads = jax.lax.pmean(grads, axis_name)

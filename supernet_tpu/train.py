@@ -107,6 +107,72 @@ def loss_fn(
     return loss, (nll, kl, probs, sigma)
 
 
+def make_adversarial_examples(
+    params: Params, x: Array, y: Array, cfg: ModelConfig, tc: TrainConfig
+) -> Array:
+    """FGSM / PGD examples for adversarial TRAINING, generated inside the
+    jitted train step against the current parameters (gradient-stopped, so
+    the attack acts as a fixed data augmentation for the update). Projection
+    follows the eval attack (`Hippocampus.py:930-932`): the L-inf
+    epsilon-ball around x intersected with the batch's data range."""
+    from supernet_tpu.attacks import fgsm_sign
+
+    from supernet_tpu.configs import AttackConfig
+
+    ac = AttackConfig(
+        epsilon=tc.adv_epsilon,
+        step_size=tc.adv_step_size,
+        max_adv_step=tc.adv_steps,
+    )
+    x_min, x_max = jnp.min(x), jnp.max(x)
+    if tc.adversarial_training == "fgsm":
+        sign = fgsm_sign(params, x, y, cfg, ac)
+        adv = jnp.clip(x + ac.epsilon * sign, x_min, x_max)
+    elif tc.adversarial_training == "pgd":
+
+        def body(_, adv_x):
+            sign = fgsm_sign(params, adv_x, y, cfg, ac)
+            adv_x = adv_x + ac.step_size * sign
+            adv_x = jnp.clip(adv_x, x - ac.epsilon, x + ac.epsilon)
+            return jnp.clip(adv_x, x_min, x_max)
+
+        adv = jax.lax.fori_loop(0, ac.max_adv_step, body, x)
+    else:
+        raise ValueError(
+            f"unknown adversarial_training mode {tc.adversarial_training!r}"
+        )
+    return jax.lax.stop_gradient(adv)
+
+
+def value_and_grad_step(
+    params: Params,
+    x: Array,
+    y: Array,
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    constrain=None,
+):
+    """value_and_grad of the training objective. With
+    ``tc.adversarial_training`` enabled the objective is the mixed loss
+    ``adv_alpha * L(clean) + (1 - adv_alpha) * L(adv)`` (Goodfellow-style
+    adversarial training; ``adv_alpha=0`` trains on adversarial examples
+    only, the Madry protocol). ``y`` must already be one-hot flattened.
+    Returned aux (nll/kl/probs/sigma) is the CLEAN branch's, so logged
+    accuracy/curves stay comparable with standard training."""
+    if tc.adversarial_training == "none":
+        return jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, y, cfg, tc, constrain
+        )
+    adv_x = make_adversarial_examples(params, x, y, cfg, tc)
+
+    def mixed(p):
+        loss_c, aux = loss_fn(p, x, y, cfg, tc, constrain)
+        loss_a, _ = loss_fn(p, adv_x, y, cfg, tc, constrain)
+        return tc.adv_alpha * loss_c + (1.0 - tc.adv_alpha) * loss_a, aux
+
+    return jax.value_and_grad(mixed, has_aux=True)(params)
+
+
 def _train_step(
     state: TrainState,
     x: Array,
@@ -117,9 +183,9 @@ def _train_step(
     constrain=None,
 ) -> Tuple[TrainState, StepMetrics, Array]:
     y = ensure_one_hot(y, cfg.n_classes)
-    (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params, x, y, cfg, tc, constrain)
+    (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
+        state.params, x, y, cfg, tc, constrain
+    )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B, H*W]
@@ -188,9 +254,9 @@ def make_accum_train_step(cfg: ModelConfig, tc: TrainConfig, n_micro: int):
         def micro(carry, xy):
             xb, yb = xy
             yb = ensure_one_hot(yb, cfg.n_classes)
-            (loss, (nll, kl, probs, _)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, xb, yb, cfg, tc)
+            (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
+                state.params, xb, yb, cfg, tc
+            )
             acc = jnp.mean(
                 (jnp.argmax(probs, -1) == jnp.argmax(yb, -1)).astype(
                     jnp.float32
