@@ -188,6 +188,29 @@ def get_conv_fold() -> str:
     return _CONV_FOLD
 
 
+# Sigma-chain backward implementation for the winsum * s_w term:
+#   "xla"    — XLA's AD (two multiply_reduce fusions + 1-channel spread).
+#   "pallas" — fused one-pass kernel (ops/pallas/sigma_bwd.py): the output
+#              cotangent is read ONCE producing both the spread spatial
+#              cotangent and the per-channel s_w gradient.
+# A/B-able via SUPERNET_SIGMA_BWD. Measured (docs/PERFORMANCE.md): the
+# pallas mode LOSES at every size — the custom-vjp seam defeats XLA's
+# fusion-domain remat — so "xla" stays the default; kept as the recorded
+# negative result VERDICT r2 #2 asked for.
+_SIGMA_BWD: str = "xla"
+
+
+def set_sigma_bwd(mode: str) -> None:
+    if mode not in ("xla", "pallas"):
+        raise ValueError(f"unknown sigma backward mode {mode!r}")
+    global _SIGMA_BWD
+    _SIGMA_BWD = mode
+
+
+def get_sigma_bwd() -> str:
+    return _SIGMA_BWD
+
+
 # Activation dtype for the moment tensors between layers. float32 is the
 # parity-grade default. bfloat16 halves the HBM traffic of every layer —
 # profiling shows this model is data-movement-bound on TPU (the MXU convs
@@ -241,6 +264,9 @@ def apply_env_overrides() -> None:
     v = os.environ.get("SUPERNET_POOL")
     if v:
         set_pool_impl(v)
+    v = os.environ.get("SUPERNET_SIGMA_BWD")
+    if v:
+        set_sigma_bwd(v)
 
 
 def _act(x: Array) -> Array:
@@ -350,6 +376,15 @@ def vconv_input(
         out = _conv_valid(z, kern, stride)
         return _act(out[..., :cout]), _act(out[..., cout:] * s_w)
     mu_out = _conv_valid(x, w_mu, stride)
+    if _SIGMA_BWD == "pallas" and stride == 1:
+        from supernet_tpu.ops.pallas.sigma_bwd import winsum_scale
+
+        # channel sum in f32, result in act dtype (same policy as
+        # _window_sum); the k x k spread + s_w scale get the fused backward
+        sc = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1).astype(
+            x.dtype
+        )
+        return _act(mu_out), _act(winsum_scale(sc, s_w, k))
     ws = _act(_window_sum(jnp.square(x), k, stride))
     return _act(mu_out), ws * _act(s_w)
 
@@ -437,6 +472,16 @@ def vconv(
         kern = kern.at[:, :, cin, cout].set(1.0)
         out = _conv_valid(z, kern, stride)
         sigma_out = out[..., :cout] + out[..., cout:] * s_w
+        return _act(mu_out), _act(sigma_out)
+    if _SIGMA_BWD == "pallas" and stride == 1:
+        from supernet_tpu.ops.pallas.sigma_bwd import winsum_scale
+
+        sc = jnp.sum(
+            (jnp.square(mu) + sigma).astype(jnp.float32), axis=-1
+        ).astype(mu.dtype)
+        sigma_out = winsum_scale(sc, s_w, k) + _conv_valid(
+            sigma, jnp.square(w_mu), stride
+        )
         return _act(mu_out), _act(sigma_out)
     # cast the [B,H',W',1] window-sum before the broadcast multiply so the
     # full-width sigma chain stays in the activation dtype
