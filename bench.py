@@ -190,6 +190,35 @@ def _bench_model(
     return out
 
 
+_BEST_KEYS = (
+    "batch",
+    "images_per_sec",
+    "mfu",
+    "hbm_utilization_min",
+    "hbm_utilization",
+    "achieved_hbm_gbps",
+    "step_ms",
+)
+
+
+def _scaling_study(model: str, base_stats: dict, n_iters: int):
+    """Sweep SCALING_BATCHES for one model (single device); returns the
+    {batch: img/s} map and the best-throughput stats subset, seeded with
+    the already-measured parity-batch run."""
+    scaling = {str(base_stats["batch"]): base_stats["images_per_sec"]}
+    best = dict(base_stats)
+    for b in SCALING_BATCHES.get(model, ()):
+        try:
+            s = _bench_model(model, n_iters, False, b)
+        except Exception as e:  # OOM etc. — record and move on
+            scaling[str(b)] = f"error: {str(e)[:80]}"
+            continue
+        scaling[str(b)] = s["images_per_sec"]
+        if s["images_per_sec"] > best["images_per_sec"]:
+            best = s
+    return scaling, {k: best[k] for k in _BEST_KEYS if k in best}
+
+
 def main() -> None:
     # persistent compilation cache: the scaling study compiles one program
     # per (model, batch); re-runs and the cost-analysis lower() become free
@@ -303,31 +332,9 @@ def main() -> None:
     # batch-scaling study: the parity batch (20) underfills the chip; report
     # the best-throughput configuration alongside it (VERDICT r2 #1)
     if os.environ.get("SUPERNET_BENCH_SCALING", "1") == "1" and not data_parallel:
-        scaling = {str(stats["batch"]): stats["images_per_sec"]}
-        best = dict(stats)
-        for b in SCALING_BATCHES.get(model, ()):
-            try:
-                s = _bench_model(model, max(20, n_iters // 4), False, b)
-            except Exception as e:  # OOM etc. — record and move on
-                scaling[str(b)] = f"error: {str(e)[:80]}"
-                continue
-            scaling[str(b)] = s["images_per_sec"]
-            if s["images_per_sec"] > best["images_per_sec"]:
-                best = s
+        scaling, best = _scaling_study(model, stats, max(20, n_iters // 4))
         out["batch_scaling"] = scaling
-        out["best"] = {
-            k: best[k]
-            for k in (
-                "batch",
-                "images_per_sec",
-                "mfu",
-                "hbm_utilization_min",
-                "hbm_utilization",
-                "achieved_hbm_gbps",
-                "step_ms",
-            )
-            if k in best
-        }
+        out["best"] = best
 
     # secondary models for the record (same JSON line, extra fields)
     if os.environ.get("SUPERNET_BENCH_EXTRA", "1") == "1":
@@ -349,34 +356,16 @@ def main() -> None:
                     )
                     if k in o
                 }
-                if os.environ.get("SUPERNET_BENCH_SCALING", "1") == "1":
-                    o_scaling = {str(o["batch"]): o["images_per_sec"]}
-                    o_best = dict(o)
-                    for b in SCALING_BATCHES.get(other, ()):
-                        try:
-                            s = _bench_model(
-                                other, max(10, n_iters // 8), False, b
-                            )
-                        except Exception as e:
-                            o_scaling[str(b)] = f"error: {str(e)[:80]}"
-                            continue
-                        o_scaling[str(b)] = s["images_per_sec"]
-                        if s["images_per_sec"] > o_best["images_per_sec"]:
-                            o_best = s
-                    entry["batch_scaling"] = o_scaling
-                    entry["best"] = {
-                        k: o_best[k]
-                        for k in (
-                            "batch",
-                            "images_per_sec",
-                            "mfu",
-                            "hbm_utilization_min",
-                            "hbm_utilization",
-                            "achieved_hbm_gbps",
-                            "step_ms",
-                        )
-                        if k in o_best
-                    }
+                if (
+                    os.environ.get("SUPERNET_BENCH_SCALING", "1") == "1"
+                    and not data_parallel  # single-device rates would be
+                    # incomparable with the DP headline above
+                ):
+                    scaling, best = _scaling_study(
+                        other, o, max(10, n_iters // 8)
+                    )
+                    entry["batch_scaling"] = scaling
+                    entry["best"] = best
                 out[other] = entry
             except Exception as e:  # never lose the headline number
                 out[other] = {"error": str(e)[:200]}

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="L-inf radius for adversarial training")
     t.add_argument("--adv-alpha", type=float, default=None,
                    help="clean-loss weight (0 = train on adversarial only)")
+    t.add_argument("--adv-steps", type=int, default=None,
+                   help="PGD iteration count for --adversarial-training pgd")
+    t.add_argument("--adv-step-size", type=float, default=None,
+                   help="PGD per-step size for --adversarial-training pgd")
 
     e = sub.add_parser("eval", help="clean evaluation + uncertainty report")
     _add_common(e)
@@ -140,6 +144,10 @@ def _get_exp(args):
         tkw["adv_epsilon"] = args.adv_epsilon
     if getattr(args, "adv_alpha", None) is not None:
         tkw["adv_alpha"] = args.adv_alpha
+    if getattr(args, "adv_steps", None) is not None:
+        tkw["adv_steps"] = args.adv_steps
+    if getattr(args, "adv_step_size", None) is not None:
+        tkw["adv_step_size"] = args.adv_step_size
     if tkw:
         ekw["train"] = dataclasses.replace(exp.train, **tkw)
     akw = {}

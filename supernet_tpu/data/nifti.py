@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob
 import gzip
 import os
+import re
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -59,9 +60,11 @@ def read_nifti(path: str) -> Tuple[np.ndarray, Dict[str, object]]:
     """Read a .nii / .nii.gz volume; returns (data, header dict).
 
     Handles both endiannesses, the single-file ``n+1`` and detached ``ni1``
-    magic (data assumed to follow the header in the same file for the
-    latter, as MSD ships), and applies ``scl_slope``/``scl_inter`` when set.
-    Data is returned in NIfTI's Fortran order as an (X, Y, Z[, T]) array.
+    magic (voxels read from the sibling ``.img``/``.img.gz``; if none
+    exists but the data follows the header in the same file, that inline
+    form is accepted too), and applies ``scl_slope``/``scl_inter`` when
+    set. Data is returned in NIfTI's Fortran order as an (X, Y, Z[, T])
+    array.
     """
     with _open(path) as f:
         raw = f.read()
@@ -88,9 +91,27 @@ def read_nifti(path: str) -> Tuple[np.ndarray, Dict[str, object]]:
     slope, inter = struct.unpack_from(bo + "2f", raw, 112)
     pixdim = struct.unpack_from(bo + "8f", raw, 76)
 
-    offset = int(vox_offset) if magic[:3] == b"n+1" else _HDR_SIZE + 4
     dt = np.dtype(_DTYPES[datatype]).newbyteorder(bo)
     n = int(np.prod(shape))
+    if magic[:3] == b"n+1":
+        offset = int(vox_offset)
+    else:  # detached 'ni1' pair: voxels live in the sibling .img[.gz]
+        img_path = re.sub(r"\.hdr(\.gz)?$", "", path, flags=re.IGNORECASE)
+        for cand in (img_path + ".img", img_path + ".img.gz"):
+            if os.path.exists(cand):
+                with _open(cand) as f:
+                    raw = f.read()
+                offset = int(vox_offset)
+                break
+        else:
+            # some pipelines ship ni1-magic files with the data inline
+            # after the header; accept that if the buffer is big enough
+            offset = _HDR_SIZE + 4
+            if len(raw) < offset + n * dt.itemsize:
+                raise ValueError(
+                    f"{path}: detached NIfTI ('ni1') with no companion "
+                    f".img[.gz] next to it and no inline data"
+                )
     data = np.frombuffer(raw, dtype=dt, count=n, offset=offset)
     data = data.reshape(shape, order="F")
     if slope not in (0.0, 1.0) or (slope != 0.0 and inter != 0.0):
@@ -176,10 +197,14 @@ def volume_to_slices(
     ys: List[np.ndarray] = []
     for z in range(img.shape[2]):
         y2 = np.rint(np.asarray(lbl[:, :, z], np.float64)).astype(np.int32)
+        # crop BEFORE the foreground filter: a slice whose only foreground
+        # lies in the cropped-off border would otherwise be kept with an
+        # all-background label, breaking the "slices contain foreground"
+        # invariant of keep_empty=False
+        y2 = _fit_2d(y2, image_size)
         if not keep_empty and not (y2 > 0).any():
             continue
         x2 = _fit_2d(img[:, :, z, :], image_size)
-        y2 = _fit_2d(y2, image_size)
         xs.append(x2.astype(np.float32))
         ys.append(y2)
     if not xs:

@@ -33,6 +33,7 @@ import numpy as np
 
 from supernet_tpu import metrics as M
 from supernet_tpu import perturb, reports
+from supernet_tpu.metrics import _nanmean, _nanstd
 from supernet_tpu.attacks import make_fgsm_attack, make_pgd_attack, retarget_labels
 from supernet_tpu.configs import ExperimentConfig, NoiseConfig
 from supernet_tpu.data import PickleDataset, center_crop_np
@@ -66,24 +67,6 @@ def _forward_fn(cfg, mesh=None):
     return f
 
 
-def _nanmean(a) -> float:
-    """np.nanmean that returns NaN silently on an all-NaN input (untargeted
-    BraTS attacks can zero out a structure in every image, making e.g.
-    per-image dice all-NaN — the reference's np.nanmean emits a
-    RuntimeWarning there and still yields NaN)."""
-    a = np.asarray(a, np.float64)
-    if not np.any(np.isfinite(a)):
-        return float("nan")
-    return float(np.nanmean(a))
-
-
-def _nanstd(a, ddof: int = 1) -> float:
-    """np.nanstd(ddof=1) without the degrees-of-freedom warning when fewer
-    than 2 finite values exist."""
-    a = np.asarray(a, np.float64)
-    if np.sum(np.isfinite(a)) <= ddof:
-        return float("nan")
-    return float(np.nanstd(a, ddof=ddof))
 
 
 def _aggregate_structures(

@@ -41,9 +41,22 @@ except Exception:  # pragma: no cover
     _HAVE_SCIPY = False
 
 
-def _nanmean(x: np.ndarray) -> float:
+def _nanmean(x) -> float:
+    """np.nanmean without the all-NaN RuntimeWarning (returns NaN there);
+    infinities propagate exactly as np.nanmean's would — e.g. a structure
+    zeroed out of every image by an untargeted attack yields NaN dice."""
+    x = np.asarray(x, np.float64)
     x = x[~np.isnan(x)]
     return float(np.mean(x)) if x.size else float("nan")
+
+
+def _nanstd(x, ddof: int = 1) -> float:
+    """np.nanstd(ddof) without the degrees-of-freedom warning when fewer
+    than ddof+1 non-NaN values exist (returns NaN there)."""
+    x = np.asarray(x, np.float64)
+    if np.sum(~np.isnan(x)) <= ddof:
+        return float("nan")
+    return float(np.nanstd(x, ddof=ddof))
 
 
 def dice(y_true: np.ndarray, y_pred: np.ndarray) -> Tuple[float, np.ndarray]:

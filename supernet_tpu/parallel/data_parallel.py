@@ -156,8 +156,10 @@ def make_sharded_train_step(
 
     def per_shard(state: TrainState, x: Array, y: Array):
         y = ensure_one_hot(y, cfg.n_classes)
+        # axis_name lets adversarial-training clip ranges pmin/pmax to the
+        # GLOBAL batch range, matching the jit path's jnp.min/max numerics
         (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
-            state.params, x, y, cfg, tc
+            state.params, x, y, cfg, tc, axis_name=axis_name
         )
         # Per-shard losses/grads are means over the local batch; the global
         # mean is the mean of per-shard means (equal shard sizes).

@@ -131,7 +131,9 @@ def apply_noise(
         x_ref = x
     # every kind — including S&P — is clipped to the CROP frame's range
     # (Hippocampus.py:1270-1271,1298; Brats.py:1264/1271/1275 clip in all
-    # branches). Salt&pepper low_clip also keys off the crop frame.
+    # branches). Salt&pepper's low_clip, by contrast, keys off the FULL
+    # frame: the reference calls salt_and_pepper on the uncropped batch
+    # (Brats.py:1253), so its sign test sees the full-frame min.
     noisy = jnp.clip(x + delta, jnp.min(x_ref), jnp.max(x_ref))
     if crop_size and crop_size != x.shape[1]:
         noisy_ref = crop_center(noisy, crop_size, crop_size)

@@ -108,13 +108,24 @@ def loss_fn(
 
 
 def make_adversarial_examples(
-    params: Params, x: Array, y: Array, cfg: ModelConfig, tc: TrainConfig
+    params: Params,
+    x: Array,
+    y: Array,
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    axis_name: str | None = None,
 ) -> Array:
     """FGSM / PGD examples for adversarial TRAINING, generated inside the
     jitted train step against the current parameters (gradient-stopped, so
     the attack acts as a fixed data augmentation for the update). Projection
     follows the eval attack (`Hippocampus.py:930-932`): the L-inf
-    epsilon-ball around x intersected with the batch's data range."""
+    epsilon-ball around x intersected with the batch's data range.
+
+    ``axis_name``: when called per-shard inside ``shard_map``, the data-mesh
+    axis to pmin/pmax the clip range over — otherwise each device would clip
+    to its local shard's range, diverging from the single-device and
+    GSPMD-jit paths (where ``x`` is the global batch and jnp.min/max already
+    see the full range)."""
     from supernet_tpu.attacks import fgsm_sign
 
     from supernet_tpu.configs import AttackConfig
@@ -125,6 +136,9 @@ def make_adversarial_examples(
         max_adv_step=tc.adv_steps,
     )
     x_min, x_max = jnp.min(x), jnp.max(x)
+    if axis_name is not None:
+        x_min = jax.lax.pmin(x_min, axis_name)
+        x_max = jax.lax.pmax(x_max, axis_name)
     if tc.adversarial_training == "fgsm":
         sign = fgsm_sign(params, x, y, cfg, ac)
         adv = jnp.clip(x + ac.epsilon * sign, x_min, x_max)
@@ -151,6 +165,7 @@ def value_and_grad_step(
     cfg: ModelConfig,
     tc: TrainConfig,
     constrain=None,
+    axis_name: str | None = None,
 ):
     """value_and_grad of the training objective. With
     ``tc.adversarial_training`` enabled the objective is the mixed loss
@@ -163,7 +178,7 @@ def value_and_grad_step(
         return jax.value_and_grad(loss_fn, has_aux=True)(
             params, x, y, cfg, tc, constrain
         )
-    adv_x = make_adversarial_examples(params, x, y, cfg, tc)
+    adv_x = make_adversarial_examples(params, x, y, cfg, tc, axis_name)
 
     def mixed(p):
         loss_c, aux = loss_fn(p, x, y, cfg, tc, constrain)

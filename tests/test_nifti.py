@@ -207,3 +207,53 @@ def test_cli_convert_from_nifti(tmp_path, capsys):
     # shards are 64x64 (the hippocampus config's image_size)
     x = np.load(os.path.join(out, "x_00000.npy"))
     assert x.shape[1:] == (64, 64, 1)
+
+
+def test_volume_to_slices_border_only_foreground_dropped():
+    """The foreground filter runs on the CROPPED label: a slice whose only
+    foreground sits in the cropped-off border must be dropped, not kept with
+    an all-background label (round-3 review fix)."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (20, 20, 2)).astype(np.float32)
+    lbl = np.zeros((20, 20, 2), np.int16)
+    lbl[0, 0, 0] = 1  # z=0: foreground only in the border lost by a 12-crop
+    lbl[9:11, 9:11, 1] = 1  # z=1: foreground in the center
+    x, y = volume_to_slices(img, lbl, image_size=12)
+    assert len(x) == 1  # only the center-foreground slice survives
+    assert (y[0] > 0).any()
+    # keep_empty still keeps both (and the border slice's label is empty)
+    x_all, y_all = volume_to_slices(img, lbl, image_size=12, keep_empty=True)
+    assert len(x_all) == 2
+    assert not (y_all[0] > 0).any()
+
+
+def test_nifti_detached_hdr_img_pair(tmp_path):
+    """'ni1' magic: voxels read from the sibling .img (round-3 review fix);
+    a lone .hdr with neither .img nor inline data errors clearly."""
+    import gzip
+    import struct
+
+    rng = np.random.default_rng(8)
+    vol = rng.normal(0, 1, (5, 4, 3)).astype(np.float32)
+    # build the pair from a written single-file .nii: header -> .hdr with
+    # ni1 magic + vox_offset 0, payload -> .img
+    nii = str(tmp_path / "v.nii")
+    write_nifti(nii, vol)
+    raw = open(nii, "rb").read()
+    hdr = bytearray(raw[:348])
+    hdr[344:348] = b"ni1\x00"
+    struct.pack_into("<f", hdr, 108, 0.0)  # vox_offset: .img data at 0
+    (tmp_path / "pair.hdr").write_bytes(bytes(hdr))
+    (tmp_path / "pair.img").write_bytes(raw[352:])
+    out, h = read_nifti(str(tmp_path / "pair.hdr"))
+    np.testing.assert_array_equal(out, vol)
+    # gzipped companion works too
+    (tmp_path / "pz.hdr").write_bytes(bytes(hdr))
+    with gzip.open(tmp_path / "pz.img.gz", "wb") as f:
+        f.write(raw[352:])
+    out2, _ = read_nifti(str(tmp_path / "pz.hdr"))
+    np.testing.assert_array_equal(out2, vol)
+    # lone header with no companion and no inline data: clear error
+    (tmp_path / "lone.hdr").write_bytes(bytes(hdr))
+    with pytest.raises(ValueError, match="no companion"):
+        read_nifti(str(tmp_path / "lone.hdr"))

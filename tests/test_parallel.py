@@ -276,3 +276,43 @@ def test_trainer_dp_default_batch_on_non_dividing_devices(tmp_path):
     )
     tr.run(epochs=1, log=lambda *_: None)
     assert np.isfinite(tr.history["train_loss"][-1])
+
+
+@pytest.mark.parametrize("use_shard_map", [False, True])
+def test_sharded_adversarial_training_matches_single_device(use_shard_map):
+    """Adversarial TRAINING under DP must clip the attack to the GLOBAL
+    batch range on both paths (round-3 review fix: the shard_map path used
+    each shard's local min/max). The batch's extremes live on shard 0 only,
+    so a local-range clip would produce different updates."""
+    assert jax.device_count() >= 8, "conftest must fake 8 devices"
+    x, y = _batch()
+    x = x.at[0, 0, 0, 0].set(9.0)  # global max, on shard 0 only
+    x = x.at[0, 0, 1, 0].set(-9.0)  # global min, on shard 0 only
+    tc = dataclasses.replace(
+        TC, adversarial_training="fgsm", adv_epsilon=0.5, adv_alpha=0.5
+    )
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state, _ = create_train_state(params, tc)
+    ref_state, ref_metrics = make_train_step(CFG, tc)(state, x, y)
+
+    mesh = make_mesh(8)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state, _ = create_train_state(params, tc)
+    state = replicate(mesh, state)
+    xs, ys = shard_batch(mesh, x, y)
+    step = make_sharded_train_step(CFG, tc, mesh, use_shard_map=use_shard_map)
+    new_state, metrics = step(state, xs, ys)
+
+    assert float(metrics.loss) == pytest.approx(
+        float(ref_metrics.loss), rel=1e-5
+    )
+    for name in ref_state.params:
+        for w in ("w_mu", "w_sigma"):
+            np.testing.assert_allclose(
+                np.asarray(new_state.params[name][w]),
+                np.asarray(ref_state.params[name][w]),
+                rtol=2e-5,
+                atol=1e-6,
+                err_msg=f"{name}/{w}",
+            )
