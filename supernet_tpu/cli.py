@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PGD iteration count for --adversarial-training pgd")
     t.add_argument("--adv-step-size", type=float, default=None,
                    help="PGD per-step size for --adversarial-training pgd")
+    t.add_argument("--augment", action="store_true",
+                   help="on-device augmentation inside the jitted step "
+                        "(H/V flips by default; see --augment-* knobs)")
+    t.add_argument("--augment-rot90", action="store_true",
+                   help="also rotate by a random multiple of 90 degrees")
+    t.add_argument("--augment-intensity", type=float, default=0.0,
+                   help="intensity jitter: scale U[1±v] and shift U[±v/2]")
+    t.add_argument("--augment-noise-std", type=float, default=0.0,
+                   help="additive Gaussian pixel-noise std")
 
     e = sub.add_parser("eval", help="clean evaluation + uncertainty report")
     _add_common(e)
@@ -148,6 +157,16 @@ def _get_exp(args):
         tkw["adv_steps"] = args.adv_steps
     if getattr(args, "adv_step_size", None) is not None:
         tkw["adv_step_size"] = args.adv_step_size
+    if getattr(args, "augment", False):
+        from supernet_tpu.configs import AugmentConfig
+
+        v = getattr(args, "augment_intensity", 0.0)
+        tkw["augment"] = AugmentConfig(
+            rot90=getattr(args, "augment_rot90", False),
+            intensity_scale=v,
+            intensity_shift=v / 2.0,
+            noise_std=getattr(args, "augment_noise_std", 0.0),
+        )
     if tkw:
         ekw["train"] = dataclasses.replace(exp.train, **tkw)
     akw = {}

@@ -6,6 +6,7 @@ paths. Here every dataset is a frozen dataclass; the CLI overrides fields.
 """
 
 from supernet_tpu.configs.configs import (
+    AugmentConfig,
     ModelConfig,
     TrainConfig,
     AttackConfig,
@@ -18,6 +19,7 @@ from supernet_tpu.configs.configs import (
 )
 
 __all__ = [
+    "AugmentConfig",
     "ModelConfig",
     "TrainConfig",
     "AttackConfig",

@@ -47,6 +47,22 @@ class ModelConfig:
 
 
 @dataclass(frozen=True)
+class AugmentConfig:
+    """On-device augmentation knobs (`data/augment.py`; net-new — the
+    reference trains from a pre-augmented pickle, `Hippocampus.py:479`).
+
+    Spatial ops apply identically to image and label; intensity ops apply
+    to the image only. All probabilities are per image."""
+
+    hflip: bool = True  # horizontal (W-axis) flip, p=0.5
+    vflip: bool = True  # vertical (H-axis) flip, p=0.5
+    rot90: bool = False  # uniform k in {0,1,2,3} quarter turns (square only)
+    intensity_scale: float = 0.0  # multiplicative jitter: U[1-s, 1+s]
+    intensity_shift: float = 0.0  # additive jitter: U[-d, d]
+    noise_std: float = 0.0  # additive Gaussian pixel noise
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 20
     epochs: int = 120
@@ -73,6 +89,11 @@ class TrainConfig:
     adv_epsilon: float = 0.01  # L-inf ball radius
     adv_step_size: float = 0.005  # PGD step
     adv_steps: int = 5  # PGD iterations
+    # on-device augmentation applied inside the jitted train step
+    # (data/augment.py); None disables. Keyed by the step counter + the
+    # image's GLOBAL batch index, so all data-parallel paths see identical
+    # augmented batches.
+    augment: "AugmentConfig | None" = None
 
 
 @dataclass(frozen=True)

@@ -1,3 +1,8 @@
+from supernet_tpu.data.augment import (
+    AugmentConfig,
+    augment_batch,
+    augment_train_batch,
+)
 from supernet_tpu.data.loaders import (
     BatchIterator,
     PickleDataset,
@@ -20,6 +25,9 @@ from supernet_tpu.data.shards import (
 from supernet_tpu.data.synthetic import synthetic_dataset
 
 __all__ = [
+    "AugmentConfig",
+    "augment_batch",
+    "augment_train_batch",
     "BatchIterator",
     "PickleDataset",
     "ShardDataset",

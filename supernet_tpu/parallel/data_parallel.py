@@ -37,6 +37,7 @@ from supernet_tpu.train import (
     TrainState,
     ensure_one_hot,
     make_optimizer,
+    maybe_augment,
     value_and_grad_step,
 )
 
@@ -145,6 +146,9 @@ def make_sharded_train_step(
             donate_argnums=(0,),
         )
         def step(state: TrainState, x: Array, y: Array):
+            # x/y are the GLOBAL batch here — GSPMD partitions the ops, so
+            # plain maybe_augment/jnp.min see full-batch semantics already
+            x, y = maybe_augment(state.step, x, y, cfg, tc)
             y = ensure_one_hot(y, cfg.n_classes)
             (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
                 state.params, x, y, cfg, tc
@@ -155,9 +159,11 @@ def make_sharded_train_step(
         return step
 
     def per_shard(state: TrainState, x: Array, y: Array):
+        # axis_name keeps the per-shard numerics equal to the GSPMD path:
+        # augmentation draws key off the GLOBAL image index, adversarial
+        # clip ranges pmin/pmax to the GLOBAL batch range
+        x, y = maybe_augment(state.step, x, y, cfg, tc, axis_name=axis_name)
         y = ensure_one_hot(y, cfg.n_classes)
-        # axis_name lets adversarial-training clip ranges pmin/pmax to the
-        # GLOBAL batch range, matching the jit path's jnp.min/max numerics
         (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
             state.params, x, y, cfg, tc, axis_name=axis_name
         )

@@ -188,6 +188,26 @@ def value_and_grad_step(
     return jax.value_and_grad(mixed, has_aux=True)(params)
 
 
+def maybe_augment(
+    step: Array,
+    x: Array,
+    y: Array,
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    axis_name: str | None = None,
+) -> Tuple[Array, Array]:
+    """On-device augmentation inside the jitted step (``tc.augment``);
+    identity when disabled. Keyed by the step counter and the GLOBAL image
+    index so every data-parallel path augments identically."""
+    if tc.augment is None:
+        return x, y
+    from supernet_tpu.data.augment import augment_train_batch
+
+    return augment_train_batch(
+        step, x, y, cfg.out_size, tc.augment, tc.seed, axis_name
+    )
+
+
 def _train_step(
     state: TrainState,
     x: Array,
@@ -197,6 +217,7 @@ def _train_step(
     tc: TrainConfig,
     constrain=None,
 ) -> Tuple[TrainState, StepMetrics, Array]:
+    x, y = maybe_augment(state.step, x, y, cfg, tc)
     y = ensure_one_hot(y, cfg.n_classes)
     (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
         state.params, x, y, cfg, tc, constrain
