@@ -1,0 +1,280 @@
+"""Uncertainty-quality evaluation: sparsification / AUSE, calibration
+(ECE + reliability), and uncertainty-error correlation.
+
+Net-new analysis layer completing an intent the reference left dangling:
+`uncert_for_corr` (`Brats_functions.py:154-174`, component C33) computes
+per-image mean predictive variance per structure "for correlation studies"
+but is never called anywhere in the snapshot. This module runs that
+correlation study and adds the two standard uncertainty-quality measures
+used for predictive-variance models:
+
+- **Sparsification / AUSE**: remove pixels in order of decreasing
+  predictive uncertainty and track the error of the remainder; a useful
+  uncertainty ranks wrong pixels first, so the curve should hug the oracle
+  (removal by true error). AUSE is the area between the two normalized
+  curves (0 = oracle-perfect ranking).
+- **ECE / reliability**: bin pixels by predicted confidence (max softmax
+  probability, the `mysoftmax` head's mean output) and compare per-bin
+  confidence with per-bin accuracy; ECE is the pixel-weighted mean |gap|.
+- **Correlation**: Pearson/Spearman between per-image mean uncertainty
+  (sigma at the predicted class — the reference's uncertainty definition,
+  `Hippocampus.py:1039-1043`) and per-image error rate, overall and per
+  structure via `utils.uncert_for_corr`.
+
+All statistics are computed on host NumPy from one forward sweep (the
+device does one pass; pixel-level sorting/binning is cheap host work,
+mirroring the reference's host-side metric split, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from supernet_tpu.configs import ExperimentConfig
+from supernet_tpu.data import PickleDataset, center_crop_np
+from supernet_tpu.utils import uncert_for_corr
+
+Array = np.ndarray
+
+
+def sparsification_curve(
+    errors: Array, uncertainty: Array, n_points: int = 20
+) -> Tuple[Array, Array, Array]:
+    """(fractions_removed, curve, oracle) for flat per-pixel ``errors``
+    (any non-negative error measure; 0/1 misclassification here) ranked by
+    ``uncertainty``. ``curve[i]`` is the mean error of the pixels that
+    REMAIN after removing the ``fractions[i]`` most-uncertain ones; the
+    oracle removes by the true error instead."""
+    errors = np.asarray(errors, np.float64).ravel()
+    uncertainty = np.asarray(uncertainty, np.float64).ravel()
+    if errors.shape != uncertainty.shape or errors.size == 0:
+        raise ValueError("errors and uncertainty must be equal, non-empty")
+    n = errors.size
+    fracs = np.linspace(0.0, 0.99, n_points)
+
+    def _curve(rank_key: Array) -> Array:
+        # ascending sort; the most-uncertain pixels sit at the END
+        e = errors[np.argsort(rank_key, kind="stable")]
+        csum = np.concatenate([[0.0], np.cumsum(e)])
+        keep = np.maximum((n * (1.0 - fracs)).astype(np.int64), 1)
+        return csum[keep] / keep
+
+    return fracs, _curve(uncertainty), _curve(errors)
+
+
+def ause(errors: Array, uncertainty: Array, n_points: int = 20) -> float:
+    """Area Under the Sparsification Error: integral of
+    (curve - oracle) / base_error over the removed fraction. 0 = the
+    uncertainty ranks errors exactly like an oracle; larger = worse."""
+    fracs, curve, oracle = sparsification_curve(
+        errors, uncertainty, n_points
+    )
+    base = curve[0] if curve[0] > 0 else 1.0
+    return float(np.trapezoid((curve - oracle) / base, fracs))
+
+
+def expected_calibration_error(
+    confidence: Array, correct: Array, n_bins: int = 15
+) -> Tuple[float, Dict[str, Array]]:
+    """Pixel-wise ECE over equal-width confidence bins; returns
+    (ece, reliability) where reliability holds per-bin mean confidence,
+    accuracy, and pixel counts for the diagram."""
+    confidence = np.asarray(confidence, np.float64).ravel()
+    correct = np.asarray(correct, np.float64).ravel()
+    edges = np.linspace(0.0, 1.0, n_bins + 1)
+    idx = np.clip(np.digitize(confidence, edges[1:-1]), 0, n_bins - 1)
+    counts = np.bincount(idx, minlength=n_bins).astype(np.float64)
+    conf = np.bincount(idx, weights=confidence, minlength=n_bins)
+    acc = np.bincount(idx, weights=correct, minlength=n_bins)
+    nz = counts > 0
+    conf[nz] /= counts[nz]
+    acc[nz] /= counts[nz]
+    ece = float(np.sum(counts[nz] * np.abs(conf[nz] - acc[nz])) / counts.sum())
+    return ece, {
+        "bin_edges": edges,
+        "confidence": conf,
+        "accuracy": acc,
+        "counts": counts,
+    }
+
+
+def _pearson(a: Array, b: Array) -> float:
+    m = np.isfinite(a) & np.isfinite(b)
+    if m.sum() < 2 or np.std(a[m]) == 0 or np.std(b[m]) == 0:
+        return float("nan")
+    return float(np.corrcoef(a[m], b[m])[0, 1])
+
+
+def _spearman(a: Array, b: Array) -> float:
+    m = np.isfinite(a) & np.isfinite(b)
+    if m.sum() < 2:
+        return float("nan")
+
+    def _rank(v: Array) -> Array:
+        order = np.argsort(v, kind="stable")
+        r = np.empty_like(order, np.float64)
+        r[order] = np.arange(len(v))
+        # average ties so constant inputs get std 0 -> NaN, not spurious 1.0
+        for u in np.unique(v):
+            t = v == u
+            if t.sum() > 1:
+                r[t] = r[t].mean()
+        return r
+
+    return _pearson(_rank(a[m]), _rank(b[m]))
+
+
+def analyze(
+    probs: Array,
+    sigma: Array,
+    labels: Array,
+    dataset: str,
+    n_bins: int = 15,
+    n_points: int = 20,
+) -> Dict[str, object]:
+    """Uncertainty-quality statistics from stacked eval outputs.
+
+    probs/sigma: [N, h, w, C] (the model's (mean, variance) head outputs),
+    labels: [N, h, w] int. Returns scalar metrics + the curve arrays."""
+    pred = np.argmax(probs, axis=-1)
+    correct = (pred == labels).astype(np.float64)
+    errors = 1.0 - correct
+    confidence = np.max(probs, axis=-1)
+    # predictive variance at the predicted class — the reference's
+    # uncertainty map definition (`Hippocampus.py:1039-1043`)
+    unc = np.take_along_axis(sigma, pred[..., None], axis=-1)[..., 0]
+
+    fracs, curve, oracle = sparsification_curve(errors, unc, n_points)
+    ece, reliability = expected_calibration_error(
+        confidence, correct, n_bins
+    )
+    per_img_unc = unc.mean(axis=(1, 2))
+    per_img_err = errors.mean(axis=(1, 2))
+    out: Dict[str, object] = {
+        "ause": ause(errors, unc, n_points),
+        "ece": ece,
+        "pixel_error_rate": float(errors.mean()),
+        "mean_uncertainty": float(unc.mean()),
+        "mean_uncertainty_correct": float(unc[correct == 1.0].mean())
+        if (correct == 1.0).any() else float("nan"),
+        "mean_uncertainty_incorrect": float(unc[correct == 0.0].mean())
+        if (correct == 0.0).any() else float("nan"),
+        "corr_pearson": _pearson(per_img_unc, per_img_err),
+        "corr_spearman": _spearman(per_img_unc, per_img_err),
+        "sparsification_fractions": fracs,
+        "sparsification_curve": curve,
+        "sparsification_oracle": oracle,
+        "reliability": reliability,
+    }
+    # per-structure correlation: the C33 `uncert_for_corr` study, run
+    per_struct = uncert_for_corr(unc, pred, dataset)
+    for s, u in per_struct.items():
+        out[f"corr_pearson_{s}"] = _pearson(u, per_img_err)
+        out[f"mean_uncertainty_{s}"] = (
+            float(np.nanmean(u)) if np.isfinite(u).any() else float("nan")
+        )
+    return out
+
+
+def _plot_artifacts(out_dir: str, res: Dict[str, object]) -> List[str]:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover - headless fallback
+        return []
+    written = []
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.plot(res["sparsification_fractions"], res["sparsification_curve"],
+            label="by uncertainty")
+    ax.plot(res["sparsification_fractions"], res["sparsification_oracle"],
+            "--", label="oracle (by error)")
+    ax.set_xlabel("fraction of most-uncertain pixels removed")
+    ax.set_ylabel("remaining pixel error rate")
+    ax.set_title(f"Sparsification (AUSE={res['ause']:.4f})")
+    ax.legend()
+    p = os.path.join(out_dir, "sparsification.png")
+    fig.savefig(p, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    written.append(p)
+
+    rel = res["reliability"]
+    centers = (rel["bin_edges"][:-1] + rel["bin_edges"][1:]) / 2.0
+    fig, ax = plt.subplots(figsize=(5, 4))
+    nz = rel["counts"] > 0
+    ax.bar(centers[nz], rel["accuracy"][nz], width=0.9 / len(centers),
+           label="accuracy")
+    ax.plot([0, 1], [0, 1], "k--", lw=1, label="perfect")
+    ax.set_xlabel("predicted confidence")
+    ax.set_ylabel("accuracy")
+    ax.set_title(f"Reliability (ECE={res['ece']:.4f})")
+    ax.legend()
+    p = os.path.join(out_dir, "reliability_diagram.png")
+    fig.savefig(p, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    written.append(p)
+    return written
+
+
+def run_calibration(
+    exp: ExperimentConfig,
+    params,
+    ds: PickleDataset,
+    out_dir: Optional[str] = None,
+    n_bins: int = 15,
+    mesh=None,
+) -> Dict[str, object]:
+    """Forward the test set once, run `analyze`, write artifacts
+    (calibration.pkl with every array, Calibration_report.txt, two PNGs).
+    Returns the metric dict (arrays included)."""
+    from supernet_tpu.evaluate import _crop_label, _forward_fn, _pad_batch
+
+    cfg = exp.model
+    fwd = _forward_fn(cfg, mesh)
+    if mesh is not None:
+        from supernet_tpu.parallel import replicate
+
+        params = replicate(mesh, params)
+    all_probs, all_sigma, all_y = [], [], []
+    for x, y in ds.batches(exp.train.batch_size, drop_remainder=False):
+        b = len(x)
+        xb = jnp.asarray(x)
+        if mesh is not None:
+            xb = _pad_batch(xb, exp.train.batch_size)
+        probs, sigma = fwd(params, xb)
+        probs, sigma = np.asarray(probs)[:b], np.asarray(sigma)[:b]
+        all_probs.append(
+            probs.reshape(b, cfg.out_size, cfg.out_size, cfg.n_classes)
+        )
+        all_sigma.append(
+            sigma.reshape(b, cfg.out_size, cfg.out_size, cfg.n_classes)
+        )
+        all_y.append(_crop_label(y, cfg.out_size))
+    probs = np.concatenate(all_probs)
+    sigma = np.concatenate(all_sigma)
+    labels = np.concatenate(all_y).astype(np.int64)
+
+    res = analyze(probs, sigma, labels, exp.name, n_bins=n_bins)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "calibration.pkl"), "wb") as f:
+            pickle.dump(res, f)
+        scalars = {
+            k: v for k, v in res.items() if isinstance(v, (int, float))
+        }
+        with open(
+            os.path.join(out_dir, "Calibration_report.txt"), "w"
+        ) as f:
+            f.write(f"Uncertainty quality report — {exp.name}\n")
+            f.write(f"samples: {len(labels)}\n\n")
+            for k in sorted(scalars):
+                f.write(f"{k}: {scalars[k]:.6f}\n")
+        _plot_artifacts(out_dir, res)
+        res["out_dir"] = out_dir
+    return res

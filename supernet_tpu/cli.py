@@ -79,6 +79,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(e)
     e.add_argument("--images-n", type=int, default=10)
 
+    cal = sub.add_parser(
+        "calibrate",
+        help="uncertainty-quality report: sparsification/AUSE, ECE + "
+             "reliability diagram, uncertainty-error correlation",
+    )
+    _add_common(cal)
+    cal.add_argument("--bins", type=int, default=15,
+                     help="confidence bins for ECE/reliability")
+
     a = sub.add_parser("attack", help="FGSM/PGD adversarial evaluation")
     _add_common(a)
     a.add_argument("--epsilon", type=float, default=None)
@@ -355,6 +364,16 @@ def main(argv=None) -> int:
 
         res = run_testing(exp, params, ds, images_n=args.images_n,
                           out_dir=args.out_dir, mesh=mesh)
+        print(json.dumps({k: v for k, v in res.items()
+                          if isinstance(v, (int, float, str))}))
+        return 0
+
+    if args.cmd == "calibrate":
+        from supernet_tpu.calibration import run_calibration
+
+        out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}/calibration"
+        res = run_calibration(exp, params, ds, out_dir=out_dir,
+                              n_bins=args.bins, mesh=mesh)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
         return 0
