@@ -300,7 +300,15 @@ def main(argv=None) -> int:
         if args.data_parallel:
             import jax
 
-            from supernet_tpu.parallel import make_mesh_for_batch
+            from supernet_tpu.parallel import (
+                initialize_from_env,
+                make_mesh_for_batch,
+            )
+
+            # multi-host bring-up (SUPERNET_COORDINATOR / JAX_COORDINATOR_*
+            # env); no-op single-process. After this, jax.devices() spans
+            # every process and the mesh below covers the whole job.
+            initialize_from_env()
 
             # the batch axis must divide over the mesh (NamedSharding);
             # shrink the mesh to the largest divisor of batch_size so the

@@ -6,6 +6,12 @@ from supernet_tpu.parallel.spatial import (
     make_spatial_vconv,
     trim_valid,
 )
+from supernet_tpu.parallel.multihost import (
+    global_batch,
+    global_mesh,
+    initialize_from_env,
+    process_local_rows,
+)
 from supernet_tpu.parallel.data_parallel import (
     make_mesh,
     make_mesh_for_batch,
@@ -16,6 +22,10 @@ from supernet_tpu.parallel.data_parallel import (
 )
 
 __all__ = [
+    "global_batch",
+    "global_mesh",
+    "initialize_from_env",
+    "process_local_rows",
     "halo_exchange_rows",
     "make_spatial_encoder_block",
     "make_spatial_forward",

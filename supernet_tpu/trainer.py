@@ -107,7 +107,9 @@ class Trainer:
             self._put = jnp.asarray
         else:
             from supernet_tpu.parallel import (
+                global_batch,
                 make_sharded_train_step,
+                process_local_rows,
                 replicate,
                 shard_batch,
             )
@@ -115,7 +117,18 @@ class Trainer:
             self.step_fn = make_sharded_train_step(
                 self.cfg, self.tc, mesh, with_pred=track_curves
             )
-            self._put = lambda a: shard_batch(mesh, jnp.asarray(a))
+            if jax.process_count() > 1:
+                # multi-host: this process's loader yields the GLOBAL
+                # batch; feed only our contiguous row block and assemble
+                # the global array from per-process shards (no host ever
+                # holds more than its slice on device)
+                def _put(a):
+                    lo, hi = process_local_rows(len(a))
+                    return global_batch(mesh, np.asarray(a)[lo:hi])
+
+                self._put = _put
+            else:
+                self._put = lambda a: shard_batch(mesh, jnp.asarray(a))
             self._replicate = lambda t: replicate(mesh, t)
         self.eval_fn = make_eval_step(self.cfg, self.tc)
         self._single_step = None  # built lazily for trailing batches
