@@ -3,6 +3,8 @@ from supernet_tpu.models.unet import (
     init_params,
     forward,
     forward_images,
+    forward_sampled,
+    sample_weights,
     layer_names,
     kl_regularizer,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "init_params",
     "forward",
     "forward_images",
+    "forward_sampled",
+    "sample_weights",
     "layer_names",
     "kl_regularizer",
 ]

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from supernet_tpu.configs import ModelConfig
 from supernet_tpu.ops import (
+    crop_center,
     vconv,
     vconv_input_relu,
     vconv_relu,
@@ -234,6 +235,94 @@ def forward(
 
     m, s = conv("conv_final", m, s)
     return vsoftmax(m, s)
+
+
+def sample_weights(params: Params, key: Array) -> Dict[str, Array]:
+    """One draw from the weight posterior: w ~ N(w_mu, softplus(w_sigma))
+    per conv layer (the per-output-channel variance broadcast over the
+    kernel, `Hippocampus.py:94-136`). Feed to `forward_sampled` for the
+    Monte-Carlo ensemble the VDP moments approximate."""
+    out: Dict[str, Array] = {}
+    for name, p in params.items():
+        key, sub = jax.random.split(key)
+        s_w = jax.nn.softplus(p["w_sigma"])  # [Cout]
+        eps = jax.random.normal(sub, p["w_mu"].shape, p["w_mu"].dtype)
+        out[name] = p["w_mu"] + jnp.sqrt(s_w) * eps
+    return out
+
+
+def forward_sampled(
+    weights: Dict[str, Array], x: Array, cfg: ModelConfig
+) -> Array:
+    """Deterministic twin of `forward`: ONE ordinary U-Net pass with
+    concrete conv kernels (e.g. from `sample_weights`); returns softmax
+    probabilities [B, H_out*W_out, n_classes].
+
+    Exactly the architecture the moment propagation models — VALID convs,
+    relu, 2x2/2 max pool, zero-interleave unpool + 2x2 conv, the [3,3]/[2,2]
+    pad choreography, crop-concat skips (`Hippocampus.py:373-421`) — so
+    `vmap(forward_sampled)` over weight draws is the MC ground truth that
+    `forward`'s (probs, sigma) approximate (tested full-model in
+    test_moments.py). Also usable as a plain (non-Bayesian) U-Net or an
+    MC-ensemble baseline at inference."""
+    from jax import lax
+
+    depth = cfg.depth
+
+    def conv(name: str, h: Array, k_override: Array = None) -> Array:
+        w = weights[name] if k_override is None else k_override
+        return lax.conv_general_dilated(
+            h, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def conv_relu(name: str, h: Array) -> Array:
+        return jax.nn.relu(conv(name, h))
+
+    def pad(h: Array, p) -> Array:
+        # p = (lo, hi) applied to BOTH spatial dims, vpad's convention
+        # (mypadding, incl. the asymmetric BraTS bottleneck (1, 0))
+        lo, hi = (p, p) if isinstance(p, int) else p
+        return jnp.pad(h, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+
+    def unpool_conv2(name: str, h: Array) -> Array:
+        # zero-interleave to 2w+1 with a 1-px top/left pad, then 2x2 VALID
+        # (`Hippocampus.py:26-51,200-208`; same lo=1,hi=1,interior=1 pad as
+        # ops.moments._unpool_one)
+        h = lax.pad(
+            h, jnp.zeros((), h.dtype),
+            ((0, 0, 0), (1, 1, 1), (1, 1, 1), (0, 0, 0)),
+        )
+        return conv(name, h)
+
+    def crop_concat(h: Array, enc: Array) -> Array:
+        size = h.shape[1]
+        return jnp.concatenate([crop_center(enc, size, size), h], axis=-1)
+
+    skips: List[Array] = []
+    h = conv_relu("conv_input", x)
+    h = conv_relu("conv1", h)
+    for i in range(depth):
+        if i > 0:
+            if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
+                h = pad(h, cfg.bottleneck_pre_pad)
+            h = conv_relu(f"conv{2 * i}", h)
+            h = conv_relu(f"conv{2 * i + 1}", h)
+        if i < depth - 1:
+            skips.append(h)
+            h = lax.reduce_window(
+                h, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+            )
+    for j in range(1, depth):
+        h = unpool_conv2(f"up{j}_conv2x2", h)
+        h = pad(h, (3, 3))
+        h = crop_concat(h, skips[depth - 1 - j])
+        h = conv_relu(f"up{j}_conv1", h)
+        h = pad(h, (2, 2))
+        h = conv_relu(f"up{j}_conv2", h)
+    h = conv("conv_final", h)
+    b, hh, ww, c = h.shape
+    return jax.nn.softmax(h.reshape(b, hh * ww, c), axis=-1)
 
 
 def forward_images(

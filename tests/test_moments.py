@@ -425,3 +425,83 @@ def test_act_dtype_bfloat16_mode():
         assert all(np.isfinite(np.asarray(a)).all() for a in flat)
     finally:
         moments.set_act_dtype("float32")
+
+
+# ------------------------------------------------- full-model MC validation
+
+
+def test_full_model_monte_carlo():
+    """FULL-MODEL Monte-Carlo ground truth (the per-op MC tests above
+    validate each layer; this validates the composition): sample weights
+    from the posterior, run the deterministic twin (`forward_sampled`)
+    4000 times, and compare empirical output moments with ONE propagated
+    forward. Expected from the method's approximations (first-order
+    Taylor through relu/softmax, diagonal covariance through convs):
+    the MEAN matches tightly, the variance is median-calibrated
+    (ratio ~ 1.005 measured) with positive but imperfect pixel-wise
+    correlation (~0.76 measured) — the tails carry the diagonal
+    approximation error."""
+    import dataclasses
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import (
+        forward,
+        forward_sampled,
+        init_params,
+        sample_weights,
+    )
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 1)).astype(np.float32))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # shift the raw sigmas up so weight variance dominates MC noise
+    params = {
+        k: {"w_mu": v["w_mu"], "w_sigma": v["w_sigma"] + 3.0}
+        for k, v in params.items()
+    }
+    probs, sigma = forward(params, x, cfg)
+
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    f = jax.jit(lambda k: forward_sampled(sample_weights(params, k), x, cfg))
+    outs = jax.lax.map(f, keys)  # [n, 1, HW, C]
+    emp_mean = np.asarray(jnp.mean(outs, 0))[0]
+    emp_var = np.asarray(jnp.var(outs, 0))[0]
+    p, s = np.asarray(probs)[0], np.asarray(sigma)[0]
+
+    assert np.abs(emp_mean - p).max() < 0.03
+    assert np.abs(emp_mean - p).mean() < 0.01
+    corr = np.corrcoef(emp_var.ravel(), s.ravel())[0, 1]
+    assert corr > 0.6
+    m = emp_var.ravel() > 1e-8
+    ratio = np.median(s.ravel()[m] / emp_var.ravel()[m])
+    assert 0.7 < ratio < 1.4
+
+
+def test_forward_sampled_geometry_matches_forward():
+    """The deterministic twin reproduces BOTH documented size chains
+    (64->54 and the BraTS 204->186 with the asymmetric bottleneck pad) —
+    eval_shape only, no FLOPs."""
+    from supernet_tpu.configs import BRATS, HIPPOCAMPUS
+    from supernet_tpu.models import forward, forward_sampled, init_params
+
+    for exp in (HIPPOCAMPUS, BRATS):
+        cfg = exp.model
+        params = jax.eval_shape(
+            lambda key, c=cfg: init_params(key, c), jax.random.PRNGKey(0)
+        )
+        weights = {n: p["w_mu"] for n, p in params.items()}
+        x = jax.ShapeDtypeStruct(
+            (2, cfg.image_size, cfg.image_size, cfg.in_channels),
+            jnp.float32,
+        )
+        det = jax.eval_shape(lambda w, xx, c=cfg: forward_sampled(w, xx, c),
+                             weights, x)
+        vdp = jax.eval_shape(lambda p, xx, c=cfg: forward(p, xx, c),
+                             params, x)
+        assert det.shape == vdp[0].shape == (
+            2, cfg.out_size * cfg.out_size, cfg.n_classes
+        )
