@@ -229,14 +229,22 @@ def run_calibration(
     out_dir: Optional[str] = None,
     n_bins: int = 15,
     mesh=None,
+    mc_samples: int = 0,
 ) -> Dict[str, object]:
     """Forward the test set once, run `analyze`, write artifacts
     (calibration.pkl with every array, Calibration_report.txt, two PNGs).
-    Returns the metric dict (arrays included)."""
+    Returns the metric dict (arrays included).
+
+    ``mc_samples > 0`` scores the Monte-Carlo weight-sampling baseline's
+    uncertainty instead of the VDP propagation — run both and diff the
+    reports to quantify what one propagated pass buys vs an N-sample
+    ensemble."""
     from supernet_tpu.evaluate import _crop_label, _forward_fn, _pad_batch
 
     cfg = exp.model
-    fwd = _forward_fn(cfg, mesh)
+    if mc_samples > 0 and mesh is not None:
+        raise ValueError("mc_samples mode is single-device; drop mesh")
+    fwd = _forward_fn(cfg, mesh, mc_samples=mc_samples)
     if mesh is not None:
         from supernet_tpu.parallel import replicate
 
@@ -261,6 +269,8 @@ def run_calibration(
     labels = np.concatenate(all_y).astype(np.int64)
 
     res = analyze(probs, sigma, labels, exp.name, n_bins=n_bins)
+    if mc_samples > 0:
+        res["mc_samples"] = mc_samples
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "calibration.pkl"), "wb") as f:

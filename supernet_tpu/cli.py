@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("eval", help="clean evaluation + uncertainty report")
     _add_common(e)
     e.add_argument("--images-n", type=int, default=10)
+    e.add_argument("--mc-samples", type=int, default=0,
+                   help="N>0: evaluate the Monte-Carlo weight-sampling "
+                        "baseline (N forwards/batch) instead of the VDP "
+                        "propagated moments")
 
     cal = sub.add_parser(
         "calibrate",
@@ -87,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(cal)
     cal.add_argument("--bins", type=int, default=15,
                      help="confidence bins for ECE/reliability")
+    cal.add_argument("--mc-samples", type=int, default=0,
+                     help="N>0: score the MC weight-sampling baseline's "
+                          "uncertainty instead of the VDP propagation")
 
     a = sub.add_parser("attack", help="FGSM/PGD adversarial evaluation")
     _add_common(a)
@@ -371,7 +378,9 @@ def main(argv=None) -> int:
         from supernet_tpu.evaluate import run_testing
 
         res = run_testing(exp, params, ds, images_n=args.images_n,
-                          out_dir=args.out_dir, mesh=mesh)
+                          out_dir=args.out_dir,
+                          mesh=None if args.mc_samples else mesh,
+                          mc_samples=args.mc_samples)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
         return 0
@@ -381,7 +390,9 @@ def main(argv=None) -> int:
 
         out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}/calibration"
         res = run_calibration(exp, params, ds, out_dir=out_dir,
-                              n_bins=args.bins, mesh=mesh)
+                              n_bins=args.bins,
+                              mesh=None if args.mc_samples else mesh,
+                              mc_samples=args.mc_samples)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
         return 0

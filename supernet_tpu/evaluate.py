@@ -51,10 +51,42 @@ _REGION_DIR = {
 }
 
 
-def _forward_fn(cfg, mesh=None):
+def _forward_fn(cfg, mesh=None, mc_samples: int = 0, mc_seed: int = 0):
     """Jitted forward; with ``mesh`` the batch is sharded over the devices
     and parameters are replicated (data-parallel eval, net-new vs the
-    single-device reference)."""
+    single-device reference).
+
+    ``mc_samples > 0`` switches to the Monte-Carlo ensemble the VDP
+    propagation replaces (the paper's baseline: "instead of Monte Carlo
+    sampling"): N posterior weight draws through the deterministic twin
+    (`models.forward_sampled`), returning the empirical (mean, variance)
+    of the softmax outputs in the same [B, HW, C] shapes — every
+    downstream metric/artifact path works unchanged. Draws are
+    deterministic per (mc_seed, batch index); costs N forwards per batch
+    vs the VDP's one."""
+    if mc_samples > 0:
+        from supernet_tpu.models import forward_sampled, sample_weights
+
+        counter = [0]
+
+        @jax.jit
+        def mc(params, x, key):
+            keys = jax.random.split(key, mc_samples)
+
+            def one(k):
+                return forward_sampled(sample_weights(params, k), x, cfg)
+
+            probs = jax.lax.map(one, keys)  # [N, B, HW, C]
+            return jnp.mean(probs, 0), jnp.var(probs, 0)
+
+        def f(params, x):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(mc_seed), counter[0]
+            )
+            counter[0] += 1
+            return mc(params, x, key)
+
+        return f
     if mesh is not None:
         from supernet_tpu.parallel import make_sharded_forward
 
@@ -131,10 +163,17 @@ def run_testing(
     images_n: int = 0,
     seed: int = 0,
     mesh=None,
+    mc_samples: int = 0,
 ) -> Dict[str, object]:
-    """The ``testing`` protocol; returns metrics + artifact path."""
+    """The ``testing`` protocol; returns metrics + artifact path.
+
+    ``mc_samples > 0`` evaluates the Monte-Carlo weight-sampling baseline
+    instead of the VDP propagation (same metrics/artifacts; N forwards per
+    batch — see `_forward_fn`)."""
     cfg = exp.model
-    fwd = _forward_fn(cfg, mesh)
+    if mc_samples > 0 and mesh is not None:
+        raise ValueError("mc_samples mode is single-device; drop mesh")
+    fwd = _forward_fn(cfg, mesh, mc_samples=mc_samples, mc_seed=seed)
     if mesh is not None:
         from supernet_tpu.parallel import replicate
 
@@ -220,6 +259,8 @@ def run_testing(
         "test_time_per_batch_s": t_infer / max(n_batches, 1),
         "out_dir": out_dir,
     }
+    if mc_samples > 0:
+        result["mc_samples"] = mc_samples
     _aggregate_structures(result, structs, acc_metrics)
 
     artifact = reports.save_uncertainty_artifact(

@@ -151,3 +151,51 @@ def test_run_calibration_e2e_and_cli(tmp_path, capsys):
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "ause" in line and "ece" in line
+
+
+def test_mc_ensemble_eval_mode(tmp_path):
+    """`mc_samples > 0` evaluates the Monte-Carlo weight-sampling baseline
+    through the SAME testing/calibration protocol (the paper's comparison:
+    propagation vs sampling), producing the full metric set."""
+    import dataclasses
+
+    import jax
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.data import PickleDataset, synthetic_dataset
+    from supernet_tpu.evaluate import run_testing
+    from supernet_tpu.models import init_params
+
+    exp = dataclasses.replace(
+        HIPPOCAMPUS,
+        model=dataclasses.replace(
+            HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+        ),
+        train=dataclasses.replace(HIPPOCAMPUS.train, batch_size=4),
+    )
+    x, y = synthetic_dataset(exp.model, 8, seed=0)
+    ds = PickleDataset(x, y, 1)
+    params = init_params(jax.random.PRNGKey(0), exp.model)
+
+    res = run_testing(
+        exp, params, ds, out_dir=str(tmp_path / "mc"), mc_samples=8
+    )
+    assert res["mc_samples"] == 8
+    assert np.isfinite(res["accuracy"])
+    assert np.isfinite(res["mean_predictive_variance"])
+    assert os.path.exists(res["artifact"])
+
+    cal = run_calibration(
+        exp, params, ds, out_dir=str(tmp_path / "mc_cal"), mc_samples=8
+    )
+    assert cal["mc_samples"] == 8 and np.isfinite(cal["ause"])
+
+    # deterministic: same seed -> same numbers
+    res2 = run_testing(exp, params, ds, mc_samples=8)
+    assert res2["accuracy"] == res["accuracy"]
+
+    # mesh + MC is an explicit error, not silent single-device fallback
+    from supernet_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="single-device"):
+        run_testing(exp, params, ds, mesh=make_mesh(2), mc_samples=4)
