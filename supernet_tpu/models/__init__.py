@@ -19,3 +19,17 @@ __all__ = [
     "layer_names",
     "kl_regularizer",
 ]
+
+from supernet_tpu.models.unet3d import (  # noqa: E402
+    forward3d,
+    init_params3d,
+    kl_regularizer3d,
+    layer_names3d,
+)
+
+__all__ += [
+    "forward3d",
+    "init_params3d",
+    "kl_regularizer3d",
+    "layer_names3d",
+]

@@ -1,0 +1,199 @@
+"""3-D moment-propagation primitives (net-new model family).
+
+The reference operates on 2-D slices extracted from the Medical
+Segmentation Decathlon / BraTS 3-D volumes (`Hippocampus.py:479-481` loads
+pre-extracted 2-D pickles); volumetric context is simply discarded. This
+module extends the VDP algebra to NDHWC volumes so the framework can also
+train a 3-D variant (`models/unet3d.py`) directly on what `data/nifti.py`
+reads.
+
+Same math as `ops/moments.py`, one rank up, correctness-first:
+
+- variance terms of the variational conv stay CONVOLUTIONS
+  (`sigma = winsum3d(mu^2 + sigma) * s_w + conv3d(sigma, w_mu^2)`; the
+  conv-form identity of SURVEY §7.1 is rank-independent because ``s_w``
+  is per-output-channel),
+- `vrelu` is reused verbatim from the 2-D module (elementwise,
+  rank-agnostic),
+- max-pool is the 2x2x2 first-occurrence-argmax gather expressed as eight
+  strided taps + a select chain (TF tie-break order preserved),
+- unpool is one `lax.pad` with interior padding on all three spatial dims
+  (2w+1 geometry, values at odd indices, `Hippocampus.py:26-51` per axis).
+
+This path deliberately has NO custom VJPs or Pallas kernels: round 2/3
+measured that XLA's own fusions win at these sizes (docs/PERFORMANCE.md
+dead-ends table); the 3-D ops start from — and stay on — the XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from supernet_tpu.ops.moments import _act, get_act_dtype, vrelu  # noqa: F401
+
+Array = jax.Array
+MomentPair = Tuple[Array, Array]
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _conv3d_valid(x: Array, w: Array, stride: int = 1) -> Array:
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        (stride,) * 3,
+        "VALID",
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _window_sum3d(x: Array, k: int, stride: int = 1) -> Array:
+    """Channel sum then k^3 ones-kernel VALID conv -> [B, D', H', W', 1]."""
+    s = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    ones = jnp.ones((k, k, k, 1, 1), jnp.float32)
+    out = lax.conv_general_dilated(
+        s, ones, (stride,) * 3, "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return _act(out)
+
+
+def vconv3d_input(
+    x: Array, w_mu: Array, w_sigma: Array, stride: int = 1
+) -> MomentPair:
+    """First conv: deterministic input, Gaussian weights (3-D analog of
+    `myConv_input`, `Hippocampus.py:94-136`). w_mu [k,k,k,Cin,Cout],
+    w_sigma [Cout] (raw; softplus-parameterized)."""
+    k = w_mu.shape[0]
+    s_w = jax.nn.softplus(w_sigma.astype(jnp.float32))
+    mu_out = _conv3d_valid(_act(x), w_mu)
+    ws = _window_sum3d(jnp.square(x), k, stride)
+    return _act(mu_out), ws * _act(s_w)
+
+
+def vconv3d(
+    mu: Array, sigma: Array, w_mu: Array, w_sigma: Array, stride: int = 1
+) -> MomentPair:
+    """Conv with random input AND weights (3-D `myConv_intermediate`,
+    `Hippocampus.py:140-197`): sigma1 + sigma3 fused into one window-sum
+    (both scale by s_w), sigma2 = conv3d(sigma, w_mu^2)."""
+    k = w_mu.shape[0]
+    s_w = jax.nn.softplus(w_sigma.astype(jnp.float32))
+    mu_out = _conv3d_valid(_act(mu), w_mu)
+    ws = _window_sum3d(jnp.square(mu) + sigma, k, stride)
+    sigma_out = ws * _act(s_w) + _conv3d_valid(
+        _act(sigma), jnp.square(w_mu.astype(jnp.float32))
+    )
+    return _act(mu_out), _act(sigma_out)
+
+
+def vconv3d_relu(
+    mu: Array, sigma: Array, w_mu: Array, w_sigma: Array
+) -> MomentPair:
+    return vrelu(*vconv3d(mu, sigma, w_mu, w_sigma))
+
+
+def vmaxpool3d(mu: Array, sigma: Array) -> MomentPair:
+    """2x2x2 / stride-2 max pool on the mean, variance gathered at the SAME
+    argmax (3-D `mymaxpooling` + `get_pooled`, `Hippocampus.py:54-64,
+    226-234`). SAME padding; TF's first-flat-index tie-break preserved by
+    selecting taps in (d, h, w) scan order."""
+    b, d, h, w, c = mu.shape
+    pd, ph, pw = d % 2, h % 2, w % 2
+    neg = jnp.asarray(-jnp.inf, mu.dtype)
+    mu_p = jnp.pad(
+        mu, ((0, 0), (0, pd), (0, ph), (0, pw), (0, 0)),
+        constant_values=neg,
+    )
+    sg_p = jnp.pad(sigma, ((0, 0), (0, pd), (0, ph), (0, pw), (0, 0)))
+    taps = [
+        (
+            mu_p[:, di::2, hi::2, wi::2, :],
+            sg_p[:, di::2, hi::2, wi::2, :],
+        )
+        for di in (0, 1)
+        for hi in (0, 1)
+        for wi in (0, 1)
+    ]
+    mx = taps[0][0]
+    for t, _ in taps[1:]:
+        mx = jnp.maximum(mx, t)
+    out = taps[0][1]
+    chosen = taps[0][0] == mx
+    for t, s in taps[1:]:
+        take = (t == mx) & ~chosen
+        out = jnp.where(take, s, out)
+        chosen = chosen | take
+    return mx, out
+
+
+def _unpool3d_one(x: Array) -> Array:
+    """Zero-interleave 2x upsample with 1-px low pad on every spatial dim:
+    [B,D,H,W,C] -> [B,2D+1,2H+1,2W+1,C], values at odd indices."""
+    cfg = [(0, 0, 0), (1, 1, 1), (1, 1, 1), (1, 1, 1), (0, 0, 0)]
+    return lax.pad(x, jnp.asarray(0.0, x.dtype), cfg)
+
+
+def vunpool3d(mu: Array, sigma: Array) -> MomentPair:
+    return _unpool3d_one(mu), _unpool3d_one(sigma)
+
+
+def vunpool3d_conv2(
+    mu: Array, sigma: Array, w_mu: Array, w_sigma: Array
+) -> MomentPair:
+    """unpool + 2x2x2 VALID conv (the decoder's upsampling step). The
+    composition form — the 2-D path's fused lhs-dilated trick is an
+    optimization this correctness-first 3-D path skips."""
+    return vconv3d(*vunpool3d(mu, sigma), w_mu, w_sigma)
+
+
+def vpad3d(
+    mu: Array,
+    sigma: Array,
+    pad_size: Sequence[int] = (2, 2),
+    sigma_fill: float = 0.0,
+) -> MomentPair:
+    """(lo, hi) pad on all three spatial dims; mu zeros, sigma
+    ``sigma_fill`` (3-D `mypadding`)."""
+    lo, hi = int(pad_size[0]), int(pad_size[1])
+    pad = ((0, 0), (lo, hi), (lo, hi), (lo, hi), (0, 0))
+    return (
+        jnp.pad(mu, pad),
+        jnp.pad(sigma, pad, constant_values=sigma_fill),
+    )
+
+
+def crop_center3d(x: Array, td: int, th: int, tw: int) -> Array:
+    od = (x.shape[1] - td) // 2
+    oh = (x.shape[2] - th) // 2
+    ow = (x.shape[3] - tw) // 2
+    return x[:, od : od + td, oh : oh + th, ow : ow + tw, ...]
+
+
+def vcrop_concat3d(
+    mu: Array, sigma: Array, mu_e: Array, sigma_e: Array
+) -> MomentPair:
+    """Skip connection: center-crop the encoder pair to the decoder's
+    spatial size, concat channels (3-D `myConc`)."""
+    d, h, w = mu.shape[1:4]
+    return (
+        jnp.concatenate([crop_center3d(mu_e, d, h, w), mu], axis=-1),
+        jnp.concatenate([crop_center3d(sigma_e, d, h, w), sigma], axis=-1),
+    )
+
+
+def vsoftmax3d(mu: Array, sigma: Array) -> MomentPair:
+    """Voxel-wise softmax with the exact elementwise (J o J) @ sigma closure
+    (see `moments.vsoftmax`); flattens to [B, D*H*W, C], f32 head."""
+    b, d, h, w, c = mu.shape
+    mu_flat = mu.reshape(b, d * h * w, c).astype(jnp.float32)
+    sigma_flat = sigma.reshape(b, d * h * w, c).astype(jnp.float32)
+    p = jax.nn.softmax(mu_flat, axis=-1)
+    p_sq = jnp.square(p)
+    s_tot = jnp.sum(p_sq * sigma_flat, axis=-1, keepdims=True)
+    return p, p_sq * ((1.0 - 2.0 * p) * sigma_flat + s_tot)

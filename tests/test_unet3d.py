@@ -1,0 +1,194 @@
+"""3-D model family (`ops/moments3d.py` + `models/unet3d.py`, net-new —
+the reference slices its 3-D volumes to 2-D): MC ground truth for the 3-D
+variational conv, pool/unpool semantics vs NumPy loops, the geometry chain
+(the 2-D arithmetic per axis), and an end-to-end training smoke reusing the
+2-D loss head."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supernet_tpu.configs import HIPPOCAMPUS
+from supernet_tpu.models import forward3d, init_params3d, kl_regularizer3d
+from supernet_tpu.ops import moments3d as m3
+
+RNG = np.random.default_rng(0)
+
+
+def _rand(*s, positive=False):
+    a = RNG.normal(0, 1, s).astype(np.float32)
+    return np.abs(a) if positive else a
+
+
+def test_vconv3d_monte_carlo():
+    """MC ground truth: w ~ N(w_mu, softplus(w_sigma)), x ~ N(mu, sigma);
+    empirical moments of conv3d(x, w) must match vconv3d."""
+    key = jax.random.PRNGKey(42)
+    cin, cout, k, d = 2, 3, 2, 5
+    mu = jnp.asarray(_rand(1, d, d, d, cin))
+    sigma = jnp.asarray(_rand(1, d, d, d, cin, positive=True) + 0.05)
+    w_mu = jnp.asarray(_rand(k, k, k, cin, cout) * 0.3)
+    w_sigma = jnp.asarray(RNG.uniform(-4, -2, cout).astype(np.float32))
+    s_w = jax.nn.softplus(w_sigma)
+
+    n = 150_000
+    kx, kw = jax.random.split(key)
+    xs = mu + jnp.sqrt(sigma) * jax.random.normal(kx, (n, d, d, d, cin))
+    ws = w_mu + jnp.sqrt(s_w) * jax.random.normal(kw, (n, k, k, k, cin, cout))
+
+    def one(x, w):
+        return jax.lax.conv_general_dilated(
+            x[None], w, (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]
+
+    ys = jax.vmap(one)(xs, ws)
+    mu_out, sg_out = m3.vconv3d(mu, sigma, w_mu, w_sigma)
+    np.testing.assert_allclose(jnp.mean(ys, 0), mu_out[0], atol=0.02)
+    np.testing.assert_allclose(jnp.var(ys, 0), sg_out[0], rtol=0.06, atol=0.02)
+
+
+def test_vconv3d_input_closed_form():
+    """sigma_out = (sum_patch x^2) * softplus(w_sigma) — NumPy loop."""
+    x = _rand(1, 4, 4, 4, 2)
+    k, cout = 2, 3
+    w_mu = _rand(k, k, k, 2, cout) * 0.2
+    w_sigma = RNG.uniform(-6, -2, cout).astype(np.float32)
+    s_w = np.log1p(np.exp(w_sigma))
+    mu, sg = m3.vconv3d_input(
+        jnp.asarray(x), jnp.asarray(w_mu), jnp.asarray(w_sigma)
+    )
+    for i in range(3):
+        for j in range(3):
+            for l in range(3):
+                patch = x[0, i : i + k, j : j + k, l : l + k, :]
+                for c in range(cout):
+                    m = np.sum(patch * w_mu[..., c])
+                    v = np.sum(patch**2) * s_w[c]
+                    assert abs(mu[0, i, j, l, c] - m) < 1e-4
+                    assert abs(sg[0, i, j, l, c] - v) < 1e-5 + 5e-4 * abs(v)
+
+
+def test_vmaxpool3d_semantics():
+    """Max of the mean over 2^3 windows; sigma gathered at the SAME argmax
+    with TF's first-flat-index tie-break; odd dims padded (SAME)."""
+    mu = _rand(2, 5, 4, 6, 3)  # odd D exercises the pad path
+    sigma = _rand(2, 5, 4, 6, 3, positive=True)
+    mx, sg = m3.vmaxpool3d(jnp.asarray(mu), jnp.asarray(sigma))
+    assert mx.shape == (2, 3, 2, 3, 3)
+    neg = -np.inf
+    mu_p = np.pad(mu, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)),
+                  constant_values=neg)
+    sg_p = np.pad(sigma, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    for b in range(2):
+        for i in range(3):
+            for j in range(2):
+                for l in range(3):
+                    for c in range(3):
+                        wm = mu_p[b, 2*i:2*i+2, 2*j:2*j+2, 2*l:2*l+2, c]
+                        ws = sg_p[b, 2*i:2*i+2, 2*j:2*j+2, 2*l:2*l+2, c]
+                        am = np.argmax(wm)  # first flat index on ties
+                        assert mx[b, i, j, l, c] == pytest.approx(wm.max())
+                        assert sg[b, i, j, l, c] == pytest.approx(
+                            ws.flat[am]
+                        )
+
+
+def test_vmaxpool3d_tie_break_first():
+    """Explicit tie: equal maxima -> the FIRST window position's sigma."""
+    mu = np.zeros((1, 2, 2, 2, 1), np.float32)  # all equal: one window
+    sigma = np.arange(8, dtype=np.float32).reshape(1, 2, 2, 2, 1)
+    _, sg = m3.vmaxpool3d(jnp.asarray(mu), jnp.asarray(sigma))
+    assert float(sg[0, 0, 0, 0, 0]) == 0.0  # tap (0,0,0)
+
+
+def test_vunpool3d_geometry_and_values():
+    x = _rand(1, 3, 3, 3, 2)
+    up, _ = m3.vunpool3d(jnp.asarray(x), jnp.asarray(x))
+    assert up.shape == (1, 7, 7, 7, 2)
+    u = np.array(up)  # writable copy
+    # values land at odd indices; everything else is zero
+    np.testing.assert_array_equal(u[0, 1::2, 1::2, 1::2, :], x[0])
+    u[0, 1::2, 1::2, 1::2, :] = 0
+    assert not u.any()
+
+
+def test_vsoftmax3d_probabilities_and_b1():
+    mu = jnp.asarray(_rand(1, 2, 2, 2, 4))  # B == 1: no squeeze hazard
+    sg = jnp.asarray(_rand(1, 2, 2, 2, 4, positive=True))
+    p, s = m3.vsoftmax3d(mu, sg)
+    assert p.shape == (1, 8, 4) and s.shape == (1, 8, 4)
+    np.testing.assert_allclose(np.sum(np.asarray(p), -1), 1.0, rtol=1e-5)
+    assert (np.asarray(s) >= -1e-7).all()
+
+
+CFG3 = dataclasses.replace(
+    HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=2, depth=3
+)
+
+
+def test_forward3d_geometry_chain():
+    """The per-axis arithmetic of the 2-D chain holds in 3-D: 32 -> 22 at
+    depth 3 (and full-size 64 -> 54 via eval_shape)."""
+    params = init_params3d(jax.random.PRNGKey(0), CFG3)
+    x = jnp.asarray(_rand(1, 32, 32, 32, 1))
+    p, s = forward3d(params, x, CFG3)
+    assert p.shape == s.shape == (1, 22**3, 3)
+    np.testing.assert_allclose(np.sum(np.asarray(p), -1), 1.0, rtol=1e-5)
+    assert (np.asarray(s) > -1e-7).all()
+
+    cfg64 = dataclasses.replace(HIPPOCAMPUS.model, base_kernels=2)
+    pp = jax.eval_shape(
+        lambda pr, xx: forward3d(pr, xx, cfg64),
+        jax.eval_shape(lambda k: init_params3d(k, cfg64),
+                       jax.random.PRNGKey(0)),
+        jax.ShapeDtypeStruct((1, 64, 64, 64, 1), jnp.float32),
+    )
+    assert pp[0].shape == (1, 54**3, 3)
+
+
+def test_unet3d_training_smoke():
+    """Jitted 3-D train step reusing the 2-D ELBO head: loss finite and
+    decreasing over a few Adam steps on a learnable synthetic volume."""
+    import optax
+
+    from supernet_tpu.losses import elbo_loss
+    from supernet_tpu.train import one_hot_flatten
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    rng = np.random.default_rng(1)
+    # blob task: class = sphere in the center (16 -> 10 at depth 2)
+    x = rng.normal(0, 0.3, (4, 16, 16, 16, 1)).astype(np.float32)
+    zz = np.linalg.norm(np.indices((10, 10, 10)) - 4.5, axis=0)
+    y_img = (zz < 3.5).astype(np.int32)[None].repeat(4, 0)
+    x[:, 3:13, 3:13, 3:13, 0] += 2.0 * y_img
+    x, y = jnp.asarray(x), one_hot_flatten(jnp.asarray(y_img), cfg.n_classes)
+
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            probs, sigma = forward3d(p, x, cfg)
+            return elbo_loss(
+                y, probs, sigma, kl_regularizer3d(p), 1e-3, 1e-12, 1e3
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
