@@ -42,14 +42,17 @@ _DN = ("NDHWC", "DHWIO", "NDHWC")
 
 
 def _conv3d_valid(x: Array, w: Array, stride: int = 1) -> Array:
+    # output dtype matches the input: conv's transpose rule rejects mixed
+    # in/out dtypes under reverse-mode AD (same as 2-D `_conv_valid`);
+    # the MXU still accumulates partial products in f32 internally
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         (stride,) * 3,
         "VALID",
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        preferred_element_type=x.dtype,
+    )
 
 
 def _window_sum3d(x: Array, k: int, stride: int = 1) -> Array:
