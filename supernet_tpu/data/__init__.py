@@ -12,6 +12,7 @@ from supernet_tpu.data.loaders import (
 )
 from supernet_tpu.data.nifti import (
     convert_nifti_dir,
+    volume_to_cube,
     read_nifti,
     volume_to_slices,
     write_nifti,
@@ -42,4 +43,5 @@ __all__ = [
     "volume_to_slices",
     "write_nifti",
     "write_shards",
+    "volume_to_cube",
 ]

@@ -146,11 +146,13 @@ def write_nifti(path: str, data: np.ndarray) -> None:
         f.write(payload)
 
 
-def _fit_2d(a: np.ndarray, size: int, fill: float = 0.0) -> np.ndarray:
-    """Center-crop / symmetric zero-pad the leading two axes to (size, size)
+def _fit_axes(
+    a: np.ndarray, size: int, axes: Tuple[int, ...], fill: float = 0.0
+) -> np.ndarray:
+    """Center-crop / symmetric zero-pad the given axes to ``size`` each
     (labels use fill=0 = background; no interpolation, so label values stay
     exact)."""
-    for axis in (0, 1):
+    for axis in axes:
         n = a.shape[axis]
         if n > size:
             lo = (n - size) // 2
@@ -161,6 +163,45 @@ def _fit_2d(a: np.ndarray, size: int, fill: float = 0.0) -> np.ndarray:
             pad[axis] = (lo, size - n - lo)
             a = np.pad(a, pad, constant_values=fill)
     return a
+
+
+def _fit_2d(a: np.ndarray, size: int, fill: float = 0.0) -> np.ndarray:
+    return _fit_axes(a, size, (0, 1), fill)
+
+
+def volume_to_cube(
+    img: np.ndarray,
+    lbl: Optional[np.ndarray],
+    size: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One (image, label) volume -> a single (size^3) cube pair for the 3-D
+    model family (`models/unet3d.py`): per-modality min-max normalization
+    then center crop / symmetric zero-pad on all three axes.
+
+    ``img``: (X, Y, Z) or (X, Y, Z, C); ``lbl``: (X, Y, Z) or None. Returns
+    (x [size, size, size, C] f32, y [size, size, size] i32). Random
+    sub-volume sampling, when wanted, composes on top as a training-time
+    crop (`data/augment.py` handles the flips/rotations)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 3:
+        img = img[..., None]
+    if img.ndim != 4:
+        raise ValueError(f"expected 3D/4D image volume, got {img.shape}")
+    flat = img.reshape(-1, img.shape[-1])
+    lo, hi = flat.min(axis=0), flat.max(axis=0)
+    img = (img - lo) / np.maximum(hi - lo, 1e-8)
+    if lbl is None:
+        lbl = np.zeros(img.shape[:3], np.int32)
+    lbl = np.asarray(lbl)
+    if lbl.shape != img.shape[:3]:
+        raise ValueError(
+            f"label shape {lbl.shape} does not match image {img.shape[:3]}"
+        )
+    y = np.rint(np.asarray(lbl, np.float64)).astype(np.int32)
+    return (
+        _fit_axes(img, size, (0, 1, 2)).astype(np.float32),
+        _fit_axes(y, size, (0, 1, 2)),
+    )
 
 
 def volume_to_slices(

@@ -257,3 +257,40 @@ def test_nifti_detached_hdr_img_pair(tmp_path):
     (tmp_path / "lone.hdr").write_bytes(bytes(hdr))
     with pytest.raises(ValueError, match="no companion"):
         read_nifti(str(tmp_path / "lone.hdr"))
+
+
+def test_volume_to_cube_nifti_to_3d_model():
+    """NIfTI volume -> normalized cube -> 3-D VDP U-Net forward: the raw
+    3-D ingestion path for the volumetric family (`models/unet3d.py`)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.data import volume_to_cube
+    from supernet_tpu.models import forward3d, init_params3d
+
+    rng = np.random.default_rng(11)
+    img = rng.uniform(100.0, 900.0, (20, 12, 9)).astype(np.float32)
+    lbl = np.zeros((20, 12, 9), np.int16)
+    lbl[8:12, 4:8, 3:6] = 2
+    x, y = volume_to_cube(img, lbl, size=16)
+    assert x.shape == (16, 16, 16, 1) and y.shape == (16, 16, 16)
+    assert 0.0 <= x.min() and x.max() <= 1.0  # normalized
+    assert set(np.unique(y)) == {0, 2}  # labels exact through crop/pad
+    # crop on the long axis, pad on the short ones
+    assert (x[:, :2, :, 0] == 0).all() and (x[:, :, :3, 0] == 0).all()
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    probs, sigma = forward3d(params, jnp.asarray(x[None]), cfg)
+    assert probs.shape == (1, 1000, cfg.n_classes)
+    assert np.isfinite(np.asarray(probs)).all()
+
+    # unlabeled volumes get all-background labels
+    x2, y2 = volume_to_cube(img, None, size=16)
+    assert not y2.any()
