@@ -317,19 +317,35 @@ def main(argv=None) -> int:
             # every process and the mesh below covers the whole job.
             initialize_from_env()
 
-            # the batch axis must divide over the mesh (NamedSharding);
-            # shrink the mesh to the largest divisor of batch_size so the
-            # default batch (20) works on any device count (e.g. 8 -> 5)
-            mesh = make_mesh_for_batch(exp.train.batch_size)
-            if len(mesh.devices.flat) < jax.device_count():
-                print(
-                    f"note: batch {exp.train.batch_size} does not divide "
-                    f"over {jax.device_count()} devices; using a "
-                    f"{len(mesh.devices.flat)}-device mesh (pass "
-                    "--batch-size as a multiple of the device count to "
-                    "use all devices)",
-                    file=sys.stderr,
-                )
+            if jax.process_count() > 1:
+                # the local-rows feed hands every process an equal
+                # contiguous block; a shrunken mesh could split unevenly
+                # across processes, so multi-host requires the FULL mesh
+                # and a globally divisible batch
+                if exp.train.batch_size % jax.device_count() != 0:
+                    raise SystemExit(
+                        f"multi-host training needs a batch_size "
+                        f"({exp.train.batch_size}) divisible by the global "
+                        f"device count ({jax.device_count()}); adjust "
+                        "--batch-size"
+                    )
+                from supernet_tpu.parallel import global_mesh
+
+                mesh = global_mesh()
+            else:
+                # the batch axis must divide over the mesh (NamedSharding);
+                # shrink the mesh to the largest divisor of batch_size so
+                # the default batch (20) works on any device count (8 -> 5)
+                mesh = make_mesh_for_batch(exp.train.batch_size)
+                if len(mesh.devices.flat) < jax.device_count():
+                    print(
+                        f"note: batch {exp.train.batch_size} does not "
+                        f"divide over {jax.device_count()} devices; using "
+                        f"a {len(mesh.devices.flat)}-device mesh (pass "
+                        "--batch-size as a multiple of the device count "
+                        "to use all devices)",
+                        file=sys.stderr,
+                    )
         train_ds = _load_data(exp, args, "train")
         if getattr(args, "val_data", None):
             val_ds = _load_data(exp.replace(data_path=args.val_data),
@@ -370,6 +386,10 @@ def main(argv=None) -> int:
 
     mesh = None
     if getattr(args, "data_parallel", False):
+        if getattr(args, "mc_samples", 0):
+            raise SystemExit(
+                "--mc-samples is a single-device mode; drop --data-parallel"
+            )
         from supernet_tpu.parallel import make_mesh_for_batch
 
         mesh = make_mesh_for_batch(exp.train.batch_size)
@@ -379,7 +399,7 @@ def main(argv=None) -> int:
 
         res = run_testing(exp, params, ds, images_n=args.images_n,
                           out_dir=args.out_dir,
-                          mesh=None if args.mc_samples else mesh,
+                          mesh=mesh,
                           mc_samples=args.mc_samples)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
@@ -391,7 +411,7 @@ def main(argv=None) -> int:
         out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}/calibration"
         res = run_calibration(exp, params, ds, out_dir=out_dir,
                               n_bins=args.bins,
-                              mesh=None if args.mc_samples else mesh,
+                              mesh=mesh,
                               mc_samples=args.mc_samples)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))

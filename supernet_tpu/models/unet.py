@@ -269,10 +269,9 @@ def forward_sampled(
 
     depth = cfg.depth
 
-    def conv(name: str, h: Array, k_override: Array = None) -> Array:
-        w = weights[name] if k_override is None else k_override
+    def conv(name: str, h: Array) -> Array:
         return lax.conv_general_dilated(
-            h, w, (1, 1), "VALID",
+            h, weights[name], (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 

@@ -74,7 +74,7 @@ def vconv3d_input(
     w_sigma [Cout] (raw; softplus-parameterized)."""
     k = w_mu.shape[0]
     s_w = jax.nn.softplus(w_sigma.astype(jnp.float32))
-    mu_out = _conv3d_valid(_act(x), w_mu)
+    mu_out = _conv3d_valid(_act(x), w_mu, stride)
     ws = _window_sum3d(jnp.square(x), k, stride)
     return _act(mu_out), ws * _act(s_w)
 
@@ -87,10 +87,10 @@ def vconv3d(
     (both scale by s_w), sigma2 = conv3d(sigma, w_mu^2)."""
     k = w_mu.shape[0]
     s_w = jax.nn.softplus(w_sigma.astype(jnp.float32))
-    mu_out = _conv3d_valid(_act(mu), w_mu)
+    mu_out = _conv3d_valid(_act(mu), w_mu, stride)
     ws = _window_sum3d(jnp.square(mu) + sigma, k, stride)
     sigma_out = ws * _act(s_w) + _conv3d_valid(
-        _act(sigma), jnp.square(w_mu.astype(jnp.float32))
+        _act(sigma), jnp.square(w_mu.astype(jnp.float32)), stride
     )
     return _act(mu_out), _act(sigma_out)
 
@@ -191,12 +191,12 @@ def vcrop_concat3d(
 
 
 def vsoftmax3d(mu: Array, sigma: Array) -> MomentPair:
-    """Voxel-wise softmax with the exact elementwise (J o J) @ sigma closure
-    (see `moments.vsoftmax`); flattens to [B, D*H*W, C], f32 head."""
+    """Voxel-wise softmax with variance through the softmax Jacobian:
+    flattens to [B, D*H*W, C] and delegates to the (rank-agnostic,
+    voxel-independent) 2-D closure so the formula lives in one place."""
+    from supernet_tpu.ops.moments import vsoftmax
+
     b, d, h, w, c = mu.shape
-    mu_flat = mu.reshape(b, d * h * w, c).astype(jnp.float32)
-    sigma_flat = sigma.reshape(b, d * h * w, c).astype(jnp.float32)
-    p = jax.nn.softmax(mu_flat, axis=-1)
-    p_sq = jnp.square(p)
-    s_tot = jnp.sum(p_sq * sigma_flat, axis=-1, keepdims=True)
-    return p, p_sq * ((1.0 - 2.0 * p) * sigma_flat + s_tot)
+    return vsoftmax(
+        mu.reshape(b, d * h, w, c), sigma.reshape(b, d * h, w, c)
+    )

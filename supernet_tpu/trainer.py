@@ -75,6 +75,29 @@ class Trainer:
         # [B, H*W] int32 fetch per step + host metrics (excluded from the
         # reported images/sec). Disable for throughput-only runs.
         self.track_curves = track_curves
+        # TRAIN-side curve recording is forced off in two cases where the
+        # per-step prediction fetch is wrong or impossible (validation
+        # curves are unaffected):
+        # - multi-host: the batch-sharded pred spans non-addressable
+        #   devices (np.asarray would raise);
+        # - augmentation: the step's pred is of the AUGMENTED batch, while
+        #   the host only holds the unaugmented labels — recording dice
+        #   between them would produce plausible-looking wrong curves.
+        self.multi_host = jax.process_count() > 1
+        self.track_train_curves = track_curves
+        if track_curves and self.multi_host:
+            print(
+                "note: per-structure train curves disabled on multi-host "
+                "runs (predictions span non-addressable devices)"
+            )
+            self.track_train_curves = False
+        if track_curves and exp.train.augment is not None:
+            print(
+                "note: per-structure train curves disabled with "
+                "augmentation (step predictions are of the augmented "
+                "batch; validation curves are unaffected)"
+            )
+            self.track_train_curves = False
         self.structures = M.dataset_structures(exp.name)
         # steps_per_dispatch > 1: chunk K batches into one lax.scan dispatch
         # (make_multi_train_step) — removes the per-step host round-trip
@@ -98,11 +121,12 @@ class Trainer:
                 from supernet_tpu.train import make_multi_train_step
 
                 self.step_fn = make_multi_train_step(
-                    self.cfg, self.tc, self.k_steps, with_pred=track_curves
+                    self.cfg, self.tc, self.k_steps,
+                    with_pred=self.track_train_curves,
                 )
             else:
                 self.step_fn = make_train_step(
-                    self.cfg, self.tc, with_pred=track_curves
+                    self.cfg, self.tc, with_pred=self.track_train_curves
                 )
             self._put = jnp.asarray
         else:
@@ -115,7 +139,8 @@ class Trainer:
             )
 
             self.step_fn = make_sharded_train_step(
-                self.cfg, self.tc, mesh, with_pred=track_curves
+                self.cfg, self.tc, mesh,
+                with_pred=self.track_train_curves,
             )
             if jax.process_count() > 1:
                 # multi-host: this process's loader yields the GLOBAL
@@ -186,7 +211,10 @@ class Trainer:
                     if self.mesh is not None:
                         state = self._replicate(state)
                     continue
-                if self.val_ds is not None:
+                if self.val_ds is not None and not self.multi_host:
+                    # multi-host: the in-loop host-side validation/report
+                    # surface is single-host work — run eval from the saved
+                    # checkpoints afterwards (`cli eval`)
                     self._validate(state, epoch, log)
                 if (epoch + 1) % self.tc.checkpoint_every == 0:
                     writer.save(epoch, jax.device_get(state))
@@ -195,7 +223,13 @@ class Trainer:
         finally:
             writer.close()
         self.total_time = time.perf_counter() - t_start
-        self._finalize(state)
+        if self.multi_host:
+            # checkpoints are the multi-host product; the curve/report
+            # surface assumes the in-loop validation history this mode
+            # skips — generate reports from the checkpoints afterwards
+            log("multi-host run done; skipping single-host report surface")
+        else:
+            self._finalize(state)
         return state
 
     def _leftover_step(self, state, xb, yb):
@@ -204,7 +238,7 @@ class Trainer:
         tests/test_multistep.py)."""
         if self._single_step is None:
             self._single_step = make_train_step(
-                self.cfg, self.tc, with_pred=self.track_curves
+                self.cfg, self.tc, with_pred=self.track_train_curves
             )
         return self._single_step(state, xb, yb)
 
@@ -265,7 +299,7 @@ class Trainer:
                 n_imgs = sum(len(b) for b in xs)
                 chunk_ys, xs, ys = ys, [], []
                 host_s = 0.0
-                if self.track_curves:
+                if self.track_train_curves:
                     state, ms, preds = self.step_fn(state, xb, yb)
                     # fetch (= device sync) outside the host-metric timer
                     preds = np.asarray(preds)  # one [K, B, H*W] fetch
@@ -296,7 +330,7 @@ class Trainer:
             # integer labels; one-hot happens on device inside the jitted step
             yb = self._put(np.ascontiguousarray(y_c, np.int32))
             host_s = 0.0
-            if self.track_curves:
+            if self.track_train_curves:
                 state, m, pred = self.step_fn(state, xb, yb)
                 host_s = record(pred, y_c)
             else:
@@ -323,7 +357,7 @@ class Trainer:
             )
             for x, y_c in zip(xs, ys):
                 host_s = 0.0
-                if self.track_curves:
+                if self.track_train_curves:
                     state, m, pred = self._leftover_step(
                         state, self._put(x), self._put(y_c)
                     )
@@ -338,7 +372,7 @@ class Trainer:
                 timer.tick()
                 tick_imgs.append(len(x))
                 tick_host.append(host_s)
-        if self.track_curves:
+        if self.track_train_curves:
             for s in self.structures:
                 self.history.setdefault(f"train_dice_{s}", []).append(
                     float(np.nanmean(t_dice[s]))

@@ -195,3 +195,28 @@ def test_dp_paths_match_with_augmentation():
                 atol=1e-7,
                 err_msg=f"{name}/{w}",
             )
+
+
+def test_trainer_disables_train_curves_with_augment(tmp_path, capsys):
+    """With augmentation on, the Trainer must not record per-structure
+    TRAIN curves (the step's predictions are of the augmented batch, the
+    host labels are not) — validation curves stay on."""
+    from supernet_tpu.data import PickleDataset, synthetic_dataset
+    from supernet_tpu.trainer import Trainer
+
+    exp = dataclasses.replace(
+        HIPPOCAMPUS,
+        model=CFG,
+        train=dataclasses.replace(
+            HIPPOCAMPUS.train, batch_size=4, epochs=1,
+            augment=AugmentConfig(),
+        ),
+    )
+    x, y = synthetic_dataset(CFG, 8, seed=0)
+    ds = PickleDataset(x, y, 1)
+    tr = Trainer(exp, ds, ds, out_dir=str(tmp_path / "run"))
+    assert tr.track_train_curves is False and tr.track_curves is True
+    tr.run()
+    assert "train_dice_anterior" not in tr.history  # no corrupted curves
+    assert len(tr.history["val_dice_anterior"]) == 1  # val intact
+    assert np.isfinite(tr.history["train_loss"][-1])
