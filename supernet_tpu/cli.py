@@ -75,6 +75,26 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--augment-noise-std", type=float, default=0.0,
                    help="additive Gaussian pixel-noise std")
 
+    t3 = sub.add_parser(
+        "train3d",
+        help="train the volumetric VDP U-Net on cubes (NIfTI task dir or "
+             "--synthetic); out_size is derived from the geometry",
+    )
+    _add_common(t3)
+    t3.add_argument("--epochs", type=int, default=None)
+    t3.add_argument("--lr", type=float, default=None)
+    t3.add_argument("--kl-factor", type=float, default=None)
+    t3.add_argument("--continue-training", action="store_true")
+    t3.add_argument("--cube-size", type=int, default=0,
+                    help="input cube side (default: the config's "
+                         "image_size, e.g. 64 -> 54^3 output)")
+    t3.add_argument("--base-kernels", type=int, default=0,
+                    help="override the config's channel width")
+    t3.add_argument("--depth", type=int, default=0,
+                    help="override the config's encoder depth")
+    t3.add_argument("--val-frac", type=float, default=0.2,
+                    help="trailing fraction of volumes held out")
+
     e = sub.add_parser("eval", help="clean evaluation + uncertainty report")
     _add_common(e)
     e.add_argument("--images-n", type=int, default=10)
@@ -298,6 +318,64 @@ def main(argv=None) -> int:
                 split=args.split,
             )
         print(json.dumps({"shards": len(pairs), "out": args.out}))
+        return 0
+
+    if args.cmd == "train3d":
+        import glob as _glob
+        import os as _os
+
+        import numpy as np
+
+        from supernet_tpu.train3d import Trainer3D, derive_out_size3d
+
+        cfg = exp.model
+        if args.cube_size:
+            cfg = dataclasses.replace(cfg, image_size=args.cube_size)
+        if args.base_kernels:
+            cfg = dataclasses.replace(cfg, base_kernels=args.base_kernels)
+        if args.depth:
+            cfg = dataclasses.replace(
+                cfg, depth=args.depth, bottleneck_pre_pad=None
+            )
+        cfg = dataclasses.replace(cfg, out_size=derive_out_size3d(cfg))
+        exp = dataclasses.replace(exp, model=cfg)
+        if args.synthetic:
+            from supernet_tpu.data import synthetic_volumes
+
+            x, y = synthetic_volumes(cfg, args.synthetic, seed=0)
+        else:
+            from supernet_tpu.data import read_nifti, volume_to_cube
+
+            src = args.data or exp.data_path
+            img_dir = (
+                _os.path.join(src, "imagesTr")
+                if _os.path.isdir(_os.path.join(src, "imagesTr"))
+                else src
+            )
+            lbl_dir = _os.path.join(_os.path.dirname(img_dir), "labelsTr")
+            xs, ys = [], []
+            for p in sorted(_glob.glob(_os.path.join(img_dir, "*.nii*"))):
+                if _os.path.basename(p).startswith("._"):
+                    continue
+                lp = _os.path.join(lbl_dir, _os.path.basename(p))
+                img, _ = read_nifti(p)
+                lbl = read_nifti(lp)[0] if _os.path.exists(lp) else None
+                cx, cy = volume_to_cube(img, lbl, cfg.image_size)
+                xs.append(cx)
+                ys.append(cy)
+            if not xs:
+                raise SystemExit(f"no .nii[.gz] volumes under {img_dir}")
+            x, y = np.stack(xs), np.stack(ys)
+        n_val = max(int(len(x) * args.val_frac), exp.train.batch_size)
+        n_val = min(n_val, len(x) - exp.train.batch_size)
+        if n_val > 0:
+            x_tr, y_tr = x[:-n_val], y[:-n_val]
+            x_val, y_val = x[-n_val:], y[-n_val:]
+        else:
+            x_tr, y_tr, x_val, y_val = x, y, None, None
+        tr = Trainer3D(exp, x_tr, y_tr, x_val, y_val, out_dir=args.out_dir)
+        tr.run()
+        print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
         return 0
 
     if args.cmd == "train":

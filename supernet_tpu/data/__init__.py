@@ -23,7 +23,7 @@ from supernet_tpu.data.shards import (
     shard_pairs,
     write_shards,
 )
-from supernet_tpu.data.synthetic import synthetic_dataset
+from supernet_tpu.data.synthetic import synthetic_dataset, synthetic_volumes
 
 __all__ = [
     "AugmentConfig",
@@ -44,4 +44,5 @@ __all__ = [
     "write_nifti",
     "write_shards",
     "volume_to_cube",
+    "synthetic_volumes",
 ]

@@ -43,3 +43,31 @@ def synthetic_dataset(
             y[i][blob] = cls
             x[i, ..., i % cfg.in_channels][blob] += 0.4 + 0.2 * cls
     return x, y
+
+
+def synthetic_volumes(
+    cfg: ModelConfig, n: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """n cube samples for the 3-D family (`models/unet3d.py`): per-class
+    ellipsoidal blobs with class-correlated intensity, labels spanning the
+    full cube (Trainer3D center-crops to cfg.out_size per axis)."""
+    rng = np.random.default_rng(seed)
+    s = cfg.image_size
+    zz, yy, xx = np.mgrid[0:s, 0:s, 0:s].astype(np.float32)
+    x = rng.normal(0.0, 0.05, (n, s, s, s, cfg.in_channels)).astype(
+        np.float32
+    )
+    y = np.zeros((n, s, s, s), np.int32)
+    for i in range(n):
+        for cls in range(1, cfg.n_classes):
+            c = rng.uniform(0.25 * s, 0.75 * s, 3)
+            r = rng.uniform(0.08 * s, 0.2 * s, 3)
+            blob = (
+                ((zz - c[0]) / r[0]) ** 2
+                + ((yy - c[1]) / r[1]) ** 2
+                + ((xx - c[2]) / r[2]) ** 2
+                < 1.0
+            )
+            y[i][blob] = cls
+            x[i, ..., i % cfg.in_channels][blob] += 0.4 + 0.2 * cls
+    return x, y

@@ -1,0 +1,228 @@
+"""Training driver for the volumetric model family (`models/unet3d.py`).
+
+A compact epoch loop for 3-D cubes mirroring the essential `Trainer`
+surface — jitted train/eval steps (same ELBO objective, Adam with the
+reference's per-tensor clipnorm via `train.make_optimizer`), per-epoch
+Orbax checkpoints in the same ``epoch_{N}`` scheme, loss/accuracy/val-dice
+history, curve PNGs + history pickle. The 2-D `Trainer`'s full report
+surface (per-structure curves, hyperparameter dumps) stays 2-D: the
+reference's clinical-structure maskers are defined on slices.
+
+Data: [N, S, S, S, C] cubes + [N, S, S, S] int labels — what
+`data.nifti.volume_to_cube` produces from raw NIfTI volumes, or
+`data.synthetic.synthetic_volumes` for smoke runs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from supernet_tpu import checkpoint as ckpt
+from supernet_tpu.configs import ExperimentConfig, ModelConfig, TrainConfig
+from supernet_tpu.losses import elbo_loss, nll_gaussian
+from supernet_tpu.models import forward3d, init_params3d, kl_regularizer3d
+from supernet_tpu.train import (
+    StepMetrics,
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    one_hot_flatten,
+)
+
+Array = jax.Array
+
+
+def _crop_center_vol(y: np.ndarray, size: int) -> np.ndarray:
+    """Center-crop an [N, S, S, S] label volume to [N, size^3] (the VALID
+    geometry shrinks the output exactly like 2-D, per axis)."""
+    o = [(n - size) // 2 for n in y.shape[1:4]]
+    return y[:, o[0]:o[0]+size, o[1]:o[1]+size, o[2]:o[2]+size]
+
+
+def make_train_step3d(cfg: ModelConfig, tc: TrainConfig):
+    """Jitted volumetric train step; donates the carried state. ``y`` is an
+    int label cube [B, out, out, out] — one-hot happens on device."""
+    opt = make_optimizer(tc)
+
+    def _step(state: TrainState, x: Array, y: Array):
+        y1h = one_hot_flatten(y, cfg.n_classes)
+
+        def loss_fn(p):
+            probs, sigma = forward3d(p, x, cfg)
+            loss = elbo_loss(
+                y1h, probs, sigma, kl_regularizer3d(p), tc.kl_factor,
+                tc.sigma_clip_min, tc.sigma_clip_max,
+            )
+            nll = nll_gaussian(
+                y1h, probs,
+                jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max),
+            )
+            return loss, (nll, probs)
+
+        (loss, (nll, probs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        pred = jnp.argmax(probs, -1).astype(jnp.int32)
+        acc = jnp.mean((pred == jnp.argmax(y1h, -1)).astype(jnp.float32))
+        kl = kl_regularizer3d(params)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            StepMetrics(loss, nll, kl, acc),
+        )
+
+    return jax.jit(_step, donate_argnums=(0,))
+
+
+def make_eval_step3d(cfg: ModelConfig, tc: TrainConfig):
+    @jax.jit
+    def _eval(params, x: Array, y: Array):
+        y1h = one_hot_flatten(y, cfg.n_classes)
+        probs, sigma = forward3d(params, x, cfg)
+        loss = elbo_loss(
+            y1h, probs, sigma, kl_regularizer3d(params), tc.kl_factor,
+            tc.sigma_clip_min, tc.sigma_clip_max,
+        )
+        pred = jnp.argmax(probs, -1).astype(jnp.int32)
+        acc = jnp.mean((pred == jnp.argmax(y1h, -1)).astype(jnp.float32))
+        return loss, acc, pred
+
+    return _eval
+
+
+def _dice_foreground(y_true: np.ndarray, pred: np.ndarray) -> float:
+    """Whole-foreground dice for [N, ...] int volumes — reshaped to
+    [N, -1, last] so the 2-D per-image dice kernel applies unchanged."""
+    from supernet_tpu.metrics import dice
+
+    t = (y_true > 0).astype(np.float64)
+    p = (pred > 0).astype(np.float64)
+    n = len(t)
+    d, _ = dice(t.reshape(n, -1, t.shape[-1]), p.reshape(n, -1, p.shape[-1]))
+    return d
+
+
+class Trainer3D:
+    """Epoch driver for cube datasets (in-memory arrays)."""
+
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        x: np.ndarray,
+        y: np.ndarray,
+        x_val: Optional[np.ndarray] = None,
+        y_val: Optional[np.ndarray] = None,
+        out_dir: Optional[str] = None,
+    ):
+        self.exp, self.cfg, self.tc = exp, exp.model, exp.train
+        self.x, self.y = np.asarray(x, np.float32), np.asarray(y, np.int32)
+        self.x_val = x_val if x_val is None else np.asarray(x_val, np.float32)
+        self.y_val = y_val if y_val is None else np.asarray(y_val, np.int32)
+        self.out_dir = out_dir or os.path.join(
+            exp.out_dir, exp.name + "_3d", "saved_models_SUPER_u-Net"
+        )
+        self.step_fn = make_train_step3d(self.cfg, self.tc)
+        self.eval_fn = make_eval_step3d(self.cfg, self.tc)
+        self.history: Dict[str, List[float]] = {
+            "train_loss": [], "train_acc": [],
+            "val_loss": [], "val_acc": [], "val_dice": [],
+        }
+
+    def _batches(self, x, y, rng) -> List[Tuple[np.ndarray, np.ndarray]]:
+        idx = rng.permutation(len(x))
+        b = self.tc.batch_size
+        return [
+            (x[idx[i:i+b]], y[idx[i:i+b]])
+            for i in range(0, len(x) - b + 1, b)  # static shapes: full only
+        ]
+
+    def run(self, epochs: Optional[int] = None, log=print) -> TrainState:
+        cfg, tc = self.cfg, self.tc
+        epochs = epochs if epochs is not None else tc.epochs
+        params = init_params3d(jax.random.PRNGKey(tc.seed), cfg)
+        state, _ = create_train_state(params, tc)
+        start = 0
+        if tc.continue_training:
+            latest = ckpt.latest_epoch(self.out_dir)
+            if latest is not None:
+                state = ckpt.restore_state(self.out_dir, latest, state)
+                start = latest + 1
+        rng = np.random.default_rng(tc.seed)
+        y_c = _crop_center_vol(self.y, cfg.out_size)
+        t0 = time.perf_counter()
+        for epoch in range(start, epochs):
+            losses, accs = [], []
+            for xb, yb in self._batches(self.x, y_c, rng):
+                state, m = self.step_fn(
+                    state, jnp.asarray(xb), jnp.asarray(yb)
+                )
+                losses.append(float(m.loss))
+                accs.append(float(m.accuracy))
+            self.history["train_loss"].append(float(np.mean(losses)))
+            self.history["train_acc"].append(float(np.mean(accs)))
+            vols_s = len(losses) * tc.batch_size / max(
+                time.perf_counter() - t0, 1e-9
+            )
+            log(
+                f"epoch {epoch}: loss={self.history['train_loss'][-1]:.4f} "
+                f"acc={self.history['train_acc'][-1]:.4f} "
+                f"({vols_s:.2f} vols/s cum)"
+            )
+            if self.x_val is not None:
+                self._validate(state, epoch, log)
+            ckpt.save_state(self.out_dir, epoch, jax.device_get(state))
+            t0 = time.perf_counter()
+        from supernet_tpu import reports
+
+        reports.save_training_curves(self.out_dir, self.history)
+        reports.save_history_pickle(self.out_dir, self.history)
+        return state
+
+    def _validate(self, state, epoch, log):
+        cfg, tc = self.cfg, self.tc
+        y_c = _crop_center_vol(self.y_val, cfg.out_size)
+        losses, accs, dices = [], [], []
+        b = tc.batch_size
+        for i in range(0, len(self.x_val) - b + 1, b):
+            xb = jnp.asarray(self.x_val[i:i+b])
+            yb = jnp.asarray(y_c[i:i+b])
+            loss, acc, pred = self.eval_fn(state.params, xb, yb)
+            losses.append(float(loss))
+            accs.append(float(acc))
+            pred_vol = np.asarray(pred).reshape(
+                b, cfg.out_size, cfg.out_size, cfg.out_size
+            )
+            dices.append(_dice_foreground(np.asarray(y_c[i:i+b]), pred_vol))
+        if losses:
+            self.history["val_loss"].append(float(np.mean(losses)))
+            self.history["val_acc"].append(float(np.mean(accs)))
+            self.history["val_dice"].append(float(np.nanmean(dices)))
+            log(
+                f"epoch {epoch} val: "
+                f"loss={self.history['val_loss'][-1]:.4f} "
+                f"acc={self.history['val_acc'][-1]:.4f} "
+                f"dice={self.history['val_dice'][-1]:.4f}"
+            )
+
+
+def derive_out_size3d(cfg: ModelConfig) -> int:
+    """Output cube side for an input of cfg.image_size, traced shape-only
+    (the VALID geometry is config-dependent; no FLOPs)."""
+    params = jax.eval_shape(
+        lambda k: init_params3d(k, cfg), jax.random.PRNGKey(0)
+    )
+    s = cfg.image_size
+    out = jax.eval_shape(
+        lambda p, x: forward3d(p, x, cfg),
+        params,
+        jax.ShapeDtypeStruct((1, s, s, s, cfg.in_channels), jnp.float32),
+    )
+    return round(out[0].shape[1] ** (1.0 / 3.0))
