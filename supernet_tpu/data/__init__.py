@@ -2,6 +2,7 @@ from supernet_tpu.data.augment import (
     AugmentConfig,
     augment_batch,
     augment_train_batch,
+    augment_volumes,
 )
 from supernet_tpu.data.loaders import (
     BatchIterator,
@@ -29,6 +30,7 @@ __all__ = [
     "AugmentConfig",
     "augment_batch",
     "augment_train_batch",
+    "augment_volumes",
     "BatchIterator",
     "PickleDataset",
     "ShardDataset",

@@ -37,7 +37,12 @@ from supernet_tpu.configs import AugmentConfig
 
 Array = jax.Array
 
-__all__ = ["AugmentConfig", "augment_batch", "augment_train_batch"]
+__all__ = [
+    "AugmentConfig",
+    "augment_batch",
+    "augment_train_batch",
+    "augment_volumes",
+]
 
 
 def _spatial_one(k: Array, img: Array, cfg: AugmentConfig) -> Array:
@@ -144,3 +149,55 @@ def augment_train_batch(
     if flat:
         y_out = y_out.reshape(y.shape)
     return x_out, y_out
+
+
+def _spatial_one_3d(k: Array, vol: Array, cfg: AugmentConfig) -> Array:
+    """Spatial draws for ONE [D, H, W, ...] volume: independent p=0.5 flips
+    on each of the three axes, plus (cfg.rot90) a random quarter turn in
+    the axial H-W plane — the medically meaningful rotation (the D axis is
+    the scan direction)."""
+    bits = jax.random.randint(k, (4,), 0, 4)
+    if cfg.rot90:
+        if vol.shape[1] != vol.shape[2]:
+            raise ValueError(
+                f"axial rot90 needs square H/W, got {vol.shape}"
+            )
+        rk = bits[0]
+        base = jnp.where(rk % 2 == 1, jnp.swapaxes(vol, 1, 2), vol)
+        base = jnp.where((rk == 1) | (rk == 2), base[:, ::-1], base)
+        vol = jnp.where((rk == 2) | (rk == 3), base[:, :, ::-1], base)
+    if cfg.vflip:  # D axis
+        vol = jnp.where(bits[1] < 2, vol[::-1], vol)
+    if cfg.hflip:  # H and W axes, independent draws
+        vol = jnp.where(bits[2] < 2, vol[:, ::-1], vol)
+        vol = jnp.where(bits[3] < 2, vol[:, :, ::-1], vol)
+    return vol
+
+
+def augment_volumes(
+    key: Array,
+    x: Array,
+    y: Optional[Array],
+    cfg: AugmentConfig,
+    axis_name: Optional[str] = None,
+) -> Tuple[Array, Optional[Array]]:
+    """Volumetric analog of `augment_batch`: ``x`` [B, D, H, W, C] float,
+    ``y`` int cubes [B, d, h, w] or None. Spatial draws shared per volume
+    between image and label; intensity/noise on the image only. Every
+    spatial op commutes with the symmetric center crop, so the full-size
+    image and the pre-cropped label stay geometrically consistent."""
+    keys = _image_keys(key, x.shape[0], axis_name)
+
+    def one(k, xi):
+        k_sp, k_int = jax.random.split(k)
+        return _intensity_one(k_int, _spatial_one_3d(k_sp, xi, cfg), cfg)
+
+    x_out = jax.vmap(one)(keys, x)
+    if y is None:
+        return x_out, None
+
+    def one_y(k, yi):
+        k_sp, _ = jax.random.split(k)
+        return _spatial_one_3d(k_sp, yi, cfg)
+
+    return x_out, jax.vmap(one_y)(keys, y)

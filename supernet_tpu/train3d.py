@@ -52,6 +52,13 @@ def make_train_step3d(cfg: ModelConfig, tc: TrainConfig):
     opt = make_optimizer(tc)
 
     def _step(state: TrainState, x: Array, y: Array):
+        if tc.augment is not None:
+            from supernet_tpu.data.augment import augment_volumes
+
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(tc.seed), state.step
+            )
+            x, y = augment_volumes(key, x, y, tc.augment)
         y1h = one_hot_flatten(y, cfg.n_classes)
 
         def loss_fn(p):

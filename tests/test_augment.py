@@ -220,3 +220,56 @@ def test_trainer_disables_train_curves_with_augment(tmp_path, capsys):
     assert "train_dice_anterior" not in tr.history  # no corrupted curves
     assert len(tr.history["val_dice_anterior"]) == 1  # val intact
     assert np.isfinite(tr.history["train_loss"][-1])
+
+
+def test_augment_volumes_consistency_and_crop_commute():
+    """3-D augmentation: label moves exactly with the image; spatial ops
+    commute with the symmetric center crop; intensity touches x only."""
+    from supernet_tpu.data import augment_volumes
+    from supernet_tpu.ops.moments3d import crop_center3d
+
+    rng = np.random.default_rng(9)
+    y = jnp.asarray(rng.integers(0, 3, (4, 12, 12, 12)).astype(np.int32))
+    x = y[..., None].astype(jnp.float32)
+    cfg = AugmentConfig(rot90=True)
+    xa, ya = augment_volumes(jax.random.PRNGKey(2), x, y, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(xa[..., 0]).astype(np.int32), np.asarray(ya)
+    )
+    assert not np.array_equal(np.asarray(ya), np.asarray(y))
+
+    key = jax.random.PRNGKey(5)
+    full_then_crop = crop_center3d(
+        augment_volumes(key, x, None, cfg)[0], 8, 8, 8
+    )
+    crop_then_aug = augment_volumes(
+        key, crop_center3d(x, 8, 8, 8), None, cfg
+    )[0]
+    np.testing.assert_array_equal(
+        np.asarray(full_then_crop), np.asarray(crop_then_aug)
+    )
+
+
+def test_trainer3d_with_augmentation_runs():
+    from supernet_tpu.data import synthetic_volumes
+    from supernet_tpu.train3d import make_train_step3d
+    from supernet_tpu.train import create_train_state
+    from supernet_tpu.models import init_params3d
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc = dataclasses.replace(
+        HIPPOCAMPUS.train, batch_size=2,
+        augment=AugmentConfig(rot90=True, noise_std=0.01),
+    )
+    x, y = synthetic_volumes(cfg, 2, seed=0)
+    yc = y[:, 3:13, 3:13, 3:13]
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    state, _ = create_train_state(params, tc)
+    step = make_train_step3d(cfg, tc)
+    state, m = step(state, jnp.asarray(x), jnp.asarray(yc))
+    assert np.isfinite(float(m.loss))
+    _, m2 = step(state, jnp.asarray(x), jnp.asarray(yc))
+    assert float(m2.loss) != float(m.loss)  # step-keyed draws differ
