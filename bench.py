@@ -369,7 +369,58 @@ def main() -> None:
                 out[other] = entry
             except Exception as e:  # never lose the headline number
                 out[other] = {"error": str(e)[:200]}
+
+    # volumetric family (models/unet3d): one measured point, same timing
+    # discipline (value-fetch completion); SUPERNET_BENCH_3D=0 to skip
+    if (
+        os.environ.get("SUPERNET_BENCH_3D", "1") == "1"
+        and not data_parallel
+    ):
+        try:
+            out["unet3d"] = _bench_3d(max(10, n_iters // 10))
+        except Exception as e:
+            out["unet3d"] = {"error": str(e)[:200]}
     print(json.dumps(out))
+
+
+def _bench_3d(n_iters: int) -> dict:
+    """Volumetric train-step throughput: 64^3 Hippocampus-config cubes,
+    batch 4 (docs/PERFORMANCE.md '3-D model family')."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import init_params3d
+    from supernet_tpu.train import create_train_state
+    from supernet_tpu.train3d import make_train_step3d
+
+    cfg, tc = HIPPOCAMPUS.model, HIPPOCAMPUS.train
+    b = 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(0, 1, (b, 64, 64, 64, cfg.in_channels)).astype(np.float32)
+    )
+    y = jnp.asarray(
+        rng.integers(0, cfg.n_classes, (b, 54, 54, 54)).astype(np.int32)
+    )
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    state, _ = create_train_state(params, tc)
+    step = make_train_step3d(cfg, tc)
+    state, m = step(state, x, y)
+    float(jnp.min(m.loss))  # compile + completion
+    t0 = _time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, x, y)
+    assert float(jnp.min(m.loss)) > -1e30
+    dt = (_time.perf_counter() - t0) / n_iters
+    return {
+        "vols_per_sec": round(b / dt, 2),
+        "step_ms": round(dt * 1e3, 2),
+        "cube": 64,
+        "batch": b,
+    }
 
 
 if __name__ == "__main__":
