@@ -101,12 +101,19 @@ def kl_regularizer3d(params: Params) -> Array:
 
 
 def forward3d(
-    params: Params, x: Array, cfg: ModelConfig, tap=None
+    params: Params, x: Array, cfg: ModelConfig, tap=None, constrain=None
 ) -> Tuple[Array, Array]:
     """Volume [B, S, S, S, Cin] -> (probs, sigma), both
-    [B, out_size^3, n_classes]."""
+    [B, out_size^3, n_classes].
+
+    ``constrain(m, s) -> (m, s)``, when given, is applied to the moment
+    pair after every block — the hook
+    `parallel.spatial.make_spatial_forward3d` uses to keep the D axis
+    mesh-sharded (GSPMD spatial partitioning of whole volumes)."""
     depth = cfg.depth
     fill = cfg.sigma_fill
+    if constrain is None:
+        constrain = lambda m, s: (m, s)  # noqa: E731
 
     def _tap(name: str, m: Array) -> None:
         if tap is not None:
@@ -146,17 +153,21 @@ def forward3d(
     m, s = vrelu(*vconv3d_input(x, p["w_mu"], p["w_sigma"]))
     _tap("conv_input", m)
     m, s = conv_relu("conv1", m, s)
+    m, s = constrain(m, s)
     for i in range(depth):
         if i > 0:
             m, s = block(encoder_block)(i, m, s)
+            m, s = constrain(m, s)
         if i < depth - 1:
             skips.append((m, s))
             m, s = vmaxpool3d(m, s)
             _tap(f"pool{i}", m)
+            m, s = constrain(m, s)
 
     for j in range(1, depth):
         m_e, s_e = skips[depth - 1 - j]
         m, s = block(decoder_block)(j, m, s, m_e, s_e)
+        m, s = constrain(m, s)
 
     p = params["conv_final"]
     m, s = vconv3d(m, s, p["w_mu"], p["w_sigma"])

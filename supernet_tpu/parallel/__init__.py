@@ -2,7 +2,9 @@ from supernet_tpu.parallel.spatial import (
     halo_exchange_rows,
     make_spatial_encoder_block,
     make_spatial_forward,
+    make_spatial_forward3d,
     make_spatial_train_step,
+    make_spatial_train_step3d,
     make_spatial_vconv,
     trim_valid,
 )
@@ -29,7 +31,9 @@ __all__ = [
     "halo_exchange_rows",
     "make_spatial_encoder_block",
     "make_spatial_forward",
+    "make_spatial_forward3d",
     "make_spatial_train_step",
+    "make_spatial_train_step3d",
     "make_spatial_vconv",
     "trim_valid",
     "make_mesh",

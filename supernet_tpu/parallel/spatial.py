@@ -233,3 +233,101 @@ def trim_valid(y: Array, k: int = 3) -> Array:
     unsharded VALID result."""
     t = (k - 1) // 2
     return y[:, t : y.shape[1] - t]
+
+
+def _spatial_shardings3d(mesh: Mesh, axis_name: str):
+    """3-D GSPMD spatial recipe: volumes sharded on the D (scan) axis —
+    dim 1 of [B, D, H, W, C]."""
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    d_sharded = NamedSharding(mesh, P(None, axis_name))
+
+    def constrain(m, s):
+        m = jax.lax.with_sharding_constraint(m, d_sharded)
+        s = jax.lax.with_sharding_constraint(s, d_sharded)
+        return m, s
+
+    return repl, d_sharded, constrain
+
+
+def make_spatial_forward3d(cfg, mesh: Mesh, axis_name: str = "data"):
+    """Volumetric forward with the D (scan) axis sharded over the mesh —
+    spatial partitioning of WHOLE VOLUMES, the case where it genuinely
+    matters: a 240^3 BraTS volume's activation pairs do not fit one chip.
+
+    Same GSPMD recipe as the 2-D `make_spatial_forward`: parameters
+    replicated, the volume's D axis sharded, a per-block constraint
+    re-pinning D to the mesh; the SPMD partitioner inserts the halo
+    collective-permutes for every 3-D window op. Numerically identical to
+    the unsharded `forward3d` (tests/test_spatial.py)."""
+    from supernet_tpu.models.unet3d import forward3d
+
+    repl, x_sharded, constrain = _spatial_shardings3d(mesh, axis_name)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, x_sharded),
+        out_shardings=(repl, repl),
+    )
+    def f(params, x):
+        return forward3d(params, x, cfg, constrain=constrain)
+
+    return f
+
+
+def make_spatial_train_step3d(cfg, tc, mesh: Mesh, axis_name: str = "data"):
+    """Volumetric training step with the D axis sharded over the mesh —
+    activation memory per chip scales ~1/n while parameters/optimizer
+    state stay replicated (the 3-D analog of `make_spatial_train_step`)."""
+    repl, x_sharded, constrain = _spatial_shardings3d(mesh, axis_name)
+
+    # the 3-D step body with the constraint hook threaded through
+    from supernet_tpu.losses import elbo_loss, nll_gaussian
+    from supernet_tpu.models import forward3d, kl_regularizer3d
+    from supernet_tpu.train import (
+        StepMetrics,
+        TrainState,
+        make_optimizer,
+        one_hot_flatten,
+    )
+    import optax
+
+    opt = make_optimizer(tc)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, x_sharded, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    def step(state, x, y):
+        y1h = one_hot_flatten(y, cfg.n_classes)
+
+        def loss_fn(p):
+            probs, sigma = forward3d(p, x, cfg, constrain=constrain)
+            loss = elbo_loss(
+                y1h, probs, sigma, kl_regularizer3d(p), tc.kl_factor,
+                tc.sigma_clip_min, tc.sigma_clip_max,
+            )
+            nll = nll_gaussian(
+                y1h, probs,
+                jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max),
+            )
+            pred = jnp.argmax(probs, -1).astype(jnp.int32)
+            acc = jnp.mean(
+                (pred == jnp.argmax(y1h, -1)).astype(jnp.float32)
+            )
+            return loss, (nll, acc)
+
+        (loss, (nll, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            StepMetrics(loss, nll, kl_regularizer3d(params), acc),
+        )
+
+    return step

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from supernet_tpu.configs import HIPPOCAMPUS
 from supernet_tpu.ops import vconv
 from supernet_tpu.parallel import make_mesh
 from supernet_tpu.parallel.spatial import make_spatial_vconv, trim_valid
@@ -159,3 +160,67 @@ def test_spatial_train_step_matches_unsharded():
                 atol=2e-5,
                 err_msg=f"{layer}/{k}",
             )
+
+
+def test_spatial_forward3d_matches_unsharded():
+    """Volumetric forward with the D axis sharded over the 8-device mesh
+    equals the unsharded forward3d — GSPMD inserts the 3-D halo
+    exchanges."""
+    import dataclasses
+
+    from supernet_tpu.models import forward3d, init_params3d
+    from supernet_tpu.parallel import make_mesh, make_spatial_forward3d
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 16, 1)).astype(np.float32))
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    ref_p, ref_s = forward3d(params, x, cfg)
+    mesh = make_mesh(8)
+    f = make_spatial_forward3d(cfg, mesh)
+    got_p, got_s = f(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got_p), np.asarray(ref_p), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_spatial_train_step3d_matches_unsharded():
+    import dataclasses
+
+    from supernet_tpu.models import init_params3d
+    from supernet_tpu.parallel import make_mesh, make_spatial_train_step3d
+    from supernet_tpu.train import create_train_state
+    from supernet_tpu.train3d import make_train_step3d
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc = dataclasses.replace(HIPPOCAMPUS.train, batch_size=2)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 16, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, (2, 10, 10, 10)).astype(np.int32))
+
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    state, _ = create_train_state(params, tc)
+    ref_state, ref_m = make_train_step3d(cfg, tc)(state, x, y)
+
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    state, _ = create_train_state(params, tc)
+    step = make_spatial_train_step3d(cfg, tc, make_mesh(8))
+    new_state, m = step(state, x, y)
+    assert float(m.loss) == pytest.approx(float(ref_m.loss), rel=1e-5)
+    for name in ref_state.params:
+        np.testing.assert_allclose(
+            np.asarray(new_state.params[name]["w_mu"]),
+            np.asarray(ref_state.params[name]["w_mu"]),
+            rtol=2e-5,
+            atol=1e-6,
+            err_msg=name,
+        )
