@@ -328,6 +328,19 @@ def main(argv=None) -> int:
 
         from supernet_tpu.train3d import Trainer3D, derive_out_size3d
 
+        # inherited common flags this driver does not implement: reject
+        # loudly rather than silently training single-device / from init
+        if args.data_parallel:
+            raise SystemExit(
+                "train3d does not support --data-parallel yet (use the "
+                "spatial sharding API, parallel.make_spatial_train_step3d)"
+            )
+        if args.checkpoint:
+            raise SystemExit(
+                "train3d resumes via --continue-training from --out-dir; "
+                "--checkpoint is not used here"
+            )
+
         cfg = exp.model
         if args.cube_size:
             cfg = dataclasses.replace(cfg, image_size=args.cube_size)
@@ -358,16 +371,28 @@ def main(argv=None) -> int:
                 if _os.path.basename(p).startswith("._"):
                     continue
                 lp = _os.path.join(lbl_dir, _os.path.basename(p))
+                if not _os.path.exists(lp):
+                    # never train on silently-zeroed labels
+                    raise SystemExit(
+                        f"no label for training volume {p} (expected "
+                        f"{lp}); training needs labelsTr to match "
+                        "imagesTr"
+                    )
                 img, _ = read_nifti(p)
-                lbl = read_nifti(lp)[0] if _os.path.exists(lp) else None
+                lbl = read_nifti(lp)[0]
                 cx, cy = volume_to_cube(img, lbl, cfg.image_size)
                 xs.append(cx)
                 ys.append(cy)
             if not xs:
                 raise SystemExit(f"no .nii[.gz] volumes under {img_dir}")
             x, y = np.stack(xs), np.stack(ys)
-        n_val = max(int(len(x) * args.val_frac), exp.train.batch_size)
-        n_val = min(n_val, len(x) - exp.train.batch_size)
+        # --val-frac 0 really means no validation; a nonzero fraction is
+        # rounded up to one full batch (validation runs in static-shape
+        # batches), capped so >= one training batch always remains
+        n_val = int(len(x) * args.val_frac)
+        if n_val > 0:
+            n_val = max(n_val, exp.train.batch_size)
+        n_val = min(n_val, max(len(x) - exp.train.batch_size, 0))
         if n_val > 0:
             x_tr, y_tr = x[:-n_val], y[:-n_val]
             x_val, y_val = x[-n_val:], y[-n_val:]

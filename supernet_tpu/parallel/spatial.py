@@ -279,21 +279,14 @@ def make_spatial_forward3d(cfg, mesh: Mesh, axis_name: str = "data"):
 def make_spatial_train_step3d(cfg, tc, mesh: Mesh, axis_name: str = "data"):
     """Volumetric training step with the D axis sharded over the mesh —
     activation memory per chip scales ~1/n while parameters/optimizer
-    state stay replicated (the 3-D analog of `make_spatial_train_step`)."""
-    repl, x_sharded, constrain = _spatial_shardings3d(mesh, axis_name)
-
-    # the 3-D step body with the constraint hook threaded through
-    from supernet_tpu.losses import elbo_loss, nll_gaussian
-    from supernet_tpu.models import forward3d, kl_regularizer3d
-    from supernet_tpu.train import (
-        StepMetrics,
-        TrainState,
-        make_optimizer,
-        one_hot_flatten,
-    )
-    import optax
+    state stay replicated (the 3-D analog of `make_spatial_train_step`).
+    Reuses the SHARED step body (`train3d._train_step3d`), so augmentation
+    and the objective are identical to the plain-jit path."""
+    from supernet_tpu.train import make_optimizer
+    from supernet_tpu.train3d import _train_step3d
 
     opt = make_optimizer(tc)
+    repl, x_sharded, constrain = _spatial_shardings3d(mesh, axis_name)
 
     @functools.partial(
         jax.jit,
@@ -302,32 +295,6 @@ def make_spatial_train_step3d(cfg, tc, mesh: Mesh, axis_name: str = "data"):
         donate_argnums=(0,),
     )
     def step(state, x, y):
-        y1h = one_hot_flatten(y, cfg.n_classes)
-
-        def loss_fn(p):
-            probs, sigma = forward3d(p, x, cfg, constrain=constrain)
-            loss = elbo_loss(
-                y1h, probs, sigma, kl_regularizer3d(p), tc.kl_factor,
-                tc.sigma_clip_min, tc.sigma_clip_max,
-            )
-            nll = nll_gaussian(
-                y1h, probs,
-                jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max),
-            )
-            pred = jnp.argmax(probs, -1).astype(jnp.int32)
-            acc = jnp.mean(
-                (pred == jnp.argmax(y1h, -1)).astype(jnp.float32)
-            )
-            return loss, (nll, acc)
-
-        (loss, (nll, acc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params, opt_state, state.step + 1),
-            StepMetrics(loss, nll, kl_regularizer3d(params), acc),
-        )
+        return _train_step3d(state, x, y, opt, cfg, tc, constrain=constrain)
 
     return step

@@ -41,9 +41,57 @@ Array = jax.Array
 
 def _crop_center_vol(y: np.ndarray, size: int) -> np.ndarray:
     """Center-crop an [N, S, S, S] label volume to [N, size^3] (the VALID
-    geometry shrinks the output exactly like 2-D, per axis)."""
-    o = [(n - size) // 2 for n in y.shape[1:4]]
-    return y[:, o[0]:o[0]+size, o[1]:o[1]+size, o[2]:o[2]+size]
+    geometry shrinks the output exactly like 2-D, per axis); pure slicing,
+    shared with the device ops (`ops.moments3d.crop_center3d`)."""
+    from supernet_tpu.ops.moments3d import crop_center3d
+
+    return crop_center3d(y, size, size, size)
+
+
+def _train_step3d(
+    state: TrainState,
+    x: Array,
+    y: Array,
+    opt,
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    constrain=None,
+) -> Tuple[TrainState, StepMetrics]:
+    """The shared volumetric step body (the 3-D analog of
+    `train._train_step`) — used by both the plain-jit `make_train_step3d`
+    and the mesh-sharded `parallel.spatial.make_spatial_train_step3d`, so
+    augmentation and the objective cannot diverge between paths."""
+    if tc.augment is not None:
+        from supernet_tpu.data.augment import augment_volumes
+
+        key = jax.random.fold_in(jax.random.PRNGKey(tc.seed), state.step)
+        x, y = augment_volumes(key, x, y, tc.augment)
+    y1h = one_hot_flatten(y, cfg.n_classes)
+
+    def loss_fn(p):
+        probs, sigma = forward3d(p, x, cfg, constrain=constrain)
+        loss = elbo_loss(
+            y1h, probs, sigma, kl_regularizer3d(p), tc.kl_factor,
+            tc.sigma_clip_min, tc.sigma_clip_max,
+        )
+        nll = nll_gaussian(
+            y1h, probs,
+            jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max),
+        )
+        return loss, (nll, probs)
+
+    (loss, (nll, probs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    pred = jnp.argmax(probs, -1).astype(jnp.int32)
+    acc = jnp.mean((pred == jnp.argmax(y1h, -1)).astype(jnp.float32))
+    kl = kl_regularizer3d(params)
+    return (
+        TrainState(params, opt_state, state.step + 1),
+        StepMetrics(loss, nll, kl, acc),
+    )
 
 
 def make_train_step3d(cfg: ModelConfig, tc: TrainConfig):
@@ -52,39 +100,7 @@ def make_train_step3d(cfg: ModelConfig, tc: TrainConfig):
     opt = make_optimizer(tc)
 
     def _step(state: TrainState, x: Array, y: Array):
-        if tc.augment is not None:
-            from supernet_tpu.data.augment import augment_volumes
-
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(tc.seed), state.step
-            )
-            x, y = augment_volumes(key, x, y, tc.augment)
-        y1h = one_hot_flatten(y, cfg.n_classes)
-
-        def loss_fn(p):
-            probs, sigma = forward3d(p, x, cfg)
-            loss = elbo_loss(
-                y1h, probs, sigma, kl_regularizer3d(p), tc.kl_factor,
-                tc.sigma_clip_min, tc.sigma_clip_max,
-            )
-            nll = nll_gaussian(
-                y1h, probs,
-                jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max),
-            )
-            return loss, (nll, probs)
-
-        (loss, (nll, probs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        pred = jnp.argmax(probs, -1).astype(jnp.int32)
-        acc = jnp.mean((pred == jnp.argmax(y1h, -1)).astype(jnp.float32))
-        kl = kl_regularizer3d(params)
-        return (
-            TrainState(params, opt_state, state.step + 1),
-            StepMetrics(loss, nll, kl, acc),
-        )
+        return _train_step3d(state, x, y, opt, cfg, tc)
 
     return jax.jit(_step, donate_argnums=(0,))
 
@@ -136,6 +152,18 @@ class Trainer3D:
         self.out_dir = out_dir or os.path.join(
             exp.out_dir, exp.name + "_3d", "saved_models_SUPER_u-Net"
         )
+        if len(self.x) < self.tc.batch_size:
+            raise ValueError(
+                f"{len(self.x)} training volumes < batch_size "
+                f"{self.tc.batch_size}: every epoch would run zero steps"
+            )
+        # crop labels once (not per epoch)
+        self.y_crop = _crop_center_vol(self.y, self.cfg.out_size)
+        self.y_val_crop = (
+            None
+            if self.y_val is None
+            else _crop_center_vol(self.y_val, self.cfg.out_size)
+        )
         self.step_fn = make_train_step3d(self.cfg, self.tc)
         self.eval_fn = make_eval_step3d(self.cfg, self.tc)
         self.history: Dict[str, List[float]] = {
@@ -143,13 +171,13 @@ class Trainer3D:
             "val_loss": [], "val_acc": [], "val_dice": [],
         }
 
-    def _batches(self, x, y, rng) -> List[Tuple[np.ndarray, np.ndarray]]:
+    def _batches(self, x, y, rng):
+        """Generator of full (static-shape) batches in a fresh permutation
+        — one batch of copies live at a time."""
         idx = rng.permutation(len(x))
         b = self.tc.batch_size
-        return [
-            (x[idx[i:i+b]], y[idx[i:i+b]])
-            for i in range(0, len(x) - b + 1, b)  # static shapes: full only
-        ]
+        for i in range(0, len(x) - b + 1, b):
+            yield x[idx[i:i+b]], y[idx[i:i+b]]
 
     def run(self, epochs: Optional[int] = None, log=print) -> TrainState:
         cfg, tc = self.cfg, self.tc
@@ -163,7 +191,7 @@ class Trainer3D:
                 state = ckpt.restore_state(self.out_dir, latest, state)
                 start = latest + 1
         rng = np.random.default_rng(tc.seed)
-        y_c = _crop_center_vol(self.y, cfg.out_size)
+        y_c = self.y_crop
         t0 = time.perf_counter()
         for epoch in range(start, epochs):
             losses, accs = [], []
@@ -195,7 +223,7 @@ class Trainer3D:
 
     def _validate(self, state, epoch, log):
         cfg, tc = self.cfg, self.tc
-        y_c = _crop_center_vol(self.y_val, cfg.out_size)
+        y_c = self.y_val_crop
         losses, accs, dices = [], [], []
         b = tc.batch_size
         for i in range(0, len(self.x_val) - b + 1, b):
