@@ -36,16 +36,32 @@ from supernet_tpu.models import forward_images
 Array = jax.Array
 
 
-def _input_spec(cfg: ModelConfig, batch_size: int) -> jax.ShapeDtypeStruct:
+def _input_spec(
+    cfg: ModelConfig, batch_size: int, volumetric: bool = False
+) -> jax.ShapeDtypeStruct:
+    s = cfg.image_size
+    spatial = (s, s, s) if volumetric else (s, s)
     return jax.ShapeDtypeStruct(
-        (batch_size, cfg.image_size, cfg.image_size, cfg.in_channels),
-        jnp.float32,
+        (batch_size,) + spatial + (cfg.in_channels,), jnp.float32
     )
 
 
-def _make_fn(cfg: ModelConfig, mesh=None):
-    def fn(params, x):
-        return forward_images(params, x, cfg)
+def _make_fn(cfg: ModelConfig, mesh=None, volumetric: bool = False):
+    if volumetric:
+        from supernet_tpu.models import forward3d
+
+        o = cfg.out_size
+
+        def fn(params, x):
+            probs, sigma = forward3d(params, x, cfg)
+            b = x.shape[0]
+            shape = (b, o, o, o, cfg.n_classes)
+            return probs.reshape(shape), sigma.reshape(shape)
+
+    else:
+
+        def fn(params, x):
+            return forward_images(params, x, cfg)
 
     if mesh is None:
         return jax.jit(fn)
@@ -60,11 +76,19 @@ def _make_fn(cfg: ModelConfig, mesh=None):
     )
 
 
-def lower(params, cfg: ModelConfig, batch_size: int = 8, mesh=None):
+def lower(
+    params,
+    cfg: ModelConfig,
+    batch_size: int = 8,
+    mesh=None,
+    volumetric: bool = False,
+):
     """``jax.jit(forward).lower(...)`` at a fixed batch size — the common
-    stem for both AOT compilation and StableHLO export."""
-    return _make_fn(cfg, mesh).lower(
-        jax.eval_shape(lambda p: p, params), _input_spec(cfg, batch_size)
+    stem for both AOT compilation and StableHLO export. ``volumetric``
+    serves the 3-D family (`models.forward3d`) instead."""
+    return _make_fn(cfg, mesh, volumetric).lower(
+        jax.eval_shape(lambda p: p, params),
+        _input_spec(cfg, batch_size, volumetric),
     )
 
 
@@ -73,6 +97,7 @@ def export_stablehlo(
     cfg: ModelConfig,
     batch_size: int = 8,
     path: Optional[str] = None,
+    volumetric: bool = False,
 ) -> str:
     """Serialize the inference computation as StableHLO module text.
 
@@ -80,7 +105,9 @@ def export_stablehlo(
     ``layer_names`` order, so any PJRT-capable runtime can execute it
     against a checkpoint exported with ``checkpoint.save_npz``.
     """
-    text = lower(params, cfg, batch_size).as_text(dialect="stablehlo")
+    text = lower(params, cfg, batch_size, volumetric=volumetric).as_text(
+        dialect="stablehlo"
+    )
     if path is not None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
@@ -117,10 +144,12 @@ class InferenceSession:
         cfg: ModelConfig,
         batch_size: int = 8,
         mesh=None,
+        volumetric: bool = False,
     ):
         self.cfg = cfg
         self.batch_size = int(batch_size)
         self._mesh = mesh
+        self.volumetric = bool(volumetric)
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
             if self.batch_size % n_dev != 0:
@@ -138,24 +167,27 @@ class InferenceSession:
         else:
             params = jax.device_put(params)
         self._params = params
-        self._fn = _make_fn(cfg, mesh)
+        self._fn = _make_fn(cfg, mesh, volumetric)
 
     def warmup(self) -> "InferenceSession":
         """Trigger compilation outside the request path."""
         x = jnp.zeros(
-            _input_spec(self.cfg, self.batch_size).shape, jnp.float32
+            _input_spec(self.cfg, self.batch_size, self.volumetric).shape,
+            jnp.float32,
         )
         probs, sigma = self._fn(self._params, x)
         jax.block_until_ready((probs, sigma))
         return self
 
     def predict(self, x) -> Tuple[np.ndarray, np.ndarray]:
-        """[N, H, W, C] -> (probs, sigma), each [N, H_out, W_out, classes]."""
+        """[N, H, W, C] (or [N, D, H, W, C] volumetric) -> (probs, sigma),
+        image/volume-shaped with a trailing class dim."""
         x = np.asarray(x, np.float32)
         n = len(x)
         if n == 0:
-            shape = (0, self.cfg.out_size, self.cfg.out_size,
-                     self.cfg.n_classes)
+            o = self.cfg.out_size
+            spatial = (o, o, o) if self.volumetric else (o, o)
+            shape = (0,) + spatial + (self.cfg.n_classes,)
             return np.zeros(shape, np.float32), np.zeros(shape, np.float32)
         probs_out, sigma_out = [], []
         for i in range(0, n, self.batch_size):

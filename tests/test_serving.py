@@ -7,6 +7,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -105,3 +106,33 @@ def test_export_bundle_and_cli(params, tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(v), np.asarray(loaded[layer][k])
             )
+
+
+def test_volumetric_inference_session(tmp_path):
+    """InferenceSession(volumetric=True) serves the 3-D family with the
+    same compile-once padded-batch scheme, matching forward3d."""
+    import dataclasses
+
+    from supernet_tpu.models import forward3d, init_params3d
+    from supernet_tpu.serving import InferenceSession, export_stablehlo
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    sess = InferenceSession(params, cfg, batch_size=2, volumetric=True)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (3, 16, 16, 16, 1)).astype(np.float32)  # partial
+    probs, sigma = sess.predict(x)
+    assert probs.shape == sigma.shape == (3, 10, 10, 10, cfg.n_classes)
+    ref_p, ref_s = forward3d(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(
+        probs.reshape(3, -1, cfg.n_classes), np.asarray(ref_p),
+        rtol=1e-5, atol=1e-6,
+    )
+    # empty request and StableHLO export surfaces work too
+    p0, _ = sess.predict(np.zeros((0, 16, 16, 16, 1), np.float32))
+    assert p0.shape == (0, 10, 10, 10, cfg.n_classes)
+    text = export_stablehlo(params, cfg, batch_size=2, volumetric=True)
+    assert "stablehlo" in text or "module" in text
