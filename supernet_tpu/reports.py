@@ -468,3 +468,57 @@ def save_reference_training_curves(
         ]
     _fig(dice_series, "dice coefficient", "VDP_UNET_Data_DICE.png")
     _fig(haus_series, "Hausdorff coefficient", "VDP_UNET_Data_Haus.png")
+
+
+def save_uncertainty_slices3d(
+    path: str,
+    probs: np.ndarray,
+    sigma: np.ndarray,
+    volumes: np.ndarray,
+    labels: np.ndarray,
+    images_n: int = 4,
+    n_classes: int = 3,
+) -> Dict[str, float]:
+    """Volumetric analog of the uncertainty report: renders the CENTER
+    axial slice of each sampled volume — input, ground-truth label,
+    predicted label, and the predictive-variance heatmap (same winter_r +
+    colorbar styling as the 2-D artifacts) — plus the
+    `uncertainty_info.pkl` payload with the full volumes.
+
+    probs/sigma: [N, o, o, o, C]; volumes: [N, S, S, S, C_in];
+    labels: [N, o, o, o] int. Returns {"mean": mean predictive variance
+    at the predicted class}.
+    """
+    os.makedirs(path, exist_ok=True)
+    pred = np.argmax(probs, axis=-1)
+    uncert = np.take_along_axis(sigma, pred[..., None], axis=-1)[..., 0]
+    out = {"mean": float(np.mean(uncert))}
+    with open(os.path.join(path, "uncertainty_info.pkl"), "wb") as f:
+        pickle.dump([probs, sigma, volumes, labels], f)
+    if _HAVE_MPL and images_n > 0:
+        img_dir = os.path.join(path, "test_images")
+        os.makedirs(img_dir, exist_ok=True)
+        cmap = label_colormap(n_classes)
+        mid_in = volumes.shape[1] // 2
+        mid_out = labels.shape[1] // 2
+        for i in range(min(images_n, len(volumes))):
+            plt.figure(figsize=(10, 10))
+            plt.imshow(volumes[i, mid_in, :, :, 0], "gray",
+                       interpolation="none")
+            plt.title("Input (center slice)")
+            _save(os.path.join(img_dir, f"{i}_Input_slice.png"))
+            plt.figure(figsize=(10, 10))
+            plt.imshow(labels[i, mid_out], cmap, interpolation="none")
+            plt.title("Ground truth Label (center slice)")
+            _save(os.path.join(img_dir, f"{i}_Label_slice.png"))
+            plt.figure(figsize=(10, 10))
+            plt.imshow(pred[i, mid_out], cmap, interpolation="none")
+            plt.title("Predicted Label (center slice)")
+            _save(os.path.join(img_dir, f"{i}_Predicted_slice.png"))
+            plt.figure(figsize=(10, 10))
+            im = plt.imshow(uncert[i, mid_out], cmap="winter_r",
+                            interpolation="nearest")
+            plt.title("Uncertainty map (center slice)")
+            plt.colorbar(im, fraction=0.046, pad=0.04)
+            _save(os.path.join(img_dir, f"{i}_uncertainty_heatmap.png"))
+    return out

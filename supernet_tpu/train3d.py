@@ -219,7 +219,30 @@ class Trainer3D:
 
         reports.save_training_curves(self.out_dir, self.history)
         reports.save_history_pickle(self.out_dir, self.history)
+        if self.x_val is not None and len(self.x_val) >= tc.batch_size:
+            self._save_val_report(state)
         return state
+
+    def _save_val_report(self, state) -> None:
+        """Center-slice uncertainty artifacts + pkl from the first
+        validation batch (the 3-D analog of the 2-D artifact set)."""
+        from supernet_tpu import reports
+
+        cfg, b = self.cfg, self.tc.batch_size
+        xb = self.x_val[:b]
+        probs, sigma = forward3d(
+            jax.device_get(state).params, jnp.asarray(xb), cfg
+        )
+        o = cfg.out_size
+        shape = (b, o, o, o, cfg.n_classes)
+        reports.save_uncertainty_slices3d(
+            self.out_dir,
+            np.asarray(probs).reshape(shape),
+            np.asarray(sigma).reshape(shape),
+            xb,
+            self.y_val_crop[:b],
+            n_classes=cfg.n_classes,
+        )
 
     def _validate(self, state, epoch, log):
         cfg, tc = self.cfg, self.tc

@@ -250,3 +250,29 @@ def test_cli_train3d_from_nifti_dir(tmp_path, capsys):
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(line["train_loss"])
     assert os.path.isdir(os.path.join(out, "epoch_0"))
+
+
+def test_trainer3d_writes_uncertainty_slices(tmp_path):
+    """Trainer3D's final validation report: center-slice PNGs + pkl (the
+    3-D analog of the 2-D uncertainty artifact set)."""
+    import os
+
+    from supernet_tpu.data import synthetic_volumes
+    from supernet_tpu.train3d import Trainer3D
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    exp = dataclasses.replace(
+        HIPPOCAMPUS, model=cfg,
+        train=dataclasses.replace(HIPPOCAMPUS.train, batch_size=2, epochs=1),
+    )
+    x, y = synthetic_volumes(cfg, 6, seed=0)
+    out = str(tmp_path / "r")
+    tr = Trainer3D(exp, x[:4], y[:4], x[4:], y[4:], out_dir=out)
+    tr.run()
+    assert os.path.exists(os.path.join(out, "uncertainty_info.pkl"))
+    for n in ("0_Input_slice.png", "0_Label_slice.png",
+              "0_Predicted_slice.png", "0_uncertainty_heatmap.png"):
+        assert os.path.exists(os.path.join(out, "test_images", n)), n
