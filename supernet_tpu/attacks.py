@@ -44,46 +44,73 @@ def retarget_labels(
 
 
 def attack_loss(
-    params: Params, x: Array, y: Array, cfg: ModelConfig, ac: AttackConfig
+    params: Params,
+    x: Array,
+    y: Array,
+    cfg: ModelConfig,
+    ac: AttackConfig,
+    forward_fn=forward,
 ) -> Array:
     """``0.5 * nll_gaussian(y, probs, clip(sigma))`` (`Hippocampus.py:538-541`).
 
     ``y`` is one-hot flattened [B, N, C] (already retargeted if targeted).
+    ``forward_fn`` selects the model family (default 2-D `models.forward`;
+    pass `models.forward3d` to attack the volumetric family).
     """
-    probs, sigma = forward(params, x, cfg)
+    probs, sigma = forward_fn(params, x, cfg)
     sigma_c = jnp.clip(sigma, ac.sigma_clip_min, ac.sigma_clip_max)
     return 0.5 * nll_gaussian(y, probs, sigma_c)
 
 
 def fgsm_sign(
-    params: Params, x: Array, y: Array, cfg: ModelConfig, ac: AttackConfig
+    params: Params,
+    x: Array,
+    y: Array,
+    cfg: ModelConfig,
+    ac: AttackConfig,
+    forward_fn=forward,
 ) -> Array:
     """``sign(d attack_loss / d x)`` — the FGSM perturbation direction."""
-    grad = jax.grad(attack_loss, argnums=1)(params, x, y, cfg, ac)
+    grad = jax.grad(attack_loss, argnums=1)(params, x, y, cfg, ac, forward_fn)
     return jnp.sign(grad)
 
 
-def _attack_jit(fn, mesh, axis_name: str):
+def _attack_jit(fn, mesh, axis_name: str, x_spec=None, y_spec=None):
     """jit an ``attack(params, x, y_flat, x_min, x_max)`` function; with a
     mesh, the batch (and label) are sharded over the devices and parameters
     replicated, so every forward+backward of the attack loop runs
     data-parallel (each device attacks its own shard — the perturbation is
-    per-sample, so no collective is needed)."""
+    per-sample, so no collective is needed).
+
+    ``x_spec``/``y_spec`` override the default batch-axis PartitionSpec —
+    the 3-D family shards the volume's D axis instead (x_spec=
+    P(None, axis) with the flattened label replicated, y_spec=P())."""
     if mesh is None:
         return jax.jit(fn)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis_name))
+    x_sh = NamedSharding(mesh, P(axis_name) if x_spec is None else x_spec)
+    y_sh = (
+        NamedSharding(mesh, P(axis_name))
+        if y_spec is None
+        else NamedSharding(mesh, y_spec)
+    )
     return jax.jit(
         fn,
-        in_shardings=(repl, data, data, repl, repl),
-        out_shardings=data,
+        in_shardings=(repl, x_sh, y_sh, repl, repl),
+        out_shardings=x_sh,
     )
 
 
 def make_pgd_attack(
-    cfg: ModelConfig, ac: AttackConfig, mesh=None, axis_name: str = "data"
+    cfg: ModelConfig,
+    ac: AttackConfig,
+    mesh=None,
+    axis_name: str = "data",
+    forward_fn=forward,
+    x_spec=None,
+    y_spec=None,
 ):
     """Jitted PGD: returns ``attack(params, x, y_flat, x_min, x_max) -> adv_x``.
 
@@ -99,18 +126,24 @@ def make_pgd_attack(
         params: Params, x: Array, y_flat: Array, x_min: Array, x_max: Array
     ) -> Array:
         def body(_, adv_x):
-            sign = fgsm_sign(params, adv_x, y_flat, cfg, ac)
+            sign = fgsm_sign(params, adv_x, y_flat, cfg, ac, forward_fn)
             adv_x = adv_x + ac.step_size * sign
             adv_x = jnp.clip(adv_x, x - ac.epsilon, x + ac.epsilon)
             return jnp.clip(adv_x, x_min, x_max)
 
         return jax.lax.fori_loop(0, ac.max_adv_step, body, x)
 
-    return _attack_jit(attack, mesh, axis_name)
+    return _attack_jit(attack, mesh, axis_name, x_spec, y_spec)
 
 
 def make_fgsm_attack(
-    cfg: ModelConfig, ac: AttackConfig, mesh=None, axis_name: str = "data"
+    cfg: ModelConfig,
+    ac: AttackConfig,
+    mesh=None,
+    axis_name: str = "data",
+    forward_fn=forward,
+    x_spec=None,
+    y_spec=None,
 ):
     """Jitted single-step FGSM (`Brats.py:984-991`):
     ``adv_x = clip(x + eps * sign, x_min, x_max)``."""
@@ -118,10 +151,10 @@ def make_fgsm_attack(
     def attack(
         params: Params, x: Array, y_flat: Array, x_min: Array, x_max: Array
     ) -> Array:
-        sign = fgsm_sign(params, x, y_flat, cfg, ac)
+        sign = fgsm_sign(params, x, y_flat, cfg, ac, forward_fn)
         return jnp.clip(x + ac.epsilon * sign, x_min, x_max)
 
-    return _attack_jit(attack, mesh, axis_name)
+    return _attack_jit(attack, mesh, axis_name, x_spec, y_spec)
 
 
 def make_saliency_map(cfg: ModelConfig):

@@ -272,19 +272,23 @@ def run_calibration(
     if mc_samples > 0:
         res["mc_samples"] = mc_samples
     if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "calibration.pkl"), "wb") as f:
-            pickle.dump(res, f)
-        scalars = {
-            k: v for k, v in res.items() if isinstance(v, (int, float))
-        }
-        with open(
-            os.path.join(out_dir, "Calibration_report.txt"), "w"
-        ) as f:
-            f.write(f"Uncertainty quality report — {exp.name}\n")
-            f.write(f"samples: {len(labels)}\n\n")
-            for k in sorted(scalars):
-                f.write(f"{k}: {scalars[k]:.6f}\n")
-        _plot_artifacts(out_dir, res)
+        write_calibration_artifacts(out_dir, res, exp.name, len(labels))
         res["out_dir"] = out_dir
     return res
+
+
+def write_calibration_artifacts(
+    out_dir: str, res: Dict[str, object], name: str, n_samples: int
+) -> None:
+    """calibration.pkl (every array), Calibration_report.txt (scalars),
+    sparsification + reliability PNGs — shared by the 2-D and 3-D drivers."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "calibration.pkl"), "wb") as f:
+        pickle.dump(res, f)
+    scalars = {k: v for k, v in res.items() if isinstance(v, (int, float))}
+    with open(os.path.join(out_dir, "Calibration_report.txt"), "w") as f:
+        f.write(f"Uncertainty quality report — {name}\n")
+        f.write(f"samples: {n_samples}\n\n")
+        for k in sorted(scalars):
+            f.write(f"{k}: {scalars[k]:.6f}\n")
+    _plot_artifacts(out_dir, res)

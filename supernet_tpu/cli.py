@@ -75,25 +75,74 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--augment-noise-std", type=float, default=0.0,
                    help="additive Gaussian pixel-noise std")
 
+    def _add_3d_shape(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--cube-size", type=int, default=0,
+                       help="input cube side (default: the config's "
+                            "image_size, e.g. 64 -> 54^3 output)")
+        p.add_argument("--base-kernels", type=int, default=0,
+                       help="override the config's channel width")
+        p.add_argument("--depth", type=int, default=0,
+                       help="override the config's encoder depth")
+
     t3 = sub.add_parser(
         "train3d",
         help="train the volumetric VDP U-Net on cubes (NIfTI task dir or "
              "--synthetic); out_size is derived from the geometry",
     )
     _add_common(t3)
+    _add_3d_shape(t3)
     t3.add_argument("--epochs", type=int, default=None)
     t3.add_argument("--lr", type=float, default=None)
     t3.add_argument("--kl-factor", type=float, default=None)
     t3.add_argument("--continue-training", action="store_true")
-    t3.add_argument("--cube-size", type=int, default=0,
-                    help="input cube side (default: the config's "
-                         "image_size, e.g. 64 -> 54^3 output)")
-    t3.add_argument("--base-kernels", type=int, default=0,
-                    help="override the config's channel width")
-    t3.add_argument("--depth", type=int, default=0,
-                    help="override the config's encoder depth")
     t3.add_argument("--val-frac", type=float, default=0.2,
                     help="trailing fraction of volumes held out")
+
+    e3 = sub.add_parser(
+        "eval3d",
+        help="volumetric clean/noise evaluation: the 2-D testing protocol "
+             "on whole volumes (region-masked noise, SNR, per-structure "
+             "metrics, center-slice artifacts)",
+    )
+    _add_common(e3)
+    _add_3d_shape(e3)
+    e3.add_argument("--noise-kind", default="none",
+                    choices=["none", "gaussian", "speckle",
+                             "salt_and_pepper"])
+    e3.add_argument("--noise-std", type=float, default=0.0)
+    e3.add_argument("--noise-region", default="all",
+                    help="A/P (hippocampus), O/B (brats/lungs), or all")
+    e3.add_argument("--sweep", action="store_true",
+                    help="clean + every configured noise level x region")
+    e3.add_argument("--images-n", type=int, default=4)
+    e3.add_argument("--mc-samples", type=int, default=0,
+                    help="N>0: evaluate the Monte-Carlo weight-sampling "
+                         "baseline (N forwards/batch) instead of the VDP "
+                         "propagated moments")
+
+    a3 = sub.add_parser(
+        "attack3d", help="FGSM/PGD adversarial evaluation on volumes"
+    )
+    _add_common(a3)
+    _add_3d_shape(a3)
+    a3.add_argument("--epsilon", type=float, default=None)
+    a3.add_argument("--targeted", action="store_true")
+    a3.add_argument("--untargeted", action="store_true")
+    a3.add_argument("--max-adv-step", type=int, default=None)
+    a3.add_argument("--step-size", type=float, default=None)
+    a3.add_argument("--images-n", type=int, default=4)
+
+    c3 = sub.add_parser(
+        "calibrate3d",
+        help="voxel-wise uncertainty-quality report for the 3-D family "
+             "(sparsification/AUSE, ECE + reliability)",
+    )
+    _add_common(c3)
+    _add_3d_shape(c3)
+    c3.add_argument("--bins", type=int, default=15)
+    c3.add_argument("--mc-samples", type=int, default=0,
+                    help="N>0: score the MC weight-sampling baseline's "
+                         "uncertainty instead of the VDP propagation")
 
     e = sub.add_parser("eval", help="clean evaluation + uncertainty report")
     _add_common(e)
@@ -253,6 +302,96 @@ def _load_data(exp, args, split="test"):
     return PickleDataset(xte, yte, exp.model.in_channels)
 
 
+def _cfg3d(exp, args):
+    """Apply the 3-D shape overrides and derive out_size from the
+    volumetric geometry (shared by train3d / eval3d / attack3d /
+    calibrate3d so an evaluated model always matches its training shape)."""
+    from supernet_tpu.train3d import derive_out_size3d
+
+    cfg = exp.model
+    if args.cube_size:
+        cfg = dataclasses.replace(cfg, image_size=args.cube_size)
+    if args.base_kernels:
+        cfg = dataclasses.replace(cfg, base_kernels=args.base_kernels)
+    if args.depth:
+        cfg = dataclasses.replace(cfg, depth=args.depth,
+                                  bottleneck_pre_pad=None)
+    cfg = dataclasses.replace(cfg, out_size=derive_out_size3d(cfg))
+    return dataclasses.replace(exp, model=cfg)
+
+
+def _load_volumes(exp, args, seed=0):
+    """Cube dataset for the 3-D family: ``--synthetic N`` blobs, or a
+    NIfTI task directory (imagesTr/labelsTr of .nii[.gz]) cut to
+    ``cfg.image_size`` cubes via `data.nifti.volume_to_cube`."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as np
+
+    cfg = exp.model
+    if args.synthetic:
+        from supernet_tpu.data import synthetic_volumes
+
+        return synthetic_volumes(cfg, args.synthetic, seed=seed)
+    from supernet_tpu.data import read_nifti, volume_to_cube
+
+    src = args.data or exp.data_path
+    img_dir = (
+        _os.path.join(src, "imagesTr")
+        if _os.path.isdir(_os.path.join(src, "imagesTr"))
+        else src
+    )
+    lbl_dir = _os.path.join(_os.path.dirname(img_dir), "labelsTr")
+    xs, ys = [], []
+    for p in sorted(_glob.glob(_os.path.join(img_dir, "*.nii*"))):
+        if _os.path.basename(p).startswith("._"):
+            continue
+        lp = _os.path.join(lbl_dir, _os.path.basename(p))
+        if not _os.path.exists(lp):
+            # never score/train against silently-zeroed labels
+            raise SystemExit(
+                f"no label for volume {p} (expected {lp}); the 3-D "
+                "drivers need labelsTr to match imagesTr"
+            )
+        img, _ = read_nifti(p)
+        lbl = read_nifti(lp)[0]
+        cx, cy = volume_to_cube(img, lbl, cfg.image_size)
+        xs.append(cx)
+        ys.append(cy)
+    if not xs:
+        raise SystemExit(f"no .nii[.gz] volumes under {img_dir}")
+    return np.stack(xs), np.stack(ys)
+
+
+def _load_params3d(exp, args):
+    """Volumetric params: random init, .npz, or the latest Orbax
+    ``epoch_{N}`` checkpoint under --checkpoint (what train3d writes)."""
+    import jax
+
+    from supernet_tpu import checkpoint as ckpt
+    from supernet_tpu.models import init_params3d
+    from supernet_tpu.train import create_train_state
+
+    src = args.checkpoint
+    if src is None:
+        print("warning: no --checkpoint; using random init", file=sys.stderr)
+        return init_params3d(jax.random.PRNGKey(0), exp.model)
+    if src.endswith(".h5"):
+        raise SystemExit(
+            "Keras .h5 import is 2-D-only; the 3-D family restores from "
+            "Orbax epoch_{N} dirs or .npz params"
+        )
+    if src.endswith(".npz"):
+        return ckpt.load_params_npz(src)
+    epoch = ckpt.latest_epoch(src)
+    if epoch is None:
+        raise FileNotFoundError(f"no epoch_{{N}} checkpoints under {src}")
+    params = init_params3d(jax.random.PRNGKey(0), exp.model)
+    state, _ = create_train_state(params, exp.train)
+    return ckpt.restore_state(src, epoch, state).params
+
+
 def _load_params(exp, args):
     import jax
 
@@ -321,12 +460,7 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "train3d":
-        import glob as _glob
-        import os as _os
-
-        import numpy as np
-
-        from supernet_tpu.train3d import Trainer3D, derive_out_size3d
+        from supernet_tpu.train3d import Trainer3D
 
         # inherited common flags this driver does not implement: reject
         # loudly rather than silently training single-device / from init
@@ -341,51 +475,8 @@ def main(argv=None) -> int:
                 "--checkpoint is not used here"
             )
 
-        cfg = exp.model
-        if args.cube_size:
-            cfg = dataclasses.replace(cfg, image_size=args.cube_size)
-        if args.base_kernels:
-            cfg = dataclasses.replace(cfg, base_kernels=args.base_kernels)
-        if args.depth:
-            cfg = dataclasses.replace(
-                cfg, depth=args.depth, bottleneck_pre_pad=None
-            )
-        cfg = dataclasses.replace(cfg, out_size=derive_out_size3d(cfg))
-        exp = dataclasses.replace(exp, model=cfg)
-        if args.synthetic:
-            from supernet_tpu.data import synthetic_volumes
-
-            x, y = synthetic_volumes(cfg, args.synthetic, seed=0)
-        else:
-            from supernet_tpu.data import read_nifti, volume_to_cube
-
-            src = args.data or exp.data_path
-            img_dir = (
-                _os.path.join(src, "imagesTr")
-                if _os.path.isdir(_os.path.join(src, "imagesTr"))
-                else src
-            )
-            lbl_dir = _os.path.join(_os.path.dirname(img_dir), "labelsTr")
-            xs, ys = [], []
-            for p in sorted(_glob.glob(_os.path.join(img_dir, "*.nii*"))):
-                if _os.path.basename(p).startswith("._"):
-                    continue
-                lp = _os.path.join(lbl_dir, _os.path.basename(p))
-                if not _os.path.exists(lp):
-                    # never train on silently-zeroed labels
-                    raise SystemExit(
-                        f"no label for training volume {p} (expected "
-                        f"{lp}); training needs labelsTr to match "
-                        "imagesTr"
-                    )
-                img, _ = read_nifti(p)
-                lbl = read_nifti(lp)[0]
-                cx, cy = volume_to_cube(img, lbl, cfg.image_size)
-                xs.append(cx)
-                ys.append(cy)
-            if not xs:
-                raise SystemExit(f"no .nii[.gz] volumes under {img_dir}")
-            x, y = np.stack(xs), np.stack(ys)
+        exp = _cfg3d(exp, args)
+        x, y = _load_volumes(exp, args, seed=0)
         # --val-frac 0 really means no validation; a nonzero fraction is
         # rounded up to one full batch (validation runs in static-shape
         # batches), capped so >= one training batch always remains
@@ -401,6 +492,66 @@ def main(argv=None) -> int:
         tr = Trainer3D(exp, x_tr, y_tr, x_val, y_val, out_dir=args.out_dir)
         tr.run()
         print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
+        return 0
+
+    if args.cmd in ("eval3d", "attack3d", "calibrate3d"):
+        exp = _cfg3d(exp, args)
+        # --data-parallel = SPATIAL sharding for the 3-D family: the
+        # volume's D axis is split over all devices (whole-volume regime)
+        mesh = None
+        if args.data_parallel:
+            if getattr(args, "mc_samples", 0):
+                raise SystemExit(
+                    "--mc-samples is a single-device mode; drop "
+                    "--data-parallel"
+                )
+            import jax
+
+            from supernet_tpu.parallel import make_mesh
+
+            mesh = make_mesh(jax.device_count())
+        x, y = _load_volumes(exp, args, seed=1)
+        params = _load_params3d(exp, args)
+
+        if args.cmd == "eval3d":
+            from supernet_tpu.evaluate3d import (
+                run_noise_sweep3d,
+                run_testing3d,
+            )
+
+            if args.sweep:
+                results = run_noise_sweep3d(exp, params, x, y,
+                                            images_n=args.images_n,
+                                            mesh=mesh)
+                for r in results:
+                    print(json.dumps({k: v for k, v in r.items()
+                                      if isinstance(v, (int, float, str))}))
+                return 0
+            from supernet_tpu.configs import NoiseConfig
+
+            nc = NoiseConfig(kind=args.noise_kind, std=args.noise_std,
+                             region=args.noise_region)
+            res = run_testing3d(exp, params, x, y, nc,
+                                out_dir=args.out_dir,
+                                images_n=args.images_n, mesh=mesh,
+                                mc_samples=args.mc_samples)
+        elif args.cmd == "attack3d":
+            from supernet_tpu.evaluate3d import run_adversarial3d
+
+            res = run_adversarial3d(exp, params, x, y,
+                                    out_dir=args.out_dir,
+                                    images_n=args.images_n, mesh=mesh)
+        else:
+            from supernet_tpu.evaluate3d import run_calibration3d
+
+            out_dir = args.out_dir or (
+                f"{exp.out_dir}/{exp.name}_3d/calibration"
+            )
+            res = run_calibration3d(exp, params, x, y, out_dir=out_dir,
+                                    n_bins=args.bins, mesh=mesh,
+                                    mc_samples=args.mc_samples)
+        print(json.dumps({k: v for k, v in res.items()
+                          if isinstance(v, (int, float, str))}))
         return 0
 
     if args.cmd == "train":

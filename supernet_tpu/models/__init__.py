@@ -22,6 +22,7 @@ __all__ = [
 
 from supernet_tpu.models.unet3d import (  # noqa: E402
     forward3d,
+    forward_sampled3d,
     init_params3d,
     kl_regularizer3d,
     layer_names3d,
@@ -29,6 +30,7 @@ from supernet_tpu.models.unet3d import (  # noqa: E402
 
 __all__ += [
     "forward3d",
+    "forward_sampled3d",
     "init_params3d",
     "kl_regularizer3d",
     "layer_names3d",

@@ -173,3 +173,78 @@ def forward3d(
     m, s = vconv3d(m, s, p["w_mu"], p["w_sigma"])
     _tap("conv_final", m)
     return vsoftmax3d(m, s)
+
+
+def forward_sampled3d(
+    weights: Dict[str, Array], x: Array, cfg: ModelConfig
+) -> Array:
+    """Deterministic twin of `forward3d`: ONE ordinary 3-D U-Net pass with
+    concrete conv kernels (e.g. from `models.unet.sample_weights`, which is
+    parameter-structure generic); returns softmax probabilities
+    [B, out_size^3, n_classes].
+
+    Exactly the architecture the 3-D moment propagation models — so mapping
+    it over N posterior weight draws is the Monte-Carlo ensemble whose
+    empirical (mean, variance) `forward3d`'s one propagated pass
+    approximates (the volumetric analog of the 2-D MC baseline,
+    `evaluate._forward_fn(mc_samples=N)`)."""
+    from jax import lax
+
+    depth = cfg.depth
+
+    def conv(name: str, h: Array) -> Array:
+        return lax.conv_general_dilated(
+            h, weights[name], (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    def conv_relu(name: str, h: Array) -> Array:
+        return jax.nn.relu(conv(name, h))
+
+    def pad(h: Array, p) -> Array:
+        lo, hi = (p, p) if isinstance(p, int) else p
+        return jnp.pad(
+            h, ((0, 0), (lo, hi), (lo, hi), (lo, hi), (0, 0))
+        )
+
+    def unpool_conv2(name: str, h: Array) -> Array:
+        # zero-interleave to 2n+1 per axis with a 1-voxel lo/hi pad, then
+        # 2^3 VALID conv — `ops.moments3d.vunpool3d_conv2`'s mean path
+        h = lax.pad(
+            h, jnp.zeros((), h.dtype),
+            ((0, 0, 0), (1, 1, 1), (1, 1, 1), (1, 1, 1), (0, 0, 0)),
+        )
+        return conv(name, h)
+
+    def crop_concat(h: Array, enc: Array) -> Array:
+        from supernet_tpu.ops.moments3d import crop_center3d
+
+        d, hh, w = h.shape[1:4]
+        return jnp.concatenate([crop_center3d(enc, d, hh, w), h], axis=-1)
+
+    skips: List[Array] = []
+    h = conv_relu("conv_input", x)
+    h = conv_relu("conv1", h)
+    for i in range(depth):
+        if i > 0:
+            if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
+                h = pad(h, cfg.bottleneck_pre_pad)
+            h = conv_relu(f"conv{2 * i}", h)
+            h = conv_relu(f"conv{2 * i + 1}", h)
+        if i < depth - 1:
+            skips.append(h)
+            h = lax.reduce_window(
+                h, -jnp.inf, lax.max,
+                (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "SAME",
+            )
+    for j in range(1, depth):
+        h = unpool_conv2(f"up{j}_conv2x2", h)
+        h = pad(h, (3, 3))
+        h = crop_concat(h, skips[depth - 1 - j])
+        h = conv_relu(f"up{j}_conv1", h)
+        h = pad(h, (2, 2))
+        h = conv_relu(f"up{j}_conv2", h)
+    h = conv("conv_final", h)
+    b = h.shape[0]
+    c = h.shape[-1]
+    return jax.nn.softmax(h.reshape(b, -1, c), axis=-1)

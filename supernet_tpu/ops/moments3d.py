@@ -146,13 +146,57 @@ def vunpool3d(mu: Array, sigma: Array) -> MomentPair:
     return _unpool3d_one(mu), _unpool3d_one(sigma)
 
 
+def _upsample2_nearest3d(x: Array) -> Array:
+    """[B,d,h,w,C] -> [B,2d,2h,2w,C] nearest-neighbor 2x (broadcast+reshape)."""
+    b, d, h, w, c = x.shape
+    y = jnp.broadcast_to(
+        x[:, :, None, :, None, :, None, :],
+        (b, d, 2, h, 2, w, 2, c),
+    )
+    return y.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
 def vunpool3d_conv2(
     mu: Array, sigma: Array, w_mu: Array, w_sigma: Array
 ) -> MomentPair:
-    """unpool + 2x2x2 VALID conv (the decoder's upsampling step). The
-    composition form — the 2-D path's fused lhs-dilated trick is an
-    optimization this correctness-first 3-D path skips."""
-    return vconv3d(*vunpool3d(mu, sigma), w_mu, w_sigma)
+    """Fused unpool + 2^3 VALID conv (the decoder's upsampling step) as ONE
+    input-dilated convolution per moment — the 3-D port of the 2-D
+    `vunpool_conv2` trick (`ops/moments.py`), same argument per axis: the
+    zero-interleave places x[i] at odd coordinate 2i+1, so the following
+    2-kernel VALID conv sees exactly one nonzero input per output voxel;
+    `lhs_dilation=2` with a 1-voxel border is that map, and XLA's conv
+    emitter skips the zero positions natively. The 2^3 window sum of the
+    interleaved (mu^2 + sigma) likewise reduces to the channel sum
+    nearest-upsampled. Bit-identical to the composition
+    `vconv3d(*vunpool3d(...))` (tested); removes the materialized
+    (2n+1)^3 interleaved pair — ~8x the input's HBM traffic — per decoder
+    stage."""
+    sw = jax.nn.softplus(w_sigma.astype(jnp.float32))
+    mu, sigma = _act(mu), _act(sigma)
+    # same cast order as `_window_sum3d` (square in the activation dtype,
+    # reduce in f32) so the fused form stays bit-identical to the
+    # composition under bf16 too
+    t = jnp.square(mu) + sigma
+    t_up = _upsample2_nearest3d(
+        _act(jnp.sum(t.astype(jnp.float32), axis=-1, keepdims=True))
+    )
+
+    def dconv(x: Array, kernel: Array) -> Array:
+        return lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(1, 1, 1),
+            padding=((1, 1), (1, 1), (1, 1)),
+            lhs_dilation=(2, 2, 2),
+            dimension_numbers=_DN,
+            preferred_element_type=x.dtype,
+        )
+
+    mu_out = dconv(mu, w_mu)
+    sigma_out = t_up * _act(sw) + dconv(
+        sigma, jnp.square(w_mu.astype(jnp.float32))
+    )
+    return mu_out, _act(sigma_out)
 
 
 def vpad3d(

@@ -95,9 +95,11 @@ def apply_noise(
 ) -> Tuple[Array, Array]:
     """Corrupt ``x`` per the protocol; returns (noisy_x, snr_db).
 
-    ``x``: [B, H, W, C] full-frame images; ``y``: [B, H, W] integer labels
-    (same spatial size as x — the reference builds the region mask from the
-    FULL-frame label, `Hippocampus.py:1279-1292`).
+    ``x``: [B, H, W, C] full-frame images (or [B, D, H, W, C] volumes for
+    the 3-D family — every kind/mask/clip rule generalizes voxel-wise);
+    ``y``: [B, H, W] ([B, D, H, W]) integer labels (same spatial size as x —
+    the reference builds the region mask from the FULL-frame label,
+    `Hippocampus.py:1279-1292`).
 
     ``crop_size`` > 0 reproduces the reference's cropped-frame semantics
     exactly: the clip range is the min/max of the CENTER-CROPPED clean batch
@@ -124,10 +126,24 @@ def apply_noise(
         delta = delta * mask[..., None]
 
     if crop_size and crop_size != x.shape[1]:
-        from supernet_tpu.ops.moments import crop_center
+        if x.ndim == 5:  # [B, D, H, W, C] volumes: crop all three axes
+            from supernet_tpu.ops.moments3d import crop_center3d
 
-        x_ref = crop_center(x, crop_size, crop_size)
+            def _crop(a):
+                return crop_center3d(a, crop_size, crop_size, crop_size)
+
+        else:
+            from supernet_tpu.ops.moments import crop_center
+
+            def _crop(a):
+                return crop_center(a, crop_size, crop_size)
+
+        x_ref = _crop(x)
     else:
+
+        def _crop(a):
+            return a
+
         x_ref = x
     # every kind — including S&P — is clipped to the CROP frame's range
     # (Hippocampus.py:1270-1271,1298; Brats.py:1264/1271/1275 clip in all
@@ -135,10 +151,7 @@ def apply_noise(
     # frame: the reference calls salt_and_pepper on the uncropped batch
     # (Brats.py:1253), so its sign test sees the full-frame min.
     noisy = jnp.clip(x + delta, jnp.min(x_ref), jnp.max(x_ref))
-    if crop_size and crop_size != x.shape[1]:
-        noisy_ref = crop_center(noisy, crop_size, crop_size)
-    else:
-        noisy_ref = noisy
+    noisy_ref = _crop(noisy)
     snr = snr_db(x_ref, noisy_ref)
     return noisy, snr
 

@@ -116,6 +116,25 @@ def test_vunpool3d_geometry_and_values():
     assert not u.any()
 
 
+def test_vunpool3d_conv2_equals_composition():
+    """The fused lhs-dilated form == materialized interleave then vconv3d
+    (the 3-D port of the 2-D composition-equality check,
+    test_moments.py) — on a non-cubic volume, both moments."""
+    mu = jnp.asarray(_rand(2, 3, 4, 5, 6))
+    sigma = jnp.asarray(_rand(2, 3, 4, 5, 6, positive=True))
+    w_mu = jnp.asarray(_rand(2, 2, 2, 6, 4) * 0.3)
+    w_sigma = jnp.asarray(RNG.uniform(-5, -2, 4).astype(np.float32))
+    got_m, got_s = m3.vunpool3d_conv2(mu, sigma, w_mu, w_sigma)
+    ref_m, ref_s = m3.vconv3d(*m3.vunpool3d(mu, sigma), w_mu, w_sigma)
+    assert got_m.shape == ref_m.shape == (2, 6, 8, 10, 4)
+    np.testing.assert_allclose(
+        np.asarray(got_m), np.asarray(ref_m), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(ref_s), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_vsoftmax3d_probabilities_and_b1():
     mu = jnp.asarray(_rand(1, 2, 2, 2, 4))  # B == 1: no squeeze hazard
     sg = jnp.asarray(_rand(1, 2, 2, 2, 4, positive=True))
