@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     t3.add_argument("--continue-training", action="store_true")
     t3.add_argument("--val-frac", type=float, default=0.2,
                     help="trailing fraction of volumes held out")
+    t3.add_argument("--spatial-shard", action="store_true",
+                    help="shard each volume's scan (D) axis over the mesh "
+                         "instead of the batch (whole-volume regime); "
+                         "implies a mesh over all devices")
 
     e3 = sub.add_parser(
         "eval3d",
@@ -464,16 +468,33 @@ def main(argv=None) -> int:
 
         # inherited common flags this driver does not implement: reject
         # loudly rather than silently training single-device / from init
-        if args.data_parallel:
-            raise SystemExit(
-                "train3d does not support --data-parallel yet (use the "
-                "spatial sharding API, parallel.make_spatial_train_step3d)"
-            )
         if args.checkpoint:
             raise SystemExit(
                 "train3d resumes via --continue-training from --out-dir; "
                 "--checkpoint is not used here"
             )
+
+        mesh3d, shard3d = None, "batch"
+        if args.spatial_shard:
+            import jax
+
+            from supernet_tpu.parallel import make_mesh
+
+            mesh3d, shard3d = make_mesh(jax.device_count()), "scan"
+        elif args.data_parallel:
+            import jax
+
+            from supernet_tpu.parallel import make_mesh_for_batch
+
+            # shrink to the largest divisor of the batch, as `cli train`
+            mesh3d = make_mesh_for_batch(exp.train.batch_size)
+            if len(mesh3d.devices.flat) < jax.device_count():
+                print(
+                    f"note: batch {exp.train.batch_size} does not divide "
+                    f"over {jax.device_count()} devices; using a "
+                    f"{len(mesh3d.devices.flat)}-device mesh",
+                    file=sys.stderr,
+                )
 
         exp = _cfg3d(exp, args)
         x, y = _load_volumes(exp, args, seed=0)
@@ -489,7 +510,8 @@ def main(argv=None) -> int:
             x_val, y_val = x[-n_val:], y[-n_val:]
         else:
             x_tr, y_tr, x_val, y_val = x, y, None, None
-        tr = Trainer3D(exp, x_tr, y_tr, x_val, y_val, out_dir=args.out_dir)
+        tr = Trainer3D(exp, x_tr, y_tr, x_val, y_val, out_dir=args.out_dir,
+                       mesh=mesh3d, shard=shard3d)
         tr.run()
         print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
         return 0

@@ -15,6 +15,7 @@ from supernet_tpu.parallel.multihost import (
     process_local_rows,
 )
 from supernet_tpu.parallel.data_parallel import (
+    make_dp_train_step3d,
     make_mesh,
     make_mesh_for_batch,
     make_sharded_forward,
@@ -40,6 +41,7 @@ __all__ = [
     "make_mesh_for_batch",
     "make_sharded_forward",
     "make_sharded_train_step",
+    "make_dp_train_step3d",
     "replicate",
     "shard_batch",
 ]

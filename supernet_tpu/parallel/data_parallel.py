@@ -209,3 +209,32 @@ def make_sharded_train_step(
         return smapped(state, x, y)
 
     return step
+
+
+def make_dp_train_step3d(
+    cfg: ModelConfig, tc: TrainConfig, mesh: Mesh, axis_name: str = "data"
+):
+    """Batch-sharded volumetric train step: the 2-D GSPMD recipe applied to
+    the SHARED 3-D step body (`train3d._train_step3d` — same augmentation
+    and objective as the plain-jit and spatially-sharded paths). Inputs are
+    the GLOBAL batch; the global-mean loss makes XLA lower the gradient
+    reduction to a ``psum`` over ICI. Complements
+    `spatial.make_spatial_train_step3d` (which shards the volume's scan
+    axis instead — use that when ONE volume's activations overflow a chip,
+    this when many volumes fit)."""
+    from supernet_tpu.train3d import _train_step3d
+
+    opt = make_optimizer(tc)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    def step(state: TrainState, x: Array, y: Array):
+        return _train_step3d(state, x, y, opt, cfg, tc)
+
+    return step

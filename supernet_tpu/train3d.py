@@ -134,7 +134,14 @@ def _dice_foreground(y_true: np.ndarray, pred: np.ndarray) -> float:
 
 
 class Trainer3D:
-    """Epoch driver for cube datasets (in-memory arrays)."""
+    """Epoch driver for cube datasets (in-memory arrays).
+
+    ``mesh`` enables multi-chip training; ``shard`` picks the axis:
+    ``"batch"`` = data parallel (volumes split over the mesh, gradient
+    psum over ICI — requires batch_size % n_devices == 0), ``"scan"`` =
+    spatial partitioning of each volume's D axis (for when one volume's
+    activation pairs overflow a chip). Both reuse the SHARED step body,
+    so numerics match the single-device path."""
 
     def __init__(
         self,
@@ -144,6 +151,8 @@ class Trainer3D:
         x_val: Optional[np.ndarray] = None,
         y_val: Optional[np.ndarray] = None,
         out_dir: Optional[str] = None,
+        mesh=None,
+        shard: str = "batch",
     ):
         self.exp, self.cfg, self.tc = exp, exp.model, exp.train
         self.x, self.y = np.asarray(x, np.float32), np.asarray(y, np.int32)
@@ -164,7 +173,25 @@ class Trainer3D:
             if self.y_val is None
             else _crop_center_vol(self.y_val, self.cfg.out_size)
         )
-        self.step_fn = make_train_step3d(self.cfg, self.tc)
+        if mesh is None:
+            self.step_fn = make_train_step3d(self.cfg, self.tc)
+        elif shard == "batch":
+            from supernet_tpu.parallel import make_dp_train_step3d
+
+            n_dev = len(mesh.devices.flat)
+            if self.tc.batch_size % n_dev != 0:
+                raise ValueError(
+                    f"batch_size {self.tc.batch_size} does not divide over "
+                    f"the {n_dev}-device mesh; use "
+                    "parallel.make_mesh_for_batch or adjust batch_size"
+                )
+            self.step_fn = make_dp_train_step3d(self.cfg, self.tc, mesh)
+        elif shard == "scan":
+            from supernet_tpu.parallel import make_spatial_train_step3d
+
+            self.step_fn = make_spatial_train_step3d(self.cfg, self.tc, mesh)
+        else:
+            raise ValueError(f"unknown shard mode {shard!r}")
         self.eval_fn = make_eval_step3d(self.cfg, self.tc)
         self.history: Dict[str, List[float]] = {
             "train_loss": [], "train_acc": [],

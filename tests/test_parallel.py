@@ -316,3 +316,64 @@ def test_sharded_adversarial_training_matches_single_device(use_shard_map):
                 atol=1e-6,
                 err_msg=f"{name}/{w}",
             )
+
+
+def test_dp_train_step3d_matches_single_device():
+    """Volumetric batch-sharded step (make_dp_train_step3d) over the
+    8-device mesh == the plain-jit 3-D step on the same global batch —
+    the SHARED step body guarantees identical augmentation/objective;
+    this pins the GSPMD gradient reduction."""
+    from supernet_tpu.parallel import make_dp_train_step3d
+    from supernet_tpu.train3d import make_train_step3d
+
+    cfg3 = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc3 = dataclasses.replace(HIPPOCAMPUS.train, batch_size=8)
+    from supernet_tpu.models import init_params3d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (8, 16, 16, 16, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, (8, 10, 10, 10)).astype(np.int32))
+
+    params = init_params3d(jax.random.PRNGKey(0), cfg3)
+    state, _ = create_train_state(params, tc3)
+    ref_state, ref_m = make_train_step3d(cfg3, tc3)(state, x, y)
+
+    mesh = make_mesh(8)
+    params = init_params3d(jax.random.PRNGKey(0), cfg3)
+    state, _ = create_train_state(params, tc3)
+    state = replicate(mesh, state)
+    xs, ys = shard_batch(mesh, x, y)
+    new_state, m = make_dp_train_step3d(cfg3, tc3, mesh)(state, xs, ys)
+
+    assert float(m.loss) == pytest.approx(float(ref_m.loss), rel=1e-5)
+    for name in ref_state.params:
+        for w in ("w_mu", "w_sigma"):
+            np.testing.assert_allclose(
+                np.asarray(new_state.params[name][w]),
+                np.asarray(ref_state.params[name][w]),
+                rtol=2e-5,
+                atol=1e-6,
+                err_msg=f"{name}/{w}",
+            )
+
+
+def test_trainer3d_batch_divisibility_guard():
+    """Trainer3D(mesh, shard='batch') rejects a batch the mesh cannot
+    split instead of failing inside the first dispatch."""
+    from supernet_tpu.train3d import Trainer3D
+
+    cfg3 = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    exp = HIPPOCAMPUS.replace(
+        model=cfg3, train=dataclasses.replace(HIPPOCAMPUS.train, batch_size=3)
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (3, 16, 16, 16, 1)).astype(np.float32)
+    y = rng.integers(0, 3, (3, 16, 16, 16)).astype(np.int32)
+    with pytest.raises(ValueError, match="does not divide"):
+        Trainer3D(exp, x, y, mesh=make_mesh(8), shard="batch")
