@@ -290,6 +290,56 @@ def test_cli_eval3d_attack3d_calibrate3d(tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "cal" / "calibration.pkl"))
 
 
+def test_run_testing3d_brats_modalities(tmp_path):
+    """BraTS-style volumetric eval: 4 input modalities, 5 classes, the
+    asymmetric (1, 0) bottleneck pre-pad, object-region noise, and the
+    3-structure (tumor/core/enhancing) metric surface."""
+    from supernet_tpu.configs import BRATS
+    from supernet_tpu.evaluate3d import run_testing3d
+    from supernet_tpu.train3d import derive_out_size3d
+
+    cfg = dataclasses.replace(
+        BRATS.model, image_size=16, base_kernels=2, depth=2,
+        bottleneck_pre_pad=(1, 0),
+    )
+    cfg = dataclasses.replace(cfg, out_size=derive_out_size3d(cfg))
+    exp = BRATS.replace(
+        model=cfg, train=dataclasses.replace(BRATS.train, batch_size=2)
+    )
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 0.3, (2, 16, 16, 16, 4)).astype(np.float32)
+    y = np.zeros((2, 16, 16, 16), np.int32)
+    y[:, 4:12, 4:12, 4:12] = 2
+    y[:, 6:10, 6:10, 6:10] = 1
+    y[:, 7:9, 7:9, 7:9] = 4  # enhancing
+    p = init_params3d(jax.random.PRNGKey(1), cfg)
+    res = run_testing3d(
+        exp, p, x, y,
+        NoiseConfig(kind="speckle", std=0.1, region="O"),
+        out_dir=str(tmp_path / "brats"), images_n=0,
+    )
+    assert np.isfinite(res["snr_db"])
+    for s in ("tumor", "core", "enhancing"):
+        assert f"dice_{s}" in res and f"hausdorff_{s}" in res
+
+
+def test_run_noise_sweep3d(tmp_path, params):
+    """The volumetric module-level sweep: clean + each level x region,
+    each in its own reference-scheme directory."""
+    from supernet_tpu.evaluate3d import run_noise_sweep3d
+
+    exp = _exp(
+        noise_levels=(0.1,), noise_regions=("P",), out_dir=str(tmp_path)
+    )
+    x, y = _volumes(2)
+    results = run_noise_sweep3d(exp, params, x, y, images_n=0)
+    assert len(results) == 2
+    assert results[0]["snr_db"] == float("inf")
+    assert np.isfinite(results[1]["snr_db"])
+    assert results[0]["out_dir"].endswith("clean")
+    assert results[1]["out_dir"].endswith("gaussian_0.1/on_posterior")
+
+
 def test_run_testing3d_mesh_matches_single(tmp_path, params):
     """Spatially-sharded (D-axis over the 8-device mesh) testing equals the
     single-device run metric-for-metric."""

@@ -295,3 +295,34 @@ def test_trainer3d_writes_uncertainty_slices(tmp_path):
     for n in ("0_Input_slice.png", "0_Label_slice.png",
               "0_Predicted_slice.png", "0_uncertainty_heatmap.png"):
         assert os.path.exists(os.path.join(out, "test_images", n)), n
+
+
+def test_trainer3d_continue_training(tmp_path):
+    """Trainer3D resumes from the latest epoch_{N} checkpoint: a second
+    driver with continue_training=True starts at epoch 1 and extends the
+    run instead of retraining from scratch."""
+    import os
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.data import synthetic_volumes
+    from supernet_tpu.train3d import Trainer3D
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc = dataclasses.replace(HIPPOCAMPUS.train, batch_size=2, epochs=1)
+    exp = HIPPOCAMPUS.replace(model=cfg, train=tc)
+    x, y = synthetic_volumes(cfg, 4, seed=0)
+    out = str(tmp_path / "run")
+
+    Trainer3D(exp, x, y, out_dir=out).run(log=lambda *_: None)
+    assert os.path.isdir(os.path.join(out, "epoch_0"))
+    assert not os.path.isdir(os.path.join(out, "epoch_1"))
+
+    exp2 = exp.replace(train=dataclasses.replace(tc, continue_training=True))
+    tr2 = Trainer3D(exp2, x, y, out_dir=out)
+    tr2.run(epochs=2, log=lambda *_: None)
+    # resumed at epoch 1: exactly one new epoch trained + checkpointed
+    assert os.path.isdir(os.path.join(out, "epoch_1"))
+    assert len(tr2.history["train_loss"]) == 1
