@@ -241,6 +241,14 @@ def run_testing3d(
         images_n=images_n, n_classes=cfg.n_classes,
     )
     result["mean_predictive_variance"] = unc["mean"]
+    # Predictive_variance_tasks.txt — the per-structure variance text block
+    # is rank-agnostic (boolean-mask means over the predicted map), so the
+    # 2-D writer produces the reference-format report for volumes too
+    # (images_n=0: the slice renders come from save_uncertainty_slices3d)
+    reports.save_uncertainty_report(
+        out_dir, xs, None, probs, ys, sigma,
+        images_n=0, adversarial=False, dataset=exp.name,
+    )
     reports.write_hyperparameters(
         out_dir,
         "Related_hyperparameters.txt",
@@ -357,6 +365,17 @@ def run_adversarial3d(
         images_n=images_n, n_classes=cfg.n_classes,
     )
     result["mean_predictive_variance"] = unc["mean"]
+    # reference-format per-structure variance report (rank-agnostic text
+    # path of the 2-D writer; see run_testing3d) + the per-structure
+    # variance fields targeted attacks append (`Hippocampus.py:1105-1112`)
+    pv = reports.save_uncertainty_report(
+        out_dir, advs, None, probs, ys, sigma,
+        images_n=0, adversarial=True, targeted=ac.targeted,
+        dataset=exp.name,
+    )
+    for k, v in pv.items():
+        if k != "mean":
+            result[f"predictive_variance_{k}"] = v
     reports.write_hyperparameters(
         out_dir,
         "Related_hyperparameters_adversarial.txt",

@@ -97,6 +97,11 @@ def test_run_testing3d_clean_and_noise(tmp_path, params):
     assert os.path.exists(
         os.path.join(res["out_dir"], "Related_hyperparameters.txt")
     )
+    # reference-format per-structure variance report, volumetric analog
+    pv = os.path.join(res["out_dir"], "Predictive_variance_tasks.txt")
+    assert os.path.exists(pv)
+    with open(pv) as f:
+        assert "anterior structures" in f.read()
 
     res_n = run_testing3d(
         exp, params, x, y,
@@ -125,9 +130,14 @@ def test_run_adversarial3d_pgd(tmp_path, params):
     assert 0.0 <= res["accuracy"] <= 1.0
     assert np.isfinite(res["snr_db"])  # nonzero perturbation
     assert "dice_anterior" in res
+    # targeted attacks append the per-structure variance fields
+    assert "predictive_variance_anterior" in res
     assert os.path.exists(
         os.path.join(res["out_dir"],
                      "Related_hyperparameters_adversarial.txt")
+    )
+    assert os.path.exists(
+        os.path.join(res["out_dir"], "Predictive_variance_tasks.txt")
     )
 
 
