@@ -21,7 +21,10 @@ import json
 import sys
 
 
-def _add_common(p: argparse.ArgumentParser) -> None:
+def _add_common(
+    p: argparse.ArgumentParser,
+    dp_help: str = "shard the batch over all visible devices",
+) -> None:
     p.add_argument("--config", default="hippocampus",
                    choices=["hippocampus", "brats", "lungs"])
     p.add_argument("--data", default=None, help="dataset pickle/pattern")
@@ -32,8 +35,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint root (Orbax epoch_{N} dirs), "
                         ".npz params, or Keras .h5 weights")
-    p.add_argument("--data-parallel", action="store_true",
-                   help="shard the batch over all visible devices")
+    p.add_argument("--data-parallel", action="store_true", help=dp_help)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -102,14 +104,25 @@ def build_parser() -> argparse.ArgumentParser:
                          "instead of the batch (whole-volume regime); "
                          "implies a mesh over all devices")
 
+    _DP3D_HELP = (
+        "spatial sharding for the 3-D family: the volume's scan (D) axis "
+        "is split over all devices (NOT batch DP — whole-volume regime)"
+    )
+
     e3 = sub.add_parser(
         "eval3d",
         help="volumetric clean/noise evaluation: the 2-D testing protocol "
              "on whole volumes (region-masked noise, SNR, per-structure "
              "metrics, center-slice artifacts)",
     )
-    _add_common(e3)
+    _add_common(e3, dp_help=_DP3D_HELP)
     _add_3d_shape(e3)
+    e3.add_argument("--val-frac", type=float, default=0.2,
+                    help="evaluate only the trailing fraction of the "
+                         "volumes — the same trailing split train3d holds "
+                         "out, so metrics are on unseen data; 0 = all "
+                         "volumes (ignored with --synthetic, which draws "
+                         "a fresh set)")
     e3.add_argument("--noise-kind", default="none",
                     choices=["none", "gaussian", "speckle",
                              "salt_and_pepper"])
@@ -127,8 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
     a3 = sub.add_parser(
         "attack3d", help="FGSM/PGD adversarial evaluation on volumes"
     )
-    _add_common(a3)
+    _add_common(a3, dp_help=_DP3D_HELP)
     _add_3d_shape(a3)
+    a3.add_argument("--val-frac", type=float, default=0.2,
+                    help="attack only the trailing (held-out) fraction of "
+                         "the volumes; 0 = all (ignored with --synthetic)")
     a3.add_argument("--epsilon", type=float, default=None)
     a3.add_argument("--targeted", action="store_true")
     a3.add_argument("--untargeted", action="store_true")
@@ -141,9 +157,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="voxel-wise uncertainty-quality report for the 3-D family "
              "(sparsification/AUSE, ECE + reliability)",
     )
-    _add_common(c3)
+    _add_common(c3, dp_help=_DP3D_HELP)
     _add_3d_shape(c3)
     c3.add_argument("--bins", type=int, default=15)
+    c3.add_argument("--val-frac", type=float, default=0.2,
+                    help="calibrate only on the trailing (held-out) "
+                         "fraction of the volumes; 0 = all (ignored with "
+                         "--synthetic)")
     c3.add_argument("--mc-samples", type=int, default=0,
                     help="N>0: score the MC weight-sampling baseline's "
                          "uncertainty instead of the VDP propagation")
@@ -368,6 +388,17 @@ def _load_volumes(exp, args, seed=0):
     return np.stack(xs), np.stack(ys)
 
 
+def _val_count(n: int, frac: float, batch: int) -> int:
+    """train3d's trailing-holdout size: a nonzero fraction is rounded up to
+    one full (static-shape) batch, capped so >= one training batch always
+    remains. The 3-D eval commands use the SAME formula so their
+    --val-frac tail is exactly the set train3d never trained on."""
+    n_val = int(n * frac)
+    if n_val > 0:
+        n_val = max(n_val, batch)
+    return min(n_val, max(n - batch, 0))
+
+
 def _load_params3d(exp, args):
     """Volumetric params: random init, .npz, or the latest Orbax
     ``epoch_{N}`` checkpoint under --checkpoint (what train3d writes)."""
@@ -475,6 +506,11 @@ def main(argv=None) -> int:
             )
 
         mesh3d, shard3d = None, "batch"
+        if args.spatial_shard and args.data_parallel:
+            raise SystemExit(
+                "--spatial-shard and --data-parallel are different sharding "
+                "regimes (scan axis vs batch); pass exactly one"
+            )
         if args.spatial_shard:
             import jax
 
@@ -498,13 +534,8 @@ def main(argv=None) -> int:
 
         exp = _cfg3d(exp, args)
         x, y = _load_volumes(exp, args, seed=0)
-        # --val-frac 0 really means no validation; a nonzero fraction is
-        # rounded up to one full batch (validation runs in static-shape
-        # batches), capped so >= one training batch always remains
-        n_val = int(len(x) * args.val_frac)
-        if n_val > 0:
-            n_val = max(n_val, exp.train.batch_size)
-        n_val = min(n_val, max(len(x) - exp.train.batch_size, 0))
+        # --val-frac 0 really means no validation (see _val_count)
+        n_val = _val_count(len(x), args.val_frac, exp.train.batch_size)
         if n_val > 0:
             x_tr, y_tr = x[:-n_val], y[:-n_val]
             x_val, y_val = x[-n_val:], y[-n_val:]
@@ -533,6 +564,18 @@ def main(argv=None) -> int:
 
             mesh = make_mesh(jax.device_count())
         x, y = _load_volumes(exp, args, seed=1)
+        # score held-out volumes only: the trailing train3d --val-frac split
+        # (synthetic draws a fresh set already — no leakage there)
+        if not args.synthetic and args.val_frac > 0:
+            n_val = _val_count(len(x), args.val_frac, exp.train.batch_size)
+            if n_val > 0:
+                x, y = x[-n_val:], y[-n_val:]
+                print(
+                    f"note: scoring the trailing {n_val} held-out volumes "
+                    f"(--val-frac {args.val_frac}); pass --val-frac 0 to "
+                    "score everything incl. training volumes",
+                    file=sys.stderr,
+                )
         params = _load_params3d(exp, args)
 
         if args.cmd == "eval3d":
@@ -544,7 +587,8 @@ def main(argv=None) -> int:
             if args.sweep:
                 results = run_noise_sweep3d(exp, params, x, y,
                                             images_n=args.images_n,
-                                            mesh=mesh)
+                                            mesh=mesh,
+                                            mc_samples=args.mc_samples)
                 for r in results:
                     print(json.dumps({k: v for k, v in r.items()
                                       if isinstance(v, (int, float, str))}))

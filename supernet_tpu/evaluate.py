@@ -51,21 +51,28 @@ _REGION_DIR = {
 }
 
 
-def _forward_fn(cfg, mesh=None, mc_samples: int = 0, mc_seed: int = 0):
-    """Jitted forward; with ``mesh`` the batch is sharded over the devices
-    and parameters are replicated (data-parallel eval, net-new vs the
-    single-device reference).
+def make_eval_forward(
+    cfg,
+    mesh,
+    mc_samples: int,
+    mc_seed: int,
+    forward_fn,
+    sampled_fn,
+    sharded_factory,
+):
+    """Shared eval-forward factory for both model families.
 
-    ``mc_samples > 0`` switches to the Monte-Carlo ensemble the VDP
-    propagation replaces (the paper's baseline: "instead of Monte Carlo
-    sampling"): N posterior weight draws through the deterministic twin
-    (`models.forward_sampled`), returning the empirical (mean, variance)
-    of the softmax outputs in the same [B, HW, C] shapes — every
-    downstream metric/artifact path works unchanged. Draws are
-    deterministic per (mc_seed, batch index); costs N forwards per batch
-    vs the VDP's one."""
+    Plain jit of ``forward_fn``; with ``mesh``, ``sharded_factory(cfg,
+    mesh)`` (batch-sharded for 2-D, scan-axis for volumes). ``mc_samples
+    > 0`` switches to the Monte-Carlo ensemble the VDP propagation
+    replaces (the paper's baseline: "instead of Monte Carlo sampling"):
+    N posterior weight draws through the deterministic twin
+    ``sampled_fn``, returning the empirical (mean, variance) of the
+    softmax outputs in the same [B, N, C] shapes — every downstream
+    metric/artifact path works unchanged. Draws are deterministic per
+    (mc_seed, batch index); costs N forwards per batch vs the VDP's one."""
     if mc_samples > 0:
-        from supernet_tpu.models import forward_sampled, sample_weights
+        from supernet_tpu.models import sample_weights
 
         counter = [0]
 
@@ -74,9 +81,9 @@ def _forward_fn(cfg, mesh=None, mc_samples: int = 0, mc_seed: int = 0):
             keys = jax.random.split(key, mc_samples)
 
             def one(k):
-                return forward_sampled(sample_weights(params, k), x, cfg)
+                return sampled_fn(sample_weights(params, k), x, cfg)
 
-            probs = jax.lax.map(one, keys)  # [N, B, HW, C]
+            probs = jax.lax.map(one, keys)  # [N, B, pixels, C]
             return jnp.mean(probs, 0), jnp.var(probs, 0)
 
         def f(params, x):
@@ -88,15 +95,25 @@ def _forward_fn(cfg, mesh=None, mc_samples: int = 0, mc_seed: int = 0):
 
         return f
     if mesh is not None:
-        from supernet_tpu.parallel import make_sharded_forward
-
-        return make_sharded_forward(cfg, mesh)
+        return sharded_factory(cfg, mesh)
 
     @jax.jit
     def f(params, x):
-        return forward(params, x, cfg)
+        return forward_fn(params, x, cfg)
 
     return f
+
+
+def _forward_fn(cfg, mesh=None, mc_samples: int = 0, mc_seed: int = 0):
+    """2-D eval forward (see `make_eval_forward`): batch-sharded over the
+    mesh, or the `forward_sampled` MC ensemble."""
+    from supernet_tpu.models import forward_sampled
+    from supernet_tpu.parallel import make_sharded_forward
+
+    return make_eval_forward(
+        cfg, mesh, mc_samples, mc_seed,
+        forward, forward_sampled, make_sharded_forward,
+    )
 
 
 

@@ -55,46 +55,19 @@ Params = Dict[str, Dict[str, jax.Array]]
 
 
 def _forward3d_fn(cfg, mesh=None, mc_samples: int = 0, mc_seed: int = 0):
-    """Jitted volumetric forward; with ``mesh`` the D axis is sharded
-    (spatial partitioning — parameters replicated, halo exchanges inserted
-    by the SPMD partitioner).
+    """Volumetric eval forward (the shared `evaluate.make_eval_forward`
+    factory): plain jit of `forward3d`; with ``mesh`` the D (scan) axis is
+    sharded (spatial partitioning — parameters replicated, halo exchanges
+    inserted by the SPMD partitioner); ``mc_samples > 0`` = the
+    `forward_sampled3d` Monte-Carlo ensemble baseline."""
+    from supernet_tpu.evaluate import make_eval_forward
+    from supernet_tpu.models import forward_sampled3d
+    from supernet_tpu.parallel import make_spatial_forward3d
 
-    ``mc_samples > 0`` switches to the Monte-Carlo weight-sampling ensemble
-    (N posterior draws through the deterministic twin
-    `models.forward_sampled3d`), returning the empirical (mean, variance)
-    of the softmax outputs in the same [B, DHW, C] shapes — the volumetric
-    analog of the 2-D MC baseline (`evaluate._forward_fn`)."""
-    if mc_samples > 0:
-        from supernet_tpu.models import forward_sampled3d, sample_weights
-
-        counter = [0]
-
-        @jax.jit
-        def mc(params, x, key):
-            keys = jax.random.split(key, mc_samples)
-
-            def one(k):
-                return forward_sampled3d(sample_weights(params, k), x, cfg)
-
-            probs = jax.lax.map(one, keys)  # [N, B, DHW, C]
-            return jnp.mean(probs, 0), jnp.var(probs, 0)
-
-        def f(params, x):
-            key = jax.random.fold_in(jax.random.PRNGKey(mc_seed), counter[0])
-            counter[0] += 1
-            return mc(params, x, key)
-
-        return f
-    if mesh is not None:
-        from supernet_tpu.parallel import make_spatial_forward3d
-
-        return make_spatial_forward3d(cfg, mesh)
-
-    @jax.jit
-    def f(params, x):
-        return forward3d(params, x, cfg)
-
-    return f
+    return make_eval_forward(
+        cfg, mesh, mc_samples, mc_seed,
+        forward3d, forward_sampled3d, make_spatial_forward3d,
+    )
 
 
 def _as2d(v: np.ndarray) -> np.ndarray:
@@ -447,12 +420,14 @@ def run_noise_sweep3d(
     y: np.ndarray,
     images_n: int = 4,
     mesh=None,
+    mc_samples: int = 0,
 ) -> List[Dict[str, object]]:
     """Clean eval + gaussian noise at each configured level x region — the
-    volumetric analog of the module-level sweep (`Hippocampus.py:1578-1601`)."""
+    volumetric analog of the module-level sweep (`Hippocampus.py:1578-1601`).
+    ``mc_samples`` > 0 sweeps the MC ensemble baseline instead."""
     results = [
         run_testing3d(exp, params, x, y, NoiseConfig(), images_n=images_n,
-                      mesh=mesh)
+                      mesh=mesh, mc_samples=mc_samples)
     ]
     for std in exp.noise_levels:
         for region in exp.noise_regions:
@@ -460,7 +435,7 @@ def run_noise_sweep3d(
                 run_testing3d(
                     exp, params, x, y,
                     NoiseConfig(kind="gaussian", std=std, region=region),
-                    images_n=images_n, mesh=mesh,
+                    images_n=images_n, mesh=mesh, mc_samples=mc_samples,
                 )
             )
     return results

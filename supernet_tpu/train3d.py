@@ -40,9 +40,10 @@ Array = jax.Array
 
 
 def _crop_center_vol(y: np.ndarray, size: int) -> np.ndarray:
-    """Center-crop an [N, S, S, S] label volume to [N, size^3] (the VALID
-    geometry shrinks the output exactly like 2-D, per axis); pure slicing,
-    shared with the device ops (`ops.moments3d.crop_center3d`)."""
+    """Center-crop an [N, S, S, S] label volume to [N, size, size, size]
+    (the VALID geometry shrinks the output exactly like 2-D, per axis);
+    pure slicing, shared with the device ops
+    (`ops.moments3d.crop_center3d`)."""
     from supernet_tpu.ops.moments3d import crop_center3d
 
     return crop_center3d(y, size, size, size)

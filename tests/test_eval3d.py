@@ -350,6 +350,48 @@ def test_run_noise_sweep3d(tmp_path, params):
     assert results[1]["out_dir"].endswith("gaussian_0.1/on_posterior")
 
 
+def test_cli_eval3d_val_frac_scores_heldout_only(tmp_path, capsys):
+    """eval3d on a NIfTI task dir defaults to the trailing train3d
+    holdout (same _val_count formula), so metrics are on unseen volumes;
+    --val-frac 0 scores everything."""
+    import json
+
+    from supernet_tpu import cli
+    from supernet_tpu.data import write_nifti
+
+    rng = np.random.default_rng(9)
+    task = tmp_path / "Task98"
+    (task / "imagesTr").mkdir(parents=True)
+    (task / "labelsTr").mkdir()
+    for i in range(4):
+        img = rng.uniform(0, 800, (18, 18, 18)).astype(np.float32)
+        lbl = np.zeros((18, 18, 18), np.int16)
+        lbl[5:12, 5:12, 5:12] = 1 + (i % 2)
+        write_nifti(str(task / "imagesTr" / f"v{i}.nii.gz"), img)
+        write_nifti(str(task / "labelsTr" / f"v{i}.nii.gz"), lbl)
+
+    shape = ["--cube-size", "16", "--depth", "2", "--base-kernels", "2"]
+    rc = cli.main(
+        ["eval3d", "--config", "hippocampus", "--data", str(task),
+         "--batch-size", "2", "--val-frac", "0.5", *shape,
+         "--images-n", "0", "--out-dir", str(tmp_path / "ev")]
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "trailing 2 held-out volumes" in cap.err
+    line = json.loads(cap.out.strip().splitlines()[-1])
+    assert 0.0 <= line["accuracy"] <= 1.0
+
+    rc = cli.main(
+        ["eval3d", "--config", "hippocampus", "--data", str(task),
+         "--batch-size", "2", "--val-frac", "0", *shape,
+         "--images-n", "0", "--out-dir", str(tmp_path / "ev_all")]
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "held-out" not in cap.err
+
+
 def test_run_testing3d_mesh_matches_single(tmp_path, params):
     """Spatially-sharded (D-axis over the 8-device mesh) testing equals the
     single-device run metric-for-metric."""
