@@ -11,9 +11,15 @@ GiuseppinaC/SUPER-Net-Bayesian-Image-Segmentation-with-Uncertainty-Propagation
                  and BraTS (depth 5) variants of the reference.
 - ``losses``   — heteroscedastic Gaussian NLL (ELBO likelihood) + KL
                  regularization.
-- ``train``    — jitted train/eval steps, epoch drivers, checkpointing.
-- ``parallel`` — device-mesh data parallelism (shard_map + psum over ICI).
-- ``attacks``  — FGSM / PGD adversarial evaluation.
+- ``train``    — jitted train/eval steps, epoch drivers, checkpointing;
+                 ``train3d`` — the volumetric (3-D) training driver.
+- ``evaluate`` / ``evaluate3d`` — the noise ``testing`` protocol,
+                 adversarial branch, and calibration reports (2-D slices /
+                 whole volumes).
+- ``parallel`` — device-mesh data parallelism (shard_map + psum over ICI),
+                 spatial (halo-exchange) partitioning incl. the volumetric
+                 scan axis, multi-host bring-up.
+- ``attacks``  — FGSM / PGD adversarial evaluation (both model families).
 - ``perturb``  — Gaussian / speckle / salt&pepper test-time corruptions with
                  region masking.
 - ``metrics``  — Dice, Hausdorff, sensitivity/precision/specificity, RVD,
