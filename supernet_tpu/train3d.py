@@ -174,6 +174,7 @@ class Trainer3D:
             if self.y_val is None
             else _crop_center_vol(self.y_val, self.cfg.out_size)
         )
+        self._put = jnp.asarray
         if mesh is None:
             self.step_fn = make_train_step3d(self.cfg, self.tc)
         elif shard == "batch":
@@ -187,6 +188,31 @@ class Trainer3D:
                     "parallel.make_mesh_for_batch or adjust batch_size"
                 )
             self.step_fn = make_dp_train_step3d(self.cfg, self.tc, mesh)
+            if jax.process_count() > 1:
+                # multi-host: feed only this process's contiguous row block
+                # and assemble the global batch-sharded array (same scope
+                # as the 2-D Trainer: train loop + checkpoints; validation
+                # is single-host)
+                from supernet_tpu.parallel import (
+                    global_batch,
+                    process_local_rows,
+                )
+
+                def _put(a):
+                    lo, hi = process_local_rows(len(a))
+                    return global_batch(mesh, np.asarray(a)[lo:hi])
+
+                self._put = _put
+                if x_val is not None:
+                    print(
+                        "note: validation disabled on multi-host 3-D runs "
+                        "(predictions span non-addressable devices)"
+                    )
+                    self.x_val = self.y_val = None
+            else:
+                from supernet_tpu.parallel import shard_batch
+
+                self._put = lambda a: shard_batch(mesh, jnp.asarray(a))
         elif shard == "scan":
             from supernet_tpu.parallel import make_spatial_train_step3d
 
@@ -225,7 +251,7 @@ class Trainer3D:
             losses, accs = [], []
             for xb, yb in self._batches(self.x, y_c, rng):
                 state, m = self.step_fn(
-                    state, jnp.asarray(xb), jnp.asarray(yb)
+                    state, self._put(xb), self._put(yb)
                 )
                 losses.append(float(m.loss))
                 accs.append(float(m.accuracy))
