@@ -415,11 +415,14 @@ def _bench_3d(n_iters: int) -> dict:
         state, m = step(state, x, y)
     assert float(jnp.min(m.loss)) > -1e30
     dt = (_time.perf_counter() - t0) / n_iters
+    from supernet_tpu import flops as F
+
     return {
         "vols_per_sec": round(b / dt, 2),
         "step_ms": round(dt * 1e3, 2),
         "cube": 64,
         "batch": b,
+        "mfu": round(F.mfu(F.train_step_flops3d(cfg, b) / dt), 4),
     }
 
 

@@ -145,6 +145,62 @@ def train_step_flops(cfg: ModelConfig, batch: int) -> float:
     return 3.0 * forward_flops(cfg, batch)
 
 
+def _conv_shapes3d(cfg: ModelConfig) -> List[Tuple[str, int]]:
+    """(layer_name, output_D) per 3-D conv layer via forward3d's tap
+    (outputs stay cubic: every pad/pool/unpool applies per-axis equally)."""
+    import dataclasses
+
+    from supernet_tpu.models import init_params3d, layer_names3d
+    from supernet_tpu.models.unet3d import forward3d
+
+    cfg_nr = dataclasses.replace(cfg, remat=False)
+    conv_names = {n for n, *_ in layer_names3d(cfg_nr)}
+    rec: Dict[str, int] = {}
+
+    def tap(name, shape):
+        if name in conv_names:
+            rec[name] = shape[1]
+
+    params = jax.eval_shape(
+        lambda k: init_params3d(k, cfg_nr), jax.random.PRNGKey(0)
+    )
+    s = cfg.image_size
+    x = jax.ShapeDtypeStruct((1, s, s, s, cfg.in_channels), jnp.float32)
+    jax.eval_shape(
+        lambda p, xx: forward3d(p, xx, cfg_nr, tap=tap), params, x
+    )
+    return [(n, rec[n]) for n, *_ in layer_names3d(cfg_nr)]
+
+
+def forward_flops3d(cfg: ModelConfig, batch: int = 1) -> float:
+    """MXU FLOPs of one volumetric forward at ``batch`` — the 2-D counting
+    one rank up (k^2 -> k^3, HW -> DHW): mu conv + sigma convs per
+    `ops.moments3d.vconv3d`; the fused lhs-dilated unpool-conv sees exactly
+    one nonzero tap per output voxel, so it costs 4*cin*cout per voxel
+    independent of rank."""
+    from supernet_tpu.models import layer_names3d
+
+    shapes = dict(_conv_shapes3d(cfg))
+    total = 0.0
+    for name, k, cin, cout in layer_names3d(cfg):
+        dhw = shapes[name] ** 3
+        k3 = k ** 3
+        if name == "conv_input":
+            f = dhw * (2 * k3 * cin * cout + 2 * k3)
+        elif name.endswith("_conv2x2"):
+            f = dhw * (4 * cin * cout)
+        else:
+            f = dhw * (4 * k3 * cin * cout + 2 * k3)
+        total += float(f)
+    return batch * total
+
+
+def train_step_flops3d(cfg: ModelConfig, batch: int) -> float:
+    """One volumetric optimizer step ~= 3x forward (same MFU convention as
+    `train_step_flops`; remat recomputation not charged)."""
+    return 3.0 * forward_flops3d(cfg, batch)
+
+
 def mfu(flops_per_second: float, device=None) -> float:
     """Model FLOP utilization vs the chip's bf16 peak; 0.0 if peak unknown."""
     peak = peak_tflops(device)

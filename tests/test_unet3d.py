@@ -326,3 +326,26 @@ def test_trainer3d_continue_training(tmp_path):
     # resumed at epoch 1: exactly one new epoch trained + checkpointed
     assert os.path.isdir(os.path.join(out, "epoch_1"))
     assert len(tr2.history["train_loss"]) == 1
+
+
+def test_forward_flops3d_model():
+    """The volumetric FLOPs model (bench MFU denominator): linear in
+    batch, correct first-layer geometry (16^3 -> 14^3 at k=3), and the
+    total bounded below by the hand count of the first layer
+    (2*k^3*cin*cout + 2*k^3 per output voxel)."""
+    from supernet_tpu import flops as F
+    from supernet_tpu.models import layer_names3d
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    f1 = F.forward_flops3d(cfg, 1)
+    assert f1 > 0
+    assert F.forward_flops3d(cfg, 4) == pytest.approx(4 * f1)
+
+    shapes = dict(F._conv_shapes3d(cfg))
+    assert shapes["conv_input"] == 14  # 16 - 3 + 1
+    _, k, cin, cout = layer_names3d(cfg)[0]
+    hand_first = 14**3 * (2 * k**3 * cin * cout + 2 * k**3)
+    assert f1 >= hand_first
