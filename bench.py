@@ -417,12 +417,21 @@ def _bench_3d(n_iters: int) -> dict:
     dt = (_time.perf_counter() - t0) / n_iters
     from supernet_tpu import flops as F
 
+    from supernet_tpu.ops import get_act_dtype
+
+    act_b = 2 if get_act_dtype() == jnp.bfloat16 else 4
     return {
         "vols_per_sec": round(b / dt, 2),
         "step_ms": round(dt * 1e3, 2),
         "cube": 64,
         "batch": b,
         "mfu": round(F.mfu(F.train_step_flops3d(cfg, b) / dt), 4),
+        "hbm_utilization_min": round(
+            F.hbm_utilization(
+                F.train_step_min_bytes3d(cfg, b, act_b) / dt
+            ),
+            4,
+        ),
     }
 
 

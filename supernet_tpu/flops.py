@@ -283,6 +283,47 @@ def train_step_min_bytes(
     )
 
 
+def forward_act_bytes3d(
+    cfg: ModelConfig, batch: int = 1, act_bytes: int = 2
+) -> float:
+    """MINIMUM volumetric forward HBM activation traffic — the 2-D counting
+    one rank up (see `forward_act_bytes` for the model and caveats): one
+    read of each conv's input (mu, sigma) pair, one write of its output
+    pair; the fused lhs-dilated unpool-conv (`ops.moments3d.vunpool3d_conv2`)
+    reads the PRE-unpool cube of side D_out/2 instead of the materialized
+    (2n+1)^3 interleave."""
+    from supernet_tpu.models import layer_names3d
+
+    shapes = dict(_conv_shapes3d(cfg))
+    total = 0.0
+    for name, k, cin, cout in layer_names3d(cfg):
+        d_out = shapes[name]
+        if name.endswith("_conv2x2"):
+            d_in = d_out // 2
+        else:
+            d_in = d_out + k - 1
+        n_in_moments = 1 if name == "conv_input" else 2
+        total += d_in**3 * cin * n_in_moments
+        total += d_out**3 * cout * 2
+    return float(total) * batch * act_bytes
+
+
+def train_step_min_bytes3d(
+    cfg: ModelConfig, batch: int, act_bytes: int = 2
+) -> float:
+    """Volumetric analog of `train_step_min_bytes` (same 3x activation +
+    9x parameter model; 3-D param bytes counted from layer_names3d)."""
+    import math as _math
+
+    from supernet_tpu.models import layer_names3d
+
+    p_bytes = 4.0 * sum(
+        _math.prod((k, k, k, cin, cout)) + cout
+        for _, k, cin, cout in layer_names3d(cfg)
+    )
+    return 3.0 * forward_act_bytes3d(cfg, batch, act_bytes) + 9.0 * p_bytes
+
+
 def hbm_utilization(
     bytes_per_second: float, device=None
 ) -> float:

@@ -349,3 +349,19 @@ def test_forward_flops3d_model():
     _, k, cin, cout = layer_names3d(cfg)[0]
     hand_first = 14**3 * (2 * k**3 * cin * cout + 2 * k**3)
     assert f1 >= hand_first
+
+
+def test_act_bytes3d_model():
+    """Volumetric HBM bytes model: linear in batch and act width; the
+    fused unpool layer reads the pre-unpool cube (D_out/2)."""
+    from supernet_tpu import flops as F
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    b1 = F.forward_act_bytes3d(cfg, 1, 2)
+    assert b1 > 0
+    assert F.forward_act_bytes3d(cfg, 3, 2) == pytest.approx(3 * b1)
+    assert F.forward_act_bytes3d(cfg, 1, 4) == pytest.approx(2 * b1)
+    assert F.train_step_min_bytes3d(cfg, 1, 2) > 3 * b1  # + param traffic
