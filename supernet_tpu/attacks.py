@@ -157,11 +157,13 @@ def make_fgsm_attack(
     return _attack_jit(attack, mesh, axis_name, x_spec, y_spec)
 
 
-def make_saliency_map(cfg: ModelConfig):
+def make_saliency_map(cfg: ModelConfig, forward_fn=forward):
     """Gradient saliency (`Brats.py:598-609`): d(sum of predicted probability
     mass of the target classes)/dx. ``class_mask`` is a [C] 0/1 vector
     selecting the classes (all-tumor = classes > 0). Returns (raw_grad,
-    relu_grad) like the reference's two variants.
+    relu_grad) like the reference's two variants. ``forward_fn`` selects
+    the model family (pass `models.forward3d` for volumetric saliency —
+    both families flatten to [B, pixels, C], so the mass term is shared).
     """
 
     @jax.jit
@@ -169,7 +171,7 @@ def make_saliency_map(cfg: ModelConfig):
         params: Params, x: Array, class_mask: Array
     ) -> Tuple[Array, Array]:
         def mass(xx):
-            probs, _ = forward(params, xx, cfg)
+            probs, _ = forward_fn(params, xx, cfg)
             return jnp.sum(probs * class_mask[None, None, :])
 
         g = jax.grad(mass)(x)

@@ -210,6 +210,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "default: all foreground classes")
     sl.add_argument("--images-n", type=int, default=4)
 
+    sl3 = sub.add_parser(
+        "saliency3d",
+        help="gradient saliency on volumes (center-slice renders of the "
+             "3-D input gradient)",
+    )
+    _add_common(sl3)
+    _add_3d_shape(sl3)
+    sl3.add_argument("--target-class", type=int, default=None,
+                     help="class whose probability mass is differentiated; "
+                          "default: all foreground classes")
+    sl3.add_argument("--images-n", type=int, default=4)
+
     c = sub.add_parser(
         "convert",
         help="convert reference pickles OR raw NIfTI volumes to .npy shards",
@@ -547,7 +559,7 @@ def main(argv=None) -> int:
         print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
         return 0
 
-    if args.cmd in ("eval3d", "attack3d", "calibrate3d"):
+    if args.cmd in ("eval3d", "attack3d", "calibrate3d", "saliency3d"):
         exp = _cfg3d(exp, args)
         # --data-parallel = SPATIAL sharding for the 3-D family: the
         # volume's D axis is split over all devices (whole-volume regime)
@@ -566,7 +578,7 @@ def main(argv=None) -> int:
         x, y = _load_volumes(exp, args, seed=1)
         # score held-out volumes only: the trailing train3d --val-frac split
         # (synthetic draws a fresh set already — no leakage there)
-        if not args.synthetic and args.val_frac > 0:
+        if not args.synthetic and getattr(args, "val_frac", 0) > 0:
             n_val = _val_count(len(x), args.val_frac, exp.train.batch_size)
             if n_val > 0:
                 x, y = x[-n_val:], y[-n_val:]
@@ -607,6 +619,49 @@ def main(argv=None) -> int:
             res = run_adversarial3d(exp, params, x, y,
                                     out_dir=args.out_dir,
                                     images_n=args.images_n, mesh=mesh)
+        elif args.cmd == "saliency3d":
+            import jax.numpy as jnp
+            import numpy as np
+
+            from supernet_tpu.attacks import make_saliency_map
+            from supernet_tpu.models import forward3d
+            from supernet_tpu.reports import save_saliency_maps
+
+            cfg = exp.model
+            sal = make_saliency_map(cfg, forward_fn=forward3d)
+            if args.target_class is None:  # all foreground
+                cmask = jnp.asarray(
+                    [0.0] + [1.0] * (cfg.n_classes - 1), jnp.float32
+                )
+            else:
+                cmask = (
+                    jnp.zeros(cfg.n_classes).at[args.target_class].set(1.0)
+                )
+            out_dir = args.out_dir or (
+                f"{exp.out_dir}/{exp.name}_3d/saliency"
+            )
+            count = 0
+            b = exp.train.batch_size
+            for i in range(0, len(x), b):
+                xb = jnp.asarray(x[i : i + b])
+                g, g_relu = sal(params, xb, cmask)
+                g, g_relu = np.asarray(g), np.asarray(g_relu)
+                mid = xb.shape[1] // 2
+                for j in range(len(xb)):
+                    if count >= args.images_n:
+                        break
+                    # center axial slice of the volumetric gradient
+                    save_saliency_maps(
+                        out_dir,
+                        np.asarray(xb)[j, mid],
+                        g[j, mid],
+                        g_relu[j, mid],
+                        index=count,
+                    )
+                    count += 1
+                if count >= args.images_n:
+                    break
+            res = {"saliency_maps": count, "out_dir": out_dir}
         else:
             from supernet_tpu.evaluate3d import run_calibration3d
 

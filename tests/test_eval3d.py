@@ -412,3 +412,23 @@ def test_run_testing3d_mesh_matches_single(tmp_path, params):
     for k in ("accuracy", "snr_db", "dice_anterior", "dice_posterior",
               "mean_predictive_variance"):
         assert got[k] == pytest.approx(ref[k], rel=1e-4, abs=1e-7), k
+
+
+def test_cli_saliency3d(tmp_path, capsys):
+    """saliency3d: volumetric input gradient, center-slice renders via the
+    2-D saliency saver."""
+    import json
+
+    from supernet_tpu import cli
+
+    rc = cli.main(
+        ["saliency3d", "--config", "hippocampus", "--synthetic", "2",
+         "--batch-size", "2", "--cube-size", "16", "--depth", "2",
+         "--base-kernels", "2", "--images-n", "2",
+         "--out-dir", str(tmp_path / "sal")]
+    )
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["saliency_maps"] == 2
+    pngs = list((tmp_path / "sal").glob("*.png"))
+    assert len(pngs) >= 1
