@@ -239,6 +239,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "no foreground")
     c.add_argument("--max-volumes", type=int, default=0,
                    help="with --from-nifti: cap the volumes read (smoke runs)")
+    c.add_argument("--to-cubes", action="store_true",
+                   help="with --from-nifti: write size^3 CUBE shards for "
+                        "the 3-D family (train3d/eval3d read the shard "
+                        "dir directly) instead of 2-D slices")
+    c.add_argument("--cube-size", type=int, default=0,
+                   help="with --to-cubes: cube side (default: the "
+                        "config's image_size)")
 
     x = sub.add_parser(
         "export",
@@ -357,8 +364,9 @@ def _cfg3d(exp, args):
 
 
 def _load_volumes(exp, args, seed=0):
-    """Cube dataset for the 3-D family: ``--synthetic N`` blobs, or a
-    NIfTI task directory (imagesTr/labelsTr of .nii[.gz]) cut to
+    """Cube dataset for the 3-D family: ``--synthetic N`` blobs, a cube
+    .npy shard directory (``cli convert --to-cubes`` output), or a NIfTI
+    task directory (imagesTr/labelsTr of .nii[.gz]) cut to
     ``cfg.image_size`` cubes via `data.nifti.volume_to_cube`."""
     import glob as _glob
     import os as _os
@@ -370,9 +378,23 @@ def _load_volumes(exp, args, seed=0):
         from supernet_tpu.data import synthetic_volumes
 
         return synthetic_volumes(cfg, args.synthetic, seed=seed)
+    src = args.data or exp.data_path
+    if src and _glob.glob(_os.path.join(src, "x_*.npy")):
+        # cube-shard directory (cli convert --to-cubes output)
+        from supernet_tpu.data.shards import shard_pairs
+
+        xs = [np.load(xp) for xp, _ in shard_pairs(src)]
+        ys = [np.load(yp) for _, yp in shard_pairs(src)]
+        x, y = np.concatenate(xs), np.concatenate(ys)
+        if x.shape[1] != cfg.image_size:
+            raise SystemExit(
+                f"cube shards in {src} are {x.shape[1]}^3 but the config "
+                f"expects {cfg.image_size}^3; re-convert or pass "
+                f"--cube-size {x.shape[1]}"
+            )
+        return x, y
     from supernet_tpu.data import read_nifti, volume_to_cube
 
-    src = args.data or exp.data_path
     img_dir = (
         _os.path.join(src, "imagesTr")
         if _os.path.isdir(_os.path.join(src, "imagesTr"))
@@ -380,9 +402,12 @@ def _load_volumes(exp, args, seed=0):
     )
     lbl_dir = _os.path.join(_os.path.dirname(img_dir), "labelsTr")
     xs, ys = [], []
+    max_volumes = getattr(args, "max_volumes", 0)
     for p in sorted(_glob.glob(_os.path.join(img_dir, "*.nii*"))):
         if _os.path.basename(p).startswith("._"):
             continue
+        if max_volumes and len(xs) >= max_volumes:
+            break
         lp = _os.path.join(lbl_dir, _os.path.basename(p))
         if not _os.path.exists(lp):
             # never score/train against silently-zeroed labels
@@ -481,6 +506,24 @@ def main(argv=None) -> int:
     exp = _get_exp(args)
 
     if args.cmd == "convert":
+        if args.from_nifti and args.to_cubes:
+            import numpy as np
+
+            from supernet_tpu.data import write_shards
+
+            if args.cube_size:
+                exp = exp.replace(
+                    model=dataclasses.replace(
+                        exp.model, image_size=args.cube_size
+                    )
+                )
+            x, y = _load_volumes(exp, args, seed=0)
+            pairs = write_shards(args.out, x, y, shard_size=args.shard_size)
+            print(json.dumps({
+                "shards": len(pairs), "out": args.out,
+                "volumes": int(len(x)), "cube": int(x.shape[1]),
+            }))
+            return 0
         if args.from_nifti:
             from supernet_tpu.data import convert_nifti_dir
 

@@ -31,7 +31,9 @@ def write_shards(
     """Write (x, y) as .npy shard pairs; returns the (x_path, y_path) list."""
     os.makedirs(out_dir, exist_ok=True)
     x = np.ascontiguousarray(x, np.float32)
-    if y.ndim == 4:  # one-hot -> integer labels
+    # one-hot -> integer labels; 4-D INTEGER labels are volumetric cube
+    # labels [N, S, S, S] and must pass through unchanged
+    if y.ndim == 4 and np.issubdtype(np.asarray(y).dtype, np.floating):
         y = np.argmax(y, axis=-1)
     y = np.ascontiguousarray(y, np.int32)
     pairs: List[Tuple[str, str]] = []

@@ -432,3 +432,47 @@ def test_cli_saliency3d(tmp_path, capsys):
     assert line["saliency_maps"] == 2
     pngs = list((tmp_path / "sal").glob("*.png"))
     assert len(pngs) >= 1
+
+
+def test_cli_convert_to_cubes_then_train3d(tmp_path, capsys):
+    """convert --from-nifti --to-cubes writes cube .npy shards (4-D int
+    labels NOT argmax'd by the one-hot heuristic); train3d and eval3d
+    read the shard dir directly."""
+    import json
+
+    from supernet_tpu import cli
+    from supernet_tpu.data import write_nifti
+
+    rng = np.random.default_rng(2)
+    task = tmp_path / "Task97"
+    (task / "imagesTr").mkdir(parents=True)
+    (task / "labelsTr").mkdir()
+    for i in range(4):
+        img = rng.uniform(0, 500, (18, 17, 16)).astype(np.float32)
+        lbl = np.zeros((18, 17, 16), np.int16)
+        lbl[5:12, 5:12, 4:10] = 1 + (i % 2)
+        write_nifti(str(task / "imagesTr" / f"v{i}.nii.gz"), img)
+        write_nifti(str(task / "labelsTr" / f"v{i}.nii.gz"), lbl)
+
+    shards = str(tmp_path / "cubes")
+    rc = cli.main(
+        ["convert", "--config", "hippocampus", "--data", str(task),
+         "--from-nifti", "--to-cubes", "--cube-size", "16",
+         "--out", shards]
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["volumes"] == 4 and meta["cube"] == 16
+    ys = np.load(str(tmp_path / "cubes" / "y_00000.npy"))
+    assert ys.ndim == 4 and set(np.unique(ys)) == {0, 1, 2}
+
+    out = str(tmp_path / "run")
+    rc = cli.main(
+        ["train3d", "--config", "hippocampus", "--data", shards,
+         "--batch-size", "2", "--epochs", "1", "--val-frac", "0",
+         "--cube-size", "16", "--depth", "2", "--base-kernels", "2",
+         "--out-dir", out]
+    )
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(line["train_loss"])
