@@ -436,4 +436,20 @@ def _bench_3d(n_iters: int) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:  # e.g. TPU relay UNAVAILABLE at backend init
+        if "backend" not in str(e).lower():
+            raise
+        import json as _json
+
+        # still emit ONE parseable JSON line so the driver records WHY
+        # there is no throughput number instead of an empty file
+        print(_json.dumps({
+            "metric": "images_per_sec",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {str(e)[:200]}",
+        }))
+        raise SystemExit(1)
