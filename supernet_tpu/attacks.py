@@ -157,16 +157,26 @@ def make_fgsm_attack(
     return _attack_jit(attack, mesh, axis_name, x_spec, y_spec)
 
 
-def make_saliency_map(cfg: ModelConfig, forward_fn=forward):
+def make_saliency_map(
+    cfg: ModelConfig,
+    forward_fn=forward,
+    mesh=None,
+    axis_name: str = "data",
+    x_spec=None,
+):
     """Gradient saliency (`Brats.py:598-609`): d(sum of predicted probability
     mass of the target classes)/dx. ``class_mask`` is a [C] 0/1 vector
     selecting the classes (all-tumor = classes > 0). Returns (raw_grad,
     relu_grad) like the reference's two variants. ``forward_fn`` selects
     the model family (pass `models.forward3d` for volumetric saliency —
     both families flatten to [B, pixels, C], so the mass term is shared).
+
+    With ``mesh``, the input (and both gradient outputs) are sharded by
+    ``x_spec`` — batch axis by default, ``P(None, "data")`` for the 3-D
+    family's scan axis — parameters and class mask replicated, the
+    forward+backward partitioned by GSPMD like the attack loop.
     """
 
-    @jax.jit
     def saliency(
         params: Params, x: Array, class_mask: Array
     ) -> Tuple[Array, Array]:
@@ -177,4 +187,14 @@ def make_saliency_map(cfg: ModelConfig, forward_fn=forward):
         g = jax.grad(mass)(x)
         return g, jax.nn.relu(g)
 
-    return saliency
+    if mesh is None:
+        return jax.jit(saliency)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    x_sh = NamedSharding(mesh, P(axis_name) if x_spec is None else x_spec)
+    return jax.jit(
+        saliency,
+        in_shardings=(repl, x_sh, repl),
+        out_shardings=(x_sh, x_sh),
+    )

@@ -215,8 +215,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="gradient saliency on volumes (center-slice renders of the "
              "3-D input gradient)",
     )
-    _add_common(sl3)
+    _add_common(sl3, dp_help=_DP3D_HELP)
     _add_3d_shape(sl3)
+    sl3.add_argument("--val-frac", type=float, default=0.2,
+                     help="render saliency only for the trailing (held-out) "
+                          "fraction of the volumes; 0 = all (ignored with "
+                          "--synthetic)")
     sl3.add_argument("--target-class", type=int, default=None,
                      help="class whose probability mass is differentiated; "
                           "default: all foreground classes")
@@ -383,8 +387,9 @@ def _load_volumes(exp, args, seed=0):
         # cube-shard directory (cli convert --to-cubes output)
         from supernet_tpu.data.shards import shard_pairs
 
-        xs = [np.load(xp) for xp, _ in shard_pairs(src)]
-        ys = [np.load(yp) for _, yp in shard_pairs(src)]
+        pairs = shard_pairs(src)
+        xs = [np.load(xp) for xp, _ in pairs]
+        ys = [np.load(yp) for _, yp in pairs]
         x, y = np.concatenate(xs), np.concatenate(ys)
         if x.shape[1] != cfg.image_size:
             raise SystemExit(
@@ -506,9 +511,18 @@ def main(argv=None) -> int:
     exp = _get_exp(args)
 
     if args.cmd == "convert":
+        if args.to_cubes and not args.from_nifti:
+            raise SystemExit(
+                "--to-cubes reads raw NIfTI volumes; pass --from-nifti "
+                "with a Medical-Segmentation-Decathlon task directory"
+            )
+        if args.to_cubes and (args.split != "train" or args.keep_empty):
+            raise SystemExit(
+                "--split/--keep-empty apply to 2-D slice extraction only; "
+                "the cube path reads every imagesTr volume whole (cap the "
+                "count with --max-volumes)"
+            )
         if args.from_nifti and args.to_cubes:
-            import numpy as np
-
             from supernet_tpu.data import write_shards
 
             if args.cube_size:
@@ -518,7 +532,8 @@ def main(argv=None) -> int:
                     )
                 )
             x, y = _load_volumes(exp, args, seed=0)
-            pairs = write_shards(args.out, x, y, shard_size=args.shard_size)
+            pairs = write_shards(args.out, x, y, shard_size=args.shard_size,
+                                 volumetric=True)
             print(json.dumps({
                 "shards": len(pairs), "out": args.out,
                 "volumes": int(len(x)), "cube": int(x.shape[1]),
@@ -569,23 +584,53 @@ def main(argv=None) -> int:
         if args.spatial_shard:
             import jax
 
-            from supernet_tpu.parallel import make_mesh
+            from supernet_tpu.parallel import initialize_from_env, make_mesh
 
+            initialize_from_env()
+            if jax.process_count() > 1:
+                raise SystemExit(
+                    "--spatial-shard is single-host (the scan-axis feed "
+                    "materializes whole volumes per process); use "
+                    "--data-parallel for multi-host 3-D training"
+                )
             mesh3d, shard3d = make_mesh(jax.device_count()), "scan"
         elif args.data_parallel:
             import jax
 
-            from supernet_tpu.parallel import make_mesh_for_batch
+            from supernet_tpu.parallel import (
+                initialize_from_env,
+                make_mesh_for_batch,
+            )
 
-            # shrink to the largest divisor of the batch, as `cli train`
-            mesh3d = make_mesh_for_batch(exp.train.batch_size)
-            if len(mesh3d.devices.flat) < jax.device_count():
-                print(
-                    f"note: batch {exp.train.batch_size} does not divide "
-                    f"over {jax.device_count()} devices; using a "
-                    f"{len(mesh3d.devices.flat)}-device mesh",
-                    file=sys.stderr,
-                )
+            # multi-host bring-up (SUPERNET_COORDINATOR / JAX_COORDINATOR_*
+            # env); no-op single-process — same contract as `cli train`
+            initialize_from_env()
+
+            if jax.process_count() > 1:
+                # Trainer3D's local-rows feed hands every process an equal
+                # contiguous block; a shrunken mesh could split unevenly
+                # across processes, so multi-host requires the FULL mesh
+                # and a globally divisible batch
+                if exp.train.batch_size % jax.device_count() != 0:
+                    raise SystemExit(
+                        f"multi-host training needs a batch_size "
+                        f"({exp.train.batch_size}) divisible by the global "
+                        f"device count ({jax.device_count()}); adjust "
+                        "--batch-size"
+                    )
+                from supernet_tpu.parallel import global_mesh
+
+                mesh3d = global_mesh()
+            else:
+                # shrink to the largest divisor of the batch, as `cli train`
+                mesh3d = make_mesh_for_batch(exp.train.batch_size)
+                if len(mesh3d.devices.flat) < jax.device_count():
+                    print(
+                        f"note: batch {exp.train.batch_size} does not "
+                        f"divide over {jax.device_count()} devices; using "
+                        f"a {len(mesh3d.devices.flat)}-device mesh",
+                        file=sys.stderr,
+                    )
 
         exp = _cfg3d(exp, args)
         x, y = _load_volumes(exp, args, seed=0)
@@ -671,7 +716,19 @@ def main(argv=None) -> int:
             from supernet_tpu.reports import save_saliency_maps
 
             cfg = exp.model
-            sal = make_saliency_map(cfg, forward_fn=forward3d)
+            sal_spec = None
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from supernet_tpu.parallel import replicate
+
+                # same regime as eval3d/attack3d: the volume's D (scan)
+                # axis is split over the devices, params replicated
+                params = replicate(mesh, params)
+                sal_spec = P(None, "data")
+            sal = make_saliency_map(
+                cfg, forward_fn=forward3d, mesh=mesh, x_spec=sal_spec
+            )
             if args.target_class is None:  # all foreground
                 cmask = jnp.asarray(
                     [0.0] + [1.0] * (cfg.n_classes - 1), jnp.float32
@@ -686,7 +743,8 @@ def main(argv=None) -> int:
             count = 0
             b = exp.train.batch_size
             for i in range(0, len(x), b):
-                xb = jnp.asarray(x[i : i + b])
+                x_np = x[i : i + b]
+                xb = jnp.asarray(x_np)
                 g, g_relu = sal(params, xb, cmask)
                 g, g_relu = np.asarray(g), np.asarray(g_relu)
                 mid = xb.shape[1] // 2
@@ -696,7 +754,7 @@ def main(argv=None) -> int:
                     # center axial slice of the volumetric gradient
                     save_saliency_maps(
                         out_dir,
-                        np.asarray(xb)[j, mid],
+                        x_np[j, mid],
                         g[j, mid],
                         g_relu[j, mid],
                         index=count,

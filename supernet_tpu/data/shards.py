@@ -27,14 +27,19 @@ def write_shards(
     y: np.ndarray,
     shard_size: int = 256,
     start_index: int = 0,
+    volumetric: bool = False,
 ) -> List[Tuple[str, str]]:
-    """Write (x, y) as .npy shard pairs; returns the (x_path, y_path) list."""
+    """Write (x, y) as .npy shard pairs; returns the (x_path, y_path) list.
+
+    A 4-D ``y`` is ambiguous: 2-D one-hot [N, H, W, C] vs volumetric cube
+    labels [N, S, S, S]. ``volumetric`` resolves it explicitly — the
+    caller knows which family it is converting (a dtype heuristic would
+    silently misroute integer-typed one-hot labels)."""
     os.makedirs(out_dir, exist_ok=True)
     x = np.ascontiguousarray(x, np.float32)
-    # one-hot -> integer labels; 4-D INTEGER labels are volumetric cube
-    # labels [N, S, S, S] and must pass through unchanged
-    if y.ndim == 4 and np.issubdtype(np.asarray(y).dtype, np.floating):
-        y = np.argmax(y, axis=-1)
+    y = np.asarray(y)
+    if y.ndim == 4 and not volumetric:
+        y = np.argmax(y, axis=-1)  # one-hot -> integer class labels
     y = np.ascontiguousarray(y, np.int32)
     pairs: List[Tuple[str, str]] = []
     idx = start_index

@@ -269,6 +269,12 @@ class Trainer3D:
                 self._validate(state, epoch, log)
             ckpt.save_state(self.out_dir, epoch, jax.device_get(state))
             t0 = time.perf_counter()
+        if jax.process_count() > 1:
+            # same scope as the 2-D Trainer: checkpoints are the multi-host
+            # product; every process writing the curve PNGs/pickle into the
+            # shared out_dir would race — generate reports afterwards
+            log("multi-host run done; skipping single-host report surface")
+            return state
         from supernet_tpu import reports
 
         reports.save_training_curves(self.out_dir, self.history)

@@ -476,3 +476,83 @@ def test_cli_convert_to_cubes_then_train3d(tmp_path, capsys):
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(line["train_loss"])
+
+
+def test_saliency3d_mesh_matches_single_device(params):
+    """make_saliency_map with a scan-axis-sharded mesh (the cli saliency3d
+    --data-parallel regime, P(None, "data") over D) produces the same
+    gradients as the plain single-device jit."""
+    from jax.sharding import PartitionSpec as P
+
+    from supernet_tpu.attacks import make_saliency_map
+    from supernet_tpu.models import forward3d
+    from supernet_tpu.parallel import make_mesh, replicate
+
+    x, _ = _volumes(2, seed=11)
+    cmask = jnp.asarray([0.0, 1.0, 1.0], jnp.float32)
+    sal = make_saliency_map(CFG, forward_fn=forward3d)
+    g_ref, gr_ref = sal(params, jnp.asarray(x), cmask)
+
+    mesh = make_mesh(8)
+    sal_m = make_saliency_map(
+        CFG, forward_fn=forward3d, mesh=mesh, x_spec=P(None, "data")
+    )
+    g, gr = sal_m(replicate(mesh, params), jnp.asarray(x), cmask)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(gr), np.asarray(gr_ref), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_cli_saliency3d_data_parallel(tmp_path, capsys):
+    """cli saliency3d --data-parallel actually uses the mesh (no silent
+    single-device fallback) and renders the same artifact set."""
+    import json
+
+    from supernet_tpu import cli
+
+    rc = cli.main(
+        ["saliency3d", "--config", "hippocampus", "--synthetic", "2",
+         "--batch-size", "2", "--cube-size", "16", "--depth", "2",
+         "--base-kernels", "2", "--images-n", "2", "--data-parallel",
+         "--out-dir", str(tmp_path / "sal")]
+    )
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["saliency_maps"] == 2
+    assert list((tmp_path / "sal").glob("*.png"))
+
+
+def test_cli_convert_flag_validation(tmp_path):
+    """convert rejects meaningless flag combinations loudly instead of
+    silently writing the wrong shard family."""
+    from supernet_tpu import cli
+
+    with pytest.raises(SystemExit, match="from-nifti"):
+        cli.main(["convert", "--config", "hippocampus",
+                  "--data", "x.pkl", "--to-cubes",
+                  "--out", str(tmp_path / "s")])
+    with pytest.raises(SystemExit, match="slice extraction"):
+        cli.main(["convert", "--config", "hippocampus",
+                  "--data", "task/", "--from-nifti", "--to-cubes",
+                  "--split", "test", "--out", str(tmp_path / "s")])
+    with pytest.raises(SystemExit, match="slice extraction"):
+        cli.main(["convert", "--config", "hippocampus",
+                  "--data", "task/", "--from-nifti", "--to-cubes",
+                  "--keep-empty", "--out", str(tmp_path / "s")])
+
+
+def test_saliency3d_parser_has_val_frac():
+    """saliency3d exposes --val-frac like the other 3-D eval commands (the
+    holdout default PARITY.md documents)."""
+    from supernet_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["saliency3d", "--val-frac", "0.5"]
+    )
+    assert args.val_frac == 0.5
+    # and the default matches eval3d's
+    d = build_parser().parse_args(["saliency3d"])
+    assert d.val_frac == pytest.approx(0.2)

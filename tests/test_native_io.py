@@ -91,3 +91,25 @@ def test_native_multiple_epochs(tmp_path):
     a = _collect(ds, 4, epoch=0)
     b = _collect(ds, 4, epoch=1)
     assert a[0].shape == b[0].shape == (16, 8, 8, 2)
+
+
+def test_write_shards_onehot_label_resolution(tmp_path):
+    """4-D labels: one-hot (any dtype, incl. integer) are argmax'd to class
+    ids; volumetric=True passes cube labels [N, S, S, S] through unchanged."""
+    x2 = np.zeros((4, 8, 8, 1), np.float32)
+    onehot_int = np.eye(3, dtype=np.uint8)[
+        np.random.default_rng(1).integers(0, 3, (4, 8, 8))
+    ]
+    from supernet_tpu.data.shards import write_shards
+
+    write_shards(str(tmp_path / "a"), x2, onehot_int)
+    y = np.load(str(tmp_path / "a" / "y_00000.npy"))
+    assert y.shape == (4, 8, 8) and y.dtype == np.int32
+    np.testing.assert_array_equal(y, np.argmax(onehot_int, axis=-1))
+
+    x3 = np.zeros((2, 6, 6, 6, 1), np.float32)
+    cubes = np.random.default_rng(2).integers(0, 3, (2, 6, 6, 6))
+    write_shards(str(tmp_path / "b"), x3, cubes, volumetric=True)
+    y3 = np.load(str(tmp_path / "b" / "y_00000.npy"))
+    assert y3.shape == (2, 6, 6, 6)
+    np.testing.assert_array_equal(y3, cubes)
