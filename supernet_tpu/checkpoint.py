@@ -65,6 +65,18 @@ def restore_state(root: str, epoch: int, template):
         return ckptr.restore(path, template)
 
 
+def resolve_checkpoint(src: str):
+    """(root, epoch) from a checkpoint path: ``.../epoch_{N}`` names that
+    exact epoch (the reference's ``saved_model_epochs`` selector,
+    `Hippocampus.py:550`); anything else is a root whose LATEST epoch is
+    picked. ``epoch`` is None when the root holds no checkpoints."""
+    m = re.fullmatch(r"epoch_(\d+)", os.path.basename(os.path.normpath(src)))
+    if m:
+        root = os.path.dirname(os.path.normpath(src))
+        return root, int(m.group(1))
+    return src, latest_epoch(src)
+
+
 def latest_epoch(root: str) -> Optional[int]:
     """Highest N with an ``epoch_{N}`` checkpoint under root, or None.
 

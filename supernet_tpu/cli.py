@@ -33,7 +33,8 @@ def _add_common(
     p.add_argument("--out-dir", default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--checkpoint", default=None,
-                   help="checkpoint root (Orbax epoch_{N} dirs), "
+                   help="checkpoint root (restores the latest Orbax "
+                        "epoch_{N}), a specific .../epoch_{N} dir, "
                         ".npz params, or Keras .h5 weights")
     p.add_argument("--data-parallel", action="store_true", help=dp_help)
 
@@ -461,12 +462,12 @@ def _load_params3d(exp, args):
         )
     if src.endswith(".npz"):
         return ckpt.load_params_npz(src)
-    epoch = ckpt.latest_epoch(src)
+    root, epoch = ckpt.resolve_checkpoint(src)
     if epoch is None:
         raise FileNotFoundError(f"no epoch_{{N}} checkpoints under {src}")
     params = init_params3d(jax.random.PRNGKey(0), exp.model)
     state, _ = create_train_state(params, exp.train)
-    return ckpt.restore_state(src, epoch, state).params
+    return ckpt.restore_state(root, epoch, state).params
 
 
 def _load_params(exp, args):
@@ -485,12 +486,12 @@ def _load_params(exp, args):
         return ckpt.import_keras_h5(src, cfg)
     if src.endswith(".npz"):
         return ckpt.load_params_npz(src)
-    epoch = ckpt.latest_epoch(src)
+    root, epoch = ckpt.resolve_checkpoint(src)
     if epoch is None:
         raise FileNotFoundError(f"no epoch_{{N}} checkpoints under {src}")
     params = init_params(jax.random.PRNGKey(0), cfg)
     state, _ = create_train_state(params, exp.train)
-    return ckpt.restore_state(src, epoch, state).params
+    return ckpt.restore_state(root, epoch, state).params
 
 
 def main(argv=None) -> int:

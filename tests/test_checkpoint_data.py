@@ -158,6 +158,26 @@ def test_latest_epoch_none(tmp_path):
     assert ckpt.latest_epoch(str(tmp_path / "nope")) is None
 
 
+def test_resolve_checkpoint_named_epoch(tmp_path):
+    """--checkpoint DIR/epoch_{N} restores that exact epoch — the
+    reference's saved_model_epochs selector (`Hippocampus.py:550`) —
+    while a root path restores the latest."""
+    root = str(tmp_path / "ckpts")
+    params = _params()
+    state, _ = create_train_state(params, HIPPOCAMPUS.train)
+    ckpt.save_state(root, 2, state)
+    ckpt.save_state(root, 5, state)
+    assert ckpt.resolve_checkpoint(root) == (root, 5)
+    import os
+
+    named = os.path.join(root, "epoch_2")
+    assert ckpt.resolve_checkpoint(named) == (root, 2)
+    assert ckpt.resolve_checkpoint(named + os.sep) == (root, 2)
+    # a root with no checkpoints resolves to (root, None)
+    empty = str(tmp_path / "empty")
+    assert ckpt.resolve_checkpoint(empty) == (empty, None)
+
+
 # -------------------------------------------------------------------- data
 
 
