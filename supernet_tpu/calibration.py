@@ -141,13 +141,15 @@ def analyze(
 
     probs/sigma: [N, h, w, C] (the model's (mean, variance) head outputs),
     labels: [N, h, w] int. Returns scalar metrics + the curve arrays."""
+    from supernet_tpu.metrics import uncertainty_at_prediction
+
     pred = np.argmax(probs, axis=-1)
     correct = (pred == labels).astype(np.float64)
     errors = 1.0 - correct
     confidence = np.max(probs, axis=-1)
     # predictive variance at the predicted class — the reference's
-    # uncertainty map definition (`Hippocampus.py:1039-1043`)
-    unc = np.take_along_axis(sigma, pred[..., None], axis=-1)[..., 0]
+    # uncertainty map definition, shared with the report surface
+    unc = uncertainty_at_prediction(np.asarray(sigma), pred)
 
     fracs, curve, oracle = sparsification_curve(errors, unc, n_points)
     ece, reliability = expected_calibration_error(
@@ -155,8 +157,11 @@ def analyze(
     )
     per_img_unc = unc.mean(axis=(1, 2))
     per_img_err = errors.mean(axis=(1, 2))
+    base = curve[0] if curve[0] > 0 else 1.0
     out: Dict[str, object] = {
-        "ause": ause(errors, unc, n_points),
+        # AUSE from the already-computed curves (ause() would redo both
+        # O(n log n) sorts of the full pixel set)
+        "ause": float(np.trapezoid((curve - oracle) / base, fracs)),
         "ece": ece,
         "pixel_error_rate": float(errors.mean()),
         "mean_uncertainty": float(unc.mean()),

@@ -68,15 +68,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PGD iteration count for --adversarial-training pgd")
     t.add_argument("--adv-step-size", type=float, default=None,
                    help="PGD per-step size for --adversarial-training pgd")
-    t.add_argument("--augment", action="store_true",
-                   help="on-device augmentation inside the jitted step "
-                        "(H/V flips by default; see --augment-* knobs)")
-    t.add_argument("--augment-rot90", action="store_true",
-                   help="also rotate by a random multiple of 90 degrees")
-    t.add_argument("--augment-intensity", type=float, default=0.0,
-                   help="intensity jitter: scale U[1±v] and shift U[±v/2]")
-    t.add_argument("--augment-noise-std", type=float, default=0.0,
-                   help="additive Gaussian pixel-noise std")
+    def _add_augment(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--augment", action="store_true",
+                       help="on-device augmentation inside the jitted step "
+                            "(axis flips by default; see --augment-* knobs)")
+        p.add_argument("--augment-rot90", action="store_true",
+                       help="also rotate by a random multiple of 90 degrees "
+                            "(volumes: in the axial H-W plane)")
+        p.add_argument("--augment-intensity", type=float, default=0.0,
+                       help="intensity jitter: scale U[1±v] and shift "
+                            "U[±v/2]")
+        p.add_argument("--augment-noise-std", type=float, default=0.0,
+                       help="additive Gaussian pixel-noise std")
+
+    _add_augment(t)
 
     def _add_3d_shape(p: argparse.ArgumentParser) -> None:
         p.add_argument("--cube-size", type=int, default=0,
@@ -94,6 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_common(t3)
     _add_3d_shape(t3)
+    _add_augment(t3)
     t3.add_argument("--epochs", type=int, default=None)
     t3.add_argument("--lr", type=float, default=None)
     t3.add_argument("--kl-factor", type=float, default=None)

@@ -56,6 +56,7 @@ class AugmentConfig:
 
     hflip: bool = True  # horizontal (W-axis) flip, p=0.5
     vflip: bool = True  # vertical (H-axis) flip, p=0.5
+    dflip: bool = True  # volumetric only: scan (D-axis) flip, p=0.5
     rot90: bool = False  # uniform k in {0,1,2,3} quarter turns (square only)
     intensity_scale: float = 0.0  # multiplicative jitter: U[1-s, 1+s]
     intensity_shift: float = 0.0  # additive jitter: U[-d, d]

@@ -166,10 +166,14 @@ def _spatial_one_3d(k: Array, vol: Array, cfg: AugmentConfig) -> Array:
         base = jnp.where(rk % 2 == 1, jnp.swapaxes(vol, 1, 2), vol)
         base = jnp.where((rk == 1) | (rk == 2), base[:, ::-1], base)
         vol = jnp.where((rk == 2) | (rk == 3), base[:, :, ::-1], base)
-    if cfg.vflip:  # D axis
+    # axis gating matches the config's field docs: dflip = scan direction,
+    # vflip = H, hflip = W (bit assignment is fixed so the all-True
+    # default draws the same augmentations as before dflip existed)
+    if cfg.dflip:  # D (scan) axis
         vol = jnp.where(bits[1] < 2, vol[::-1], vol)
-    if cfg.hflip:  # H and W axes, independent draws
+    if cfg.vflip:  # H axis
         vol = jnp.where(bits[2] < 2, vol[:, ::-1], vol)
+    if cfg.hflip:  # W axis
         vol = jnp.where(bits[3] < 2, vol[:, :, ::-1], vol)
     return vol
 

@@ -370,6 +370,11 @@ def run_adversarial(
             xb = _pad_batch(xb, exp.train.batch_size)
             y_flat = _pad_batch(y_flat, exp.train.batch_size)
         adv = attack(params, xb, y_flat, x_min, x_max)
+        # force the (async-dispatched) attack to completion OUTSIDE the
+        # timed window — otherwise its max_adv_step forward+backward
+        # iterations land inside it and "inference time" is off by ~2*steps
+        # forwards; the host copy is reused below
+        adv_np = np.asarray(adv)
 
         t0 = time.perf_counter()
         probs, sigma = fwd(params, adv)
@@ -394,7 +399,7 @@ def run_adversarial(
                     M.binarize(pred, s, exp.name),
                 )
             )
-        adv_crop = center_crop_np(np.asarray(adv)[:b], cfg.out_size)
+        adv_crop = center_crop_np(adv_np[:b], cfg.out_size)
         x_crop = center_crop_np(x, cfg.out_size)
         # SNR of the adversarial perturbation on the cropped frames
         # (`Hippocampus.py:995-1000`: 10 log10(sum x^2 / sum (adv - x)^2))

@@ -101,7 +101,11 @@ def _score_batch(
     probs_v = probs[:b].reshape(b, o, o, o, cfg.n_classes)
     sigma_v = sigma[:b].reshape(b, o, o, o, cfg.n_classes)
     pred = np.argmax(probs_v, axis=-1)
-    accs.append(float(np.mean(pred == y_crop)))
+    # per-VOLUME accuracies (not one batch mean): with drop_remainder=False
+    # a trailing partial batch would otherwise be over-weighted in the
+    # final mean; all volumes have equal voxel counts, so the mean over
+    # these is the exact voxel-level accuracy
+    accs.extend(np.mean(pred == y_crop, axis=(1, 2, 3)).tolist())
     for s in structs:
         acc_metrics[s].append(
             M.structure_metrics(
@@ -288,6 +292,9 @@ def run_adversarial3d(
         y_flat = one_hot_flatten(jnp.asarray(y_attack), cfg.n_classes)
         x_min, x_max = jnp.min(xb), jnp.max(xb)
         adv = attack(params, xb, y_flat, x_min, x_max)
+        # force the attack to completion OUTSIDE the timed window (same
+        # rationale as the 2-D driver); the host copy is reused below
+        adv_np = np.asarray(adv)
 
         t0 = time.perf_counter()
         probs, sigma = fwd(params, adv)
@@ -299,7 +306,6 @@ def run_adversarial3d(
         probs_v, sigma_v, _ = _score_batch(
             probs, sigma, y_crop, cfg, exp.name, structs, acc_metrics, accs
         )
-        adv_np = np.asarray(adv)
         adv_crop = np.asarray(
             crop_center3d(adv_np, cfg.out_size, cfg.out_size, cfg.out_size)
         )

@@ -270,9 +270,14 @@ def forward_sampled(
     depth = cfg.depth
 
     def conv(name: str, h: Array) -> Array:
+        from supernet_tpu.ops.moments import get_mxu_precision
+
+        # same MXU precision as the propagated path, so MC-vs-VDP
+        # comparisons on TPU measure the method, not the multiply mode
         return lax.conv_general_dilated(
             h, weights[name], (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=get_mxu_precision(),
         )
 
     def conv_relu(name: str, h: Array) -> Array:

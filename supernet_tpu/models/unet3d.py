@@ -193,9 +193,13 @@ def forward_sampled3d(
     depth = cfg.depth
 
     def conv(name: str, h: Array) -> Array:
+        from supernet_tpu.ops.moments import get_mxu_precision
+
+        # same MXU precision as the propagated path (see the 2-D twin)
         return lax.conv_general_dilated(
             h, weights[name], (1, 1, 1), "VALID",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=get_mxu_precision(),
         )
 
     def conv_relu(name: str, h: Array) -> Array:
@@ -219,8 +223,10 @@ def forward_sampled3d(
     def crop_concat(h: Array, enc: Array) -> Array:
         from supernet_tpu.ops.moments3d import crop_center3d
 
+        # decoder channels first — must mirror `vcrop_concat3d` exactly or
+        # the sampled twin consumes transposed channel groups
         d, hh, w = h.shape[1:4]
-        return jnp.concatenate([crop_center3d(enc, d, hh, w), h], axis=-1)
+        return jnp.concatenate([h, crop_center3d(enc, d, hh, w)], axis=-1)
 
     skips: List[Array] = []
     h = conv_relu("conv_input", x)

@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from supernet_tpu.ops.moments import _act, get_act_dtype, vrelu  # noqa: F401
+from supernet_tpu.ops.moments import (  # noqa: F401
+    _act,
+    get_act_dtype,
+    get_mxu_precision,
+    vrelu,
+)
 
 Array = jax.Array
 MomentPair = Tuple[Array, Array]
@@ -44,7 +49,9 @@ _DN = ("NDHWC", "DHWIO", "NDHWC")
 def _conv3d_valid(x: Array, w: Array, stride: int = 1) -> Array:
     # output dtype matches the input: conv's transpose rule rejects mixed
     # in/out dtypes under reverse-mode AD (same as 2-D `_conv_valid`);
-    # the MXU still accumulates partial products in f32 internally
+    # the MXU still accumulates partial products in f32 internally.
+    # precision follows the same global knob as the 2-D family
+    # (SUPERNET_PRECISION; 'highest' = parity-grade f32 multiplies)
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -52,6 +59,7 @@ def _conv3d_valid(x: Array, w: Array, stride: int = 1) -> Array:
         "VALID",
         dimension_numbers=_DN,
         preferred_element_type=x.dtype,
+        precision=get_mxu_precision(),
     )
 
 
@@ -62,6 +70,7 @@ def _window_sum3d(x: Array, k: int, stride: int = 1) -> Array:
     out = lax.conv_general_dilated(
         s, ones, (stride,) * 3, "VALID", dimension_numbers=_DN,
         preferred_element_type=jnp.float32,
+        precision=get_mxu_precision(),
     )
     return _act(out)
 
@@ -190,6 +199,7 @@ def vunpool3d_conv2(
             lhs_dilation=(2, 2, 2),
             dimension_numbers=_DN,
             preferred_element_type=x.dtype,
+            precision=get_mxu_precision(),
         )
 
     mu_out = dconv(mu, w_mu)
@@ -226,11 +236,14 @@ def vcrop_concat3d(
     mu: Array, sigma: Array, mu_e: Array, sigma_e: Array
 ) -> MomentPair:
     """Skip connection: center-crop the encoder pair to the decoder's
-    spatial size, concat channels (3-D `myConc`)."""
+    spatial size, concat channels — DECODER channels first, the same
+    layout as the 2-D `vcrop_concat`/`myConc` (`Hippocampus.py:250-270`),
+    so per-channel tooling and 2-D→3-D weight inflation map identically
+    across the families."""
     d, h, w = mu.shape[1:4]
     return (
-        jnp.concatenate([crop_center3d(mu_e, d, h, w), mu], axis=-1),
-        jnp.concatenate([crop_center3d(sigma_e, d, h, w), sigma], axis=-1),
+        jnp.concatenate([mu, crop_center3d(mu_e, d, h, w)], axis=-1),
+        jnp.concatenate([sigma, crop_center3d(sigma_e, d, h, w)], axis=-1),
     )
 
 

@@ -40,6 +40,20 @@ def initialize_from_env() -> bool:
     no coordinator is configured — single-process runs need nothing."""
     coord = os.environ.get("SUPERNET_COORDINATOR")
     if coord:
+        missing = [
+            k
+            for k in ("SUPERNET_NUM_PROCESSES", "SUPERNET_PROCESS_ID")
+            if k not in os.environ
+        ]
+        if missing:
+            # fail the whole job legibly — a bare KeyError on one worker
+            # leaves the others hanging at the distributed barrier
+            raise ValueError(
+                f"SUPERNET_COORDINATOR={coord} is set but {missing} "
+                "is not; the three variables (SUPERNET_COORDINATOR, "
+                "SUPERNET_NUM_PROCESSES, SUPERNET_PROCESS_ID) must be "
+                "set together on every worker"
+            )
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["SUPERNET_NUM_PROCESSES"]),
@@ -95,6 +109,18 @@ def global_batch(
     many processes is the only way to build the global array without
     gathering data to one host."""
     sharding = NamedSharding(mesh, P(axis_name))
+    n_dev = mesh.devices.size
+    pc = jax.process_count()
+    for a in arrays:
+        # the global row count is local_rows * process_count; P(axis_name)
+        # additionally needs it to divide over the MESH devices — check
+        # here with a clear message instead of an opaque uneven-sharding
+        # error deep inside make_array_from_process_local_data
+        if (len(a) * pc) % n_dev != 0:
+            raise ValueError(
+                f"global batch {len(a) * pc} ({len(a)} local rows x {pc} "
+                f"processes) must divide over the {n_dev}-device mesh"
+            )
     out = tuple(
         jax.make_array_from_process_local_data(sharding, np.asarray(a))
         for a in arrays

@@ -15,6 +15,7 @@ Data: [N, S, S, S, C] cubes + [N, S, S, S] int labels — what
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Dict, List, Optional, Tuple
@@ -331,9 +332,7 @@ class Trainer3D:
             )
 
 
-def derive_out_size3d(cfg: ModelConfig) -> int:
-    """Output cube side for an input of cfg.image_size, traced shape-only
-    (the VALID geometry is config-dependent; no FLOPs)."""
+def _trace_out_side3d(cfg: ModelConfig) -> int:
     params = jax.eval_shape(
         lambda k: init_params3d(k, cfg), jax.random.PRNGKey(0)
     )
@@ -343,4 +342,42 @@ def derive_out_size3d(cfg: ModelConfig) -> int:
         params,
         jax.ShapeDtypeStruct((1, s, s, s, cfg.in_channels), jnp.float32),
     )
-    return round(out[0].shape[1] ** (1.0 / 3.0))
+    side = round(out[0].shape[1] ** (1.0 / 3.0))
+    if side**3 != out[0].shape[1] or side <= 0:
+        raise ValueError(
+            f"non-cubic traced output ({out[0].shape[1]} voxels)"
+        )
+    return side
+
+
+def derive_out_size3d(cfg: ModelConfig) -> int:
+    """Output cube side for an input of cfg.image_size, traced shape-only
+    (the VALID geometry is config-dependent; no FLOPs).
+
+    A cube side that is too small for the config's depth makes the VALID
+    conv/pool chain collapse (an encoder skip ends up SMALLER than the
+    decoder tensor it must be cropped to), which surfaces as an opaque
+    concatenate shape error deep inside tracing — catch that here and
+    report the smallest side that works instead."""
+    try:
+        return _trace_out_side3d(cfg)
+    except ValueError:
+        raise
+    except Exception as e:
+        for side in range(cfg.image_size + 1, cfg.image_size + 65):
+            probe = dataclasses.replace(cfg, image_size=side)
+            try:
+                _trace_out_side3d(probe)
+            except Exception:
+                continue
+            raise ValueError(
+                f"cube size {cfg.image_size} is not a valid geometry for "
+                f"a depth-{cfg.depth} volumetric U-Net (the VALID "
+                f"conv/pool chain collapses); the smallest valid side is "
+                f"{side}"
+            ) from e
+        raise ValueError(
+            f"cube size {cfg.image_size} is not a valid geometry for a "
+            f"depth-{cfg.depth} volumetric U-Net, and no valid side was "
+            f"found up to {cfg.image_size + 64}"
+        ) from e

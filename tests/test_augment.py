@@ -273,3 +273,39 @@ def test_trainer3d_with_augmentation_runs():
     assert np.isfinite(float(m.loss))
     _, m2 = step(state, jnp.asarray(x), jnp.asarray(yc))
     assert float(m2.loss) != float(m.loss)  # step-keyed draws differ
+
+
+def test_volume_flip_flags_gate_their_documented_axes():
+    """AugmentConfig axis semantics in the 3-D path: dflip = scan (D),
+    vflip = H, hflip = W — each flag alone can only change its own axis
+    (regression: hflip used to gate BOTH in-plane axes and vflip the D
+    axis, contradicting the config's field docs)."""
+    from supernet_tpu.data import augment_volumes
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (8, 6, 6, 6, 1)).astype(np.float32))
+
+    def _changed_axes(cfg):
+        xa = np.asarray(augment_volumes(jax.random.PRNGKey(0), x, None,
+                                        cfg)[0])
+        xn = np.asarray(x)
+        axes = set()
+        for i in range(len(xn)):
+            if np.array_equal(xa[i], xn[i]):
+                continue
+            for ax, flipped in (("D", xn[i, ::-1]),
+                                ("H", xn[i, :, ::-1]),
+                                ("W", xn[i, :, :, ::-1])):
+                if np.array_equal(xa[i], flipped):
+                    axes.add(ax)
+        return axes
+
+    base = dict(hflip=False, vflip=False, dflip=False)
+    assert _changed_axes(
+        AugmentConfig(**{**base, "dflip": True})) <= {"D"}
+    assert _changed_axes(
+        AugmentConfig(**{**base, "vflip": True})) <= {"H"}
+    assert _changed_axes(
+        AugmentConfig(**{**base, "hflip": True})) <= {"W"}
+    # with 8 volumes at p=0.5 per volume, at least one flip fires
+    assert _changed_axes(AugmentConfig(**{**base, "dflip": True}))

@@ -365,3 +365,17 @@ def test_act_bytes3d_model():
     assert F.forward_act_bytes3d(cfg, 3, 2) == pytest.approx(3 * b1)
     assert F.forward_act_bytes3d(cfg, 1, 4) == pytest.approx(2 * b1)
     assert F.train_step_min_bytes3d(cfg, 1, 2) > 3 * b1  # + param traffic
+
+
+def test_derive_out_size3d_rejects_collapsed_geometry_legibly():
+    """A cube side too small for the depth must raise a ValueError that
+    names the smallest valid side — not an opaque concatenate error from
+    deep inside tracing (cli train3d --cube-size 24 used to do that)."""
+    from supernet_tpu.train3d import derive_out_size3d
+
+    cfg = dataclasses.replace(HIPPOCAMPUS.model, image_size=24)  # depth 3
+    with pytest.raises(ValueError, match="smallest valid side is 29"):
+        derive_out_size3d(cfg)
+    assert derive_out_size3d(
+        dataclasses.replace(HIPPOCAMPUS.model, image_size=30)
+    ) == 22
