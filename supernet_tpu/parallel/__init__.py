@@ -14,6 +14,12 @@ from supernet_tpu.parallel.multihost import (
     initialize_from_env,
     process_local_rows,
 )
+from supernet_tpu.parallel.hybrid import (
+    make_hybrid_forward,
+    make_hybrid_train_step,
+    make_hybrid_train_step3d,
+    make_mesh2d,
+)
 from supernet_tpu.parallel.data_parallel import (
     make_dp_train_step3d,
     make_mesh,
@@ -37,7 +43,11 @@ __all__ = [
     "make_spatial_train_step3d",
     "make_spatial_vconv",
     "trim_valid",
+    "make_hybrid_forward",
+    "make_hybrid_train_step",
+    "make_hybrid_train_step3d",
     "make_mesh",
+    "make_mesh2d",
     "make_mesh_for_batch",
     "make_sharded_forward",
     "make_sharded_train_step",
