@@ -20,6 +20,8 @@ import dataclasses
 import json
 import sys
 
+_UNSET = object()  # sentinel: "use args.checkpoint" in _load_params
+
 
 def _add_common(
     p: argparse.ArgumentParser,
@@ -110,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard each volume's scan (D) axis over the mesh "
                          "instead of the batch (whole-volume regime); "
                          "implies a mesh over all devices")
+    t3.add_argument("--init-from-2d", metavar="CKPT", default=None,
+                    help="transfer init: inflate a trained 2-D checkpoint "
+                         "(Orbax epoch dir / .npz / Keras .h5) of the SAME "
+                         "config into the 3-D model (I3D-style: mean "
+                         "kernel tiled over depth / k, weight variance / "
+                         "k; see models.inflate_params3d)")
 
     _DP3D_HELP = (
         "spatial sharding for the 3-D family: the volume's scan (D) axis "
@@ -476,7 +484,9 @@ def _load_params3d(exp, args):
     return ckpt.restore_state(root, epoch, state).params
 
 
-def _load_params(exp, args):
+def _load_params(exp, args, src=_UNSET):
+    """2-D params from ``args.checkpoint`` (or an explicit ``src``):
+    random init, Keras .h5, .npz, or the latest Orbax epoch dir."""
     import jax
 
     from supernet_tpu import checkpoint as ckpt
@@ -484,7 +494,8 @@ def _load_params(exp, args):
     from supernet_tpu.train import create_train_state
 
     cfg = exp.model
-    src = args.checkpoint
+    if src is _UNSET:
+        src = args.checkpoint
     if src is None:
         print("warning: no --checkpoint; using random init", file=sys.stderr)
         return init_params(jax.random.PRNGKey(0), cfg)
@@ -648,8 +659,19 @@ def main(argv=None) -> int:
             x_val, y_val = x[-n_val:], y[-n_val:]
         else:
             x_tr, y_tr, x_val, y_val = x, y, None, None
+        init3d = None
+        if args.init_from_2d:
+            from supernet_tpu.models import inflate_params3d
+
+            # the 2-D checkpoint must match THIS config's layer map
+            # (inflate_params3d validates shapes layer by layer)
+            p2 = _load_params(exp, args, src=args.init_from_2d)
+            init3d = inflate_params3d(p2, exp.model)
+            print(f"transfer init: inflated 2-D checkpoint "
+                  f"{args.init_from_2d} into the 3-D model",
+                  file=sys.stderr)
         tr = Trainer3D(exp, x_tr, y_tr, x_val, y_val, out_dir=args.out_dir,
-                       mesh=mesh3d, shard=shard3d)
+                       mesh=mesh3d, shard=shard3d, initial_params=init3d)
         tr.run()
         print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
         return 0

@@ -35,3 +35,13 @@ __all__ += [
     "kl_regularizer3d",
     "layer_names3d",
 ]
+
+from supernet_tpu.models.inflate import (  # noqa: E402
+    inflate_params3d,
+    softplus_inverse,
+)
+
+__all__ += [
+    "inflate_params3d",
+    "softplus_inverse",
+]

@@ -155,8 +155,10 @@ class Trainer3D:
         out_dir: Optional[str] = None,
         mesh=None,
         shard: str = "batch",
+        initial_params=None,
     ):
         self.exp, self.cfg, self.tc = exp, exp.model, exp.train
+        self.initial_params = initial_params
         self.x, self.y = np.asarray(x, np.float32), np.asarray(y, np.int32)
         self.x_val = x_val if x_val is None else np.asarray(x_val, np.float32)
         self.y_val = y_val if y_val is None else np.asarray(y_val, np.int32)
@@ -237,7 +239,16 @@ class Trainer3D:
     def run(self, epochs: Optional[int] = None, log=print) -> TrainState:
         cfg, tc = self.cfg, self.tc
         epochs = epochs if epochs is not None else tc.epochs
-        params = init_params3d(jax.random.PRNGKey(tc.seed), cfg)
+        # transfer init (e.g. a 2-D checkpoint inflated via
+        # `models.inflate_params3d`) takes precedence over random init;
+        # a resumed checkpoint still overwrites either below. Copy the
+        # caller's tree: the jitted step DONATES its state, which would
+        # silently delete the caller's arrays
+        params = (
+            jax.tree.map(jnp.array, self.initial_params)
+            if self.initial_params is not None
+            else init_params3d(jax.random.PRNGKey(tc.seed), cfg)
+        )
         state, _ = create_train_state(params, tc)
         start = 0
         if tc.continue_training:
