@@ -407,14 +407,34 @@ def _bench_3d(n_iters: int) -> dict:
     )
     params = init_params3d(jax.random.PRNGKey(0), cfg)
     state, _ = create_train_state(params, tc)
-    step = make_train_step3d(cfg, tc)
-    state, m = step(state, x, y)
-    float(jnp.min(m.loss))  # compile + completion
-    t0 = _time.perf_counter()
-    for _ in range(n_iters):
+    # K steps per lax.scan dispatch — the Trainer3D steps_per_dispatch
+    # path, same rationale as the 2-D bench (amortize the per-program
+    # relay dispatch). SUPERNET_BENCH_DISPATCH=1 measures per-step.
+    k_steps = max(1, int(os.environ.get("SUPERNET_BENCH_DISPATCH", "4")))
+    if k_steps > 1:
+        from supernet_tpu.train3d import make_multi_train_step3d
+
+        multi = make_multi_train_step3d(cfg, tc, k_steps)
+        xk = jnp.broadcast_to(x[None], (k_steps, *x.shape))
+        yk = jnp.broadcast_to(y[None], (k_steps, *y.shape))
+        state, m = multi(state, xk, yk)
+        float(jnp.min(m.loss))  # compile + completion
+        t0 = _time.perf_counter()
+        for _ in range(max(1, n_iters // k_steps)):
+            state, m = multi(state, xk, yk)
+        assert float(jnp.min(m.loss)) > -1e30
+        dt = (_time.perf_counter() - t0) / (
+            max(1, n_iters // k_steps) * k_steps
+        )
+    else:
+        step = make_train_step3d(cfg, tc)
         state, m = step(state, x, y)
-    assert float(jnp.min(m.loss)) > -1e30
-    dt = (_time.perf_counter() - t0) / n_iters
+        float(jnp.min(m.loss))  # compile + completion
+        t0 = _time.perf_counter()
+        for _ in range(n_iters):
+            state, m = step(state, x, y)
+        assert float(jnp.min(m.loss)) > -1e30
+        dt = (_time.perf_counter() - t0) / n_iters
     from supernet_tpu import flops as F
 
     from supernet_tpu.ops import get_act_dtype

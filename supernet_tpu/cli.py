@@ -112,6 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard each volume's scan (D) axis over the mesh "
                          "instead of the batch (whole-volume regime); "
                          "implies a mesh over all devices")
+    t3.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="K>1 runs K train steps per device dispatch "
+                         "(lax.scan) - removes per-step host round-trips")
     t3.add_argument("--init-from-2d", metavar="CKPT", default=None,
                     help="transfer init: inflate a trained 2-D checkpoint "
                          "(Orbax epoch dir / .npz / Keras .h5) of the SAME "
@@ -671,7 +674,8 @@ def main(argv=None) -> int:
                   f"{args.init_from_2d} into the 3-D model",
                   file=sys.stderr)
         tr = Trainer3D(exp, x_tr, y_tr, x_val, y_val, out_dir=args.out_dir,
-                       mesh=mesh3d, shard=shard3d, initial_params=init3d)
+                       mesh=mesh3d, shard=shard3d, initial_params=init3d,
+                       steps_per_dispatch=args.steps_per_dispatch)
         tr.run()
         print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
         return 0

@@ -107,6 +107,29 @@ def make_train_step3d(cfg: ModelConfig, tc: TrainConfig):
     return jax.jit(_step, donate_argnums=(0,))
 
 
+def make_multi_train_step3d(cfg: ModelConfig, tc: TrainConfig, k_steps: int):
+    """K volumetric train steps per dispatch via ``lax.scan`` — the 3-D
+    twin of `train.make_multi_train_step`. Takes stacked batches
+    ``x: [K, B, S, S, S, C]``, ``y: [K, B, o, o, o]`` and runs the chunk
+    in one XLA program, removing the per-step host round-trip (the relay
+    dispatch overhead is a fixed ~ms cost per program, amortized K-fold).
+    Returns per-step StepMetrics stacked on the leading axis."""
+    import functools
+
+    opt = make_optimizer(tc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def steps(state: TrainState, x: Array, y: Array):
+        def body(s, xy):
+            xb, yb = xy
+            s, m = _train_step3d(s, xb, yb, opt, cfg, tc)
+            return s, m
+
+        return jax.lax.scan(body, state, (x, y), length=k_steps)
+
+    return steps
+
+
 def make_eval_step3d(cfg: ModelConfig, tc: TrainConfig):
     @jax.jit
     def _eval(params, x: Array, y: Array):
@@ -156,6 +179,7 @@ class Trainer3D:
         mesh=None,
         shard: str = "batch",
         initial_params=None,
+        steps_per_dispatch: int = 1,
     ):
         self.exp, self.cfg, self.tc = exp, exp.model, exp.train
         self.initial_params = initial_params
@@ -178,8 +202,23 @@ class Trainer3D:
             else _crop_center_vol(self.y_val, self.cfg.out_size)
         )
         self._put = jnp.asarray
+        # steps_per_dispatch > 1: K batches per lax.scan dispatch
+        # (make_multi_train_step3d); single-device path only, like the
+        # 2-D Trainer
+        self.k_steps = max(1, steps_per_dispatch)
+        self._single_step = None
+        if mesh is not None and self.k_steps > 1:
+            raise ValueError(
+                "steps_per_dispatch > 1 is not supported together with a "
+                "device mesh yet; drop one of the two options"
+            )
         if mesh is None:
-            self.step_fn = make_train_step3d(self.cfg, self.tc)
+            if self.k_steps > 1:
+                self.step_fn = make_multi_train_step3d(
+                    self.cfg, self.tc, self.k_steps
+                )
+            else:
+                self.step_fn = make_train_step3d(self.cfg, self.tc)
         elif shard == "batch":
             from supernet_tpu.parallel import make_dp_train_step3d
 
@@ -261,8 +300,33 @@ class Trainer3D:
         t0 = time.perf_counter()
         for epoch in range(start, epochs):
             losses, accs = [], []
+            xs: List[np.ndarray] = []
+            ys: List[np.ndarray] = []
             for xb, yb in self._batches(self.x, y_c, rng):
+                if self.k_steps > 1:
+                    xs.append(xb)
+                    ys.append(yb)
+                    if len(xs) < self.k_steps:
+                        continue
+                    state, ms = self.step_fn(
+                        state, self._put(np.stack(xs)),
+                        self._put(np.stack(ys)),
+                    )
+                    xs, ys = [], []
+                    losses += np.asarray(ms.loss).tolist()
+                    accs += np.asarray(ms.accuracy).tolist()
+                    continue
                 state, m = self.step_fn(
+                    state, self._put(xb), self._put(yb)
+                )
+                losses.append(float(m.loss))
+                accs.append(float(m.accuracy))
+            for xb, yb in zip(xs, ys):
+                # trailing batches below the chunk run single-step so no
+                # data is dropped (same math; proven equal in the tests)
+                if self._single_step is None:
+                    self._single_step = make_train_step3d(self.cfg, self.tc)
+                state, m = self._single_step(
                     state, self._put(xb), self._put(yb)
                 )
                 losses.append(float(m.loss))

@@ -80,3 +80,70 @@ def test_accum_matches_big_batch():
         jax.tree_util.tree_leaves(s_big.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-6)
+
+
+def test_multi_step3d_matches_sequential():
+    """K volumetric steps per lax.scan dispatch == K single dispatches
+    (incl. the step-keyed augmentation draws, which fold in state.step)."""
+    from supernet_tpu.configs import AugmentConfig
+    from supernet_tpu.train3d import make_multi_train_step3d, make_train_step3d
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc = dataclasses.replace(TC, augment=AugmentConfig())
+    k, b = 3, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (k, b, 16, 16, 16, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, (k, b, 10, 10, 10)).astype(np.int32))
+
+    def _state():
+        from supernet_tpu.models import init_params3d
+
+        return create_train_state(
+            init_params3d(jax.random.PRNGKey(0), cfg), tc
+        )[0]
+
+    step = make_train_step3d(cfg, tc)
+    s_ref = _state()
+    losses_ref = []
+    for i in range(k):
+        s_ref, m = step(s_ref, x[i], y[i])
+        losses_ref.append(float(m.loss))
+
+    multi = make_multi_train_step3d(cfg, tc, k)
+    s_multi, ms = multi(_state(), x, y)
+    np.testing.assert_allclose(
+        np.asarray(ms.loss), np.asarray(losses_ref), rtol=1e-5
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_multi.params),
+        jax.tree_util.tree_leaves(s_ref.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
+def test_trainer3d_steps_per_dispatch_trains_all_batches(tmp_path):
+    """Trainer3D(steps_per_dispatch=2) with 3 batches/epoch: two through
+    the scan chunk + one trailing through the single-step path — all 3
+    losses recorded, nothing dropped."""
+    from supernet_tpu.train3d import Trainer3D
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc = dataclasses.replace(TC, epochs=1, batch_size=2)
+    exp = dataclasses.replace(
+        HIPPOCAMPUS, model=cfg, train=tc, out_dir=str(tmp_path)
+    )
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, (6, 16, 16, 16, 1)).astype(np.float32)
+    y = rng.integers(0, 3, (6, 16, 16, 16)).astype(np.int32)
+    logs = []
+    tr = Trainer3D(exp, x, y, out_dir=str(tmp_path / "run"),
+                   steps_per_dispatch=2)
+    tr.run(log=logs.append)
+    assert len(tr.history["train_loss"]) == 1
+    assert np.isfinite(tr.history["train_loss"][0])
