@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard each volume's scan (D) axis over the mesh "
                          "instead of the batch (whole-volume regime); "
                          "implies a mesh over all devices")
+    t3.add_argument("--hybrid-shard", type=int, default=0, metavar="N_DATA",
+                    help="hybrid sharding: a 2-D (N_DATA x "
+                         "devices/N_DATA) mesh with the batch over the "
+                         "data axis AND each volume's scan (D) axis over "
+                         "the space axis, in the same step")
     t3.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="K>1 runs K train steps per device dispatch "
                          "(lax.scan) - removes per-step host round-trips")
@@ -597,12 +602,50 @@ def main(argv=None) -> int:
             )
 
         mesh3d, shard3d = None, "batch"
-        if args.spatial_shard and args.data_parallel:
+        n_modes = sum(
+            1 for f in (args.spatial_shard, args.data_parallel,
+                        args.hybrid_shard) if f
+        )
+        if n_modes > 1:
             raise SystemExit(
-                "--spatial-shard and --data-parallel are different sharding "
-                "regimes (scan axis vs batch); pass exactly one"
+                "--spatial-shard / --data-parallel / --hybrid-shard are "
+                "different sharding regimes (scan axis / batch / both on "
+                "a 2-D mesh); pass exactly one"
             )
-        if args.spatial_shard:
+        if args.hybrid_shard:
+            import jax
+
+            from supernet_tpu.parallel import (
+                initialize_from_env,
+                make_mesh2d,
+            )
+
+            initialize_from_env()
+            if jax.process_count() > 1:
+                raise SystemExit(
+                    "--hybrid-shard is single-host for now; use "
+                    "--data-parallel for multi-host 3-D training"
+                )
+            n_data = args.hybrid_shard
+            n_dev = jax.device_count()
+            if n_dev % n_data != 0:
+                raise SystemExit(
+                    f"--hybrid-shard {n_data}: the data axis must divide "
+                    f"the device count ({n_dev})"
+                )
+            if exp.train.batch_size % n_data != 0:
+                raise SystemExit(
+                    f"--hybrid-shard {n_data}: batch_size "
+                    f"{exp.train.batch_size} must divide over the data axis"
+                )
+            mesh3d = make_mesh2d(n_data, n_dev // n_data)
+            shard3d = "hybrid"
+            print(
+                f"hybrid mesh: {n_data} x {n_dev // n_data} "
+                "(batch x scan-axis)",
+                file=sys.stderr,
+            )
+        elif args.spatial_shard:
             import jax
 
             from supernet_tpu.parallel import initialize_from_env, make_mesh

@@ -97,7 +97,10 @@ def make_hybrid_train_step(
     over ``space_axis``; parameters/optimizer state replicated.
 
     Requires batch % n_data == 0; H is padded internally by GSPMD when it
-    does not divide n_space. Returns ``step(state, x, y)`` with the same
+    does not divide n_space (the input enters batch-sharded and is
+    re-pinned to (data, space) INSIDE the program — jit's in_shardings
+    cannot express an unevenly divisible split, with_sharding_constraint
+    can). Returns ``step(state, x, y)`` with the same
     signature/semantics as ``train.make_train_step``.
     """
     from supernet_tpu.train import _train_step, make_optimizer
@@ -109,7 +112,7 @@ def make_hybrid_train_step(
 
     @functools.partial(
         jax.jit,
-        in_shardings=(repl, act, batch_only),
+        in_shardings=(repl, batch_only, batch_only),
         # pin state + metrics replicated (see make_spatial_train_step:
         # an unpinned leaf would reshard every iteration and break
         # donation)
@@ -117,6 +120,7 @@ def make_hybrid_train_step(
         donate_argnums=(0,),
     )
     def step(state, x, y):
+        x = jax.lax.with_sharding_constraint(x, act)
         new_state, metrics, _ = _train_step(
             state, x, y, opt, cfg, tc, constrain=constrain
         )
@@ -136,12 +140,15 @@ def make_hybrid_forward(
     sigma)`` flattened like ``models.forward``."""
     from supernet_tpu.models.unet import forward
 
-    repl, act, _, constrain = _hybrid_shardings(mesh, data_axis, space_axis)
+    repl, act, batch_only, constrain = _hybrid_shardings(
+        mesh, data_axis, space_axis
+    )
 
     @functools.partial(
-        jax.jit, in_shardings=(repl, act), out_shardings=(repl, repl)
+        jax.jit, in_shardings=(repl, batch_only), out_shardings=(repl, repl)
     )
     def f(params, x):
+        x = jax.lax.with_sharding_constraint(x, act)
         return forward(params, x, cfg, constrain=constrain)
 
     return f
@@ -170,11 +177,15 @@ def make_hybrid_train_step3d(
 
     @functools.partial(
         jax.jit,
-        in_shardings=(repl, act, batch_only),
+        in_shardings=(repl, batch_only, batch_only),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
     def step(state, x, y):
+        # D enters batch-sharded only and is re-pinned here: in_shardings
+        # cannot express a non-divisible D split, the internal constraint
+        # can (GSPMD pads) — whole volumes rarely divide the space axis
+        x = jax.lax.with_sharding_constraint(x, act)
         return _train_step3d(state, x, y, opt, cfg, tc, constrain=constrain)
 
     return step

@@ -165,8 +165,10 @@ class Trainer3D:
     ``"batch"`` = data parallel (volumes split over the mesh, gradient
     psum over ICI — requires batch_size % n_devices == 0), ``"scan"`` =
     spatial partitioning of each volume's D axis (for when one volume's
-    activation pairs overflow a chip). Both reuse the SHARED step body,
-    so numerics match the single-device path."""
+    activation pairs overflow a chip), ``"hybrid"`` = both at once on a
+    2-D ``make_mesh2d(n_data, n_space)`` mesh (batch over its data axis,
+    D over its space axis). All reuse the SHARED step body, so numerics
+    match the single-device path."""
 
     def __init__(
         self,
@@ -259,6 +261,27 @@ class Trainer3D:
             from supernet_tpu.parallel import make_spatial_train_step3d
 
             self.step_fn = make_spatial_train_step3d(self.cfg, self.tc, mesh)
+        elif shard == "hybrid":
+            # 2-D (data, space) mesh: batch over "data", each volume's D
+            # axis over "space" in the same step (parallel/hybrid.py)
+            from supernet_tpu.parallel import make_hybrid_train_step3d
+
+            if set(mesh.axis_names) != {"data", "space"}:
+                raise ValueError(
+                    "shard='hybrid' needs a 2-D mesh with axes "
+                    "('data', 'space') — build it with "
+                    f"parallel.make_mesh2d; got {mesh.axis_names}"
+                )
+            n_data = mesh.shape["data"]
+            if self.tc.batch_size % n_data != 0:
+                raise ValueError(
+                    f"batch_size {self.tc.batch_size} does not divide "
+                    f"over the mesh's {n_data}-way data axis"
+                )
+            self.step_fn = make_hybrid_train_step3d(self.cfg, self.tc, mesh)
+            # plain host arrays: the step's in_shardings place them on
+            # the (data, space) mesh at call time
+            self._put = jnp.asarray
         else:
             raise ValueError(f"unknown shard mode {shard!r}")
         self.eval_fn = make_eval_step3d(self.cfg, self.tc)

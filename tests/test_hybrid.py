@@ -94,14 +94,12 @@ def test_hybrid_forward_matches_unsharded_and_is_sharded():
 
     mesh = make_mesh2d(2, 4)
     f = make_hybrid_forward(cfg, mesh)
-    # the input really lands batch+H sharded (4 batch rows over 2, H over 4)
-    x_sh = jax.device_put(
-        x, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec("data", "space")
-        )
-    )
-    assert len(x_sh.sharding.device_set) == 8
-    got_p, got_s = f(params, x_sh)
+    # the program must actually run (data, space)-partitioned: the
+    # internal re-pin to P("data", "space") makes GSPMD emit halo
+    # exchanges, which show up as collective-permutes
+    hlo = f.lower(params, x).compile().as_text()
+    assert "collective-permute" in hlo or "all-to-all" in hlo
+    got_p, got_s = f(params, x)
     np.testing.assert_allclose(
         np.asarray(got_p), np.asarray(ref_p), atol=2e-5
     )
@@ -146,3 +144,42 @@ def test_hybrid_train_step3d_matches_unsharded():
                 atol=3e-5,
                 err_msg=f"{layer}/{k}",
             )
+
+
+def test_trainer3d_hybrid_shard_runs(tmp_path):
+    """Trainer3D(shard='hybrid') on a (2, 4) mesh: trains, writes the
+    epoch checkpoint, finite loss (the cli train3d --hybrid-shard path)."""
+    from supernet_tpu.train3d import Trainer3D
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc = dataclasses.replace(HIPPOCAMPUS.train, epochs=1, batch_size=2)
+    exp = dataclasses.replace(
+        HIPPOCAMPUS, model=cfg, train=tc, out_dir=str(tmp_path)
+    )
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, (4, 16, 16, 16, 1)).astype(np.float32)
+    y = rng.integers(0, cfg.n_classes, (4, 16, 16, 16)).astype(np.int32)
+    tr = Trainer3D(exp, x, y, out_dir=str(tmp_path / "run"),
+                   mesh=make_mesh2d(2, 4), shard="hybrid")
+    tr.run(log=lambda *_: None)
+    assert np.isfinite(tr.history["train_loss"][0])
+    assert (tmp_path / "run" / "epoch_0").exists()
+
+
+def test_trainer3d_hybrid_shard_rejects_bad_mesh():
+    from supernet_tpu.parallel import make_mesh
+    from supernet_tpu.train3d import Trainer3D
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc = dataclasses.replace(HIPPOCAMPUS.train, epochs=1, batch_size=2)
+    exp = dataclasses.replace(HIPPOCAMPUS, model=cfg, train=tc)
+    x = np.zeros((4, 16, 16, 16, 1), np.float32)
+    y = np.zeros((4, 16, 16, 16), np.int32)
+    with pytest.raises(ValueError, match="data.*space|2-D mesh"):
+        Trainer3D(exp, x, y, mesh=make_mesh(8), shard="hybrid")
