@@ -46,14 +46,36 @@ def _input_spec(
     )
 
 
-def _make_fn(cfg: ModelConfig, mesh=None, volumetric: bool = False):
+def _make_fn(
+    cfg: ModelConfig,
+    mesh=None,
+    volumetric: bool = False,
+    shard: str = "batch",
+):
+    if shard not in ("batch", "scan"):
+        raise ValueError(f"unknown shard mode {shard!r}")
+    if shard == "scan" and not volumetric:
+        raise ValueError(
+            "shard='scan' shards a volume's D axis — volumetric only"
+        )
+    constrain = None
+    if mesh is not None and shard == "scan":
+        # whole-volume regime: each volume's scan (D) axis over the mesh,
+        # the same GSPMD recipe as parallel.make_spatial_forward3d —
+        # serve scans whose activation pairs do not fit one chip
+        from supernet_tpu.parallel.spatial import _spatial_shardings3d
+
+        _, _d_sharded, constrain = _spatial_shardings3d(mesh, "data")
+
     if volumetric:
         from supernet_tpu.models import forward3d
 
         o = cfg.out_size
 
         def fn(params, x):
-            probs, sigma = forward3d(params, x, cfg)
+            if constrain is not None:
+                x, _ = constrain(x, x)
+            probs, sigma = forward3d(params, x, cfg, constrain=constrain)
             b = x.shape[0]
             shape = (b, o, o, o, cfg.n_classes)
             return probs.reshape(shape), sigma.reshape(shape)
@@ -68,6 +90,9 @@ def _make_fn(cfg: ModelConfig, mesh=None, volumetric: bool = False):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
+    if shard == "scan":
+        # outputs replicated: every device holds the full (small) result
+        return jax.jit(fn, in_shardings=(rep, rep), out_shardings=(rep, rep))
     batched = NamedSharding(mesh, P("data"))
     return jax.jit(
         fn,
@@ -145,16 +170,18 @@ class InferenceSession:
         batch_size: int = 8,
         mesh=None,
         volumetric: bool = False,
+        shard: str = "batch",
     ):
         self.cfg = cfg
         self.batch_size = int(batch_size)
         self._mesh = mesh
         self.volumetric = bool(volumetric)
-        if mesh is not None:
+        if mesh is not None and shard == "batch":
             n_dev = int(np.prod(mesh.devices.shape))
             if self.batch_size % n_dev != 0:
                 # surface the sharding constraint at setup, not inside the
-                # first predict() call's jit
+                # first predict() call's jit (scan mode shards the volume's
+                # D axis instead and has no batch constraint)
                 raise ValueError(
                     f"batch_size {self.batch_size} is not divisible by the "
                     f"{n_dev}-device mesh; the compiled batch must shard "
@@ -167,7 +194,7 @@ class InferenceSession:
         else:
             params = jax.device_put(params)
         self._params = params
-        self._fn = _make_fn(cfg, mesh, volumetric)
+        self._fn = _make_fn(cfg, mesh, volumetric, shard)
 
     def warmup(self) -> "InferenceSession":
         """Trigger compilation outside the request path."""

@@ -136,3 +136,51 @@ def test_volumetric_inference_session(tmp_path):
     assert p0.shape == (0, 10, 10, 10, cfg.n_classes)
     text = export_stablehlo(params, cfg, batch_size=2, volumetric=True)
     assert "stablehlo" in text or "module" in text
+
+
+def test_volumetric_scan_sharded_session_matches_single_device():
+    """InferenceSession(shard='scan'): each volume's D axis sharded over
+    the 8-device mesh (the whole-volume serving regime) — predictions
+    equal the unsharded session, batch size free of the mesh divisibility
+    constraint, and the compiled program really partitions (halo
+    collective-permutes present)."""
+    import dataclasses
+
+    from supernet_tpu.models import init_params3d
+    from supernet_tpu.parallel import make_mesh
+    from supernet_tpu.serving import InferenceSession, _make_fn, _input_spec
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (3, 16, 16, 16, 1)).astype(np.float32)
+
+    ref_p, ref_s = InferenceSession(
+        params, cfg, batch_size=2, volumetric=True
+    ).predict(x)
+    mesh = make_mesh(8)
+    # batch 3 would be rejected by batch-DP sharding on 8 devices; scan
+    # mode has no such constraint
+    sess = InferenceSession(
+        params, cfg, batch_size=3, mesh=mesh, volumetric=True, shard="scan"
+    )
+    got_p, got_s = sess.predict(x)
+    np.testing.assert_allclose(got_p, ref_p, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_s, ref_s, rtol=1e-4, atol=1e-6)
+
+    fn = _make_fn(cfg, mesh, volumetric=True, shard="scan")
+    hlo = fn.lower(
+        jax.device_get(params), _input_spec(cfg, 1, volumetric=True)
+    ).compile().as_text()
+    assert "collective-permute" in hlo or "all-to-all" in hlo
+
+
+def test_scan_shard_requires_volumetric():
+    from supernet_tpu.parallel import make_mesh
+    from supernet_tpu.serving import _make_fn
+
+    with pytest.raises(ValueError, match="volumetric"):
+        _make_fn(CFG, make_mesh(8), volumetric=False, shard="scan")
