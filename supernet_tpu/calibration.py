@@ -20,6 +20,11 @@ used for predictive-variance models:
   (sigma at the predicted class — the reference's uncertainty definition,
   `Hippocampus.py:1039-1043`) and per-image error rate, overall and per
   structure via `utils.uncert_for_corr`.
+- **Post-hoc fits** (standard recalibration, reported in-sample — fit on
+  a held-out split for deployment): `fit_variance_scale` (closed-form
+  MLE of one global sigma multiplier under the training Gaussian NLL)
+  and `fit_temperature` (probability-space temperature minimizing the
+  categorical NLL), with before/after NLL and ECE in the report.
 
 All statistics are computed on host NumPy from one forward sweep (the
 device does one pass; pixel-level sorting/binning is cheap host work,
@@ -129,6 +134,91 @@ def _spearman(a: Array, b: Array) -> float:
     return _pearson(_rank(a[m]), _rank(b[m]))
 
 
+def fit_variance_scale(
+    labels: Array, probs: Array, sigma: Array, eps: float = 1e-12
+) -> float:
+    """Closed-form MLE of a single post-hoc variance scale ``s``.
+
+    The model trains a Gaussian NLL per class element (losses.nll_gaussian):
+    ``0.5 * [(y - p)^2 / sigma + log sigma]``. Replacing ``sigma`` with
+    ``s * sigma`` and setting d/ds = 0 gives
+
+        s* = mean over all elements of (y - p)^2 / sigma
+
+    — if the propagated variance is systematically over-confident
+    (s* > 1) or under-confident (s* < 1), multiplying every sigma map by
+    ``s*`` makes the predictive distribution honest on this data without
+    touching the ranking (AUSE/sparsification are scale-invariant).
+
+    labels: [N, h, w] int; probs/sigma: [N, h, w, C]."""
+    labels = np.asarray(labels)
+    probs = np.asarray(probs, np.float64)
+    sigma = np.maximum(np.asarray(sigma, np.float64), eps)
+    n_classes = probs.shape[-1]
+    y = np.eye(n_classes, dtype=np.float64)[labels]
+    return float(np.mean(np.square(y - probs) / sigma))
+
+
+def gaussian_nll(
+    labels: Array, probs: Array, sigma: Array, eps: float = 1e-12
+) -> float:
+    """Mean per-element Gaussian NLL (the training objective's data term)
+    — the quantity `fit_variance_scale` minimizes; report it before and
+    after scaling to show the improvement."""
+    labels = np.asarray(labels)
+    probs = np.asarray(probs, np.float64)
+    sigma = np.maximum(np.asarray(sigma, np.float64), eps)
+    y = np.eye(probs.shape[-1], dtype=np.float64)[labels]
+    return float(
+        0.5 * np.mean(np.square(y - probs) / sigma + np.log(sigma))
+    )
+
+
+def apply_temperature(probs: Array, t: float, eps: float = 1e-30) -> Array:
+    """Sharpen/soften a probability map: ``p^(1/T)`` renormalized over the
+    class axis (the probability-space form of logit temperature scaling
+    — the model's head emits probabilities, not logits)."""
+    p = np.power(np.maximum(np.asarray(probs, np.float64), eps), 1.0 / t)
+    return p / p.sum(axis=-1, keepdims=True)
+
+
+def fit_temperature(
+    labels: Array, probs: Array, lo: float = 0.05, hi: float = 20.0
+) -> float:
+    """Scalar temperature minimizing the categorical NLL of
+    ``apply_temperature(probs, T)`` — golden-section search over log T
+    (the NLL is unimodal in T). Returns T; T > 1 softens over-confident
+    maps, T < 1 sharpens under-confident ones."""
+    labels = np.asarray(labels).ravel()
+    p = np.maximum(
+        np.asarray(probs, np.float64).reshape(len(labels), -1), 1e-30
+    )
+    logp_at_y = np.log(p[np.arange(len(labels)), labels])
+    logp = np.log(p)
+
+    def nll(log_t: float) -> float:
+        inv_t = np.exp(-log_t)
+        # log softmax of (logp / T) without materializing p^(1/T)
+        z = logp * inv_t
+        lse = np.logaddexp.reduce(z, axis=-1)
+        return float(np.mean(lse - inv_t * logp_at_y))
+
+    a, b = np.log(lo), np.log(hi)
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    c, d = b - gr * (b - a), a + gr * (b - a)
+    fc, fd = nll(c), nll(d)
+    for _ in range(60):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = nll(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = nll(d)
+    return float(np.exp((a + b) / 2.0))
+
+
 def analyze(
     probs: Array,
     sigma: Array,
@@ -176,6 +266,18 @@ def analyze(
         "sparsification_oracle": oracle,
         "reliability": reliability,
     }
+    # post-hoc calibration fits: the closed-form global variance scale
+    # (honest sigma magnitude; ranking metrics above are scale-invariant)
+    # and probability-space temperature (honest confidence)
+    s = fit_variance_scale(labels, probs, sigma)
+    out["fitted_variance_scale"] = s
+    out["gaussian_nll"] = gaussian_nll(labels, probs, sigma)
+    out["gaussian_nll_rescaled"] = gaussian_nll(labels, probs, sigma * s)
+    t = fit_temperature(labels, probs)
+    out["fitted_temperature"] = t
+    out["ece_after_temperature"] = expected_calibration_error(
+        np.max(apply_temperature(probs, t), axis=-1), correct, n_bins
+    )[0]
     # per-structure correlation: the C33 `uncert_for_corr` study, run
     per_struct = uncert_for_corr(unc, pred, dataset)
     for s, u in per_struct.items():

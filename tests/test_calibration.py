@@ -199,3 +199,70 @@ def test_mc_ensemble_eval_mode(tmp_path):
 
     with pytest.raises(ValueError, match="single-device"):
         run_testing(exp, params, ds, mesh=make_mesh(2), mc_samples=4)
+
+
+def test_fit_variance_scale_recovers_known_misscale():
+    """sigma fed at 1/4 of the true residual variance -> fitted scale ~4,
+    and rescaling strictly improves the Gaussian NLL."""
+    from supernet_tpu.calibration import fit_variance_scale, gaussian_nll
+
+    rng = np.random.default_rng(0)
+    n, h, w, c = 8, 12, 12, 3
+    labels = rng.integers(0, c, (n, h, w))
+    y = np.eye(c)[labels]
+    true_sigma = 0.04
+    # no clipping: the fit only sees residuals, and clipping the y=0
+    # half-tails would shrink E[r^2] by exactly 1/2 for those entries
+    probs = y + rng.normal(0, np.sqrt(true_sigma), y.shape)
+    sigma = np.full(y.shape, true_sigma / 4.0)
+    s = fit_variance_scale(labels, probs, sigma)
+    assert 3.0 < s < 5.0
+    before = gaussian_nll(labels, probs, sigma)
+    after = gaussian_nll(labels, probs, sigma * s)
+    assert after < before
+
+
+def test_fit_temperature_recovers_overconfidence():
+    """Labels drawn from softmax(z) but probabilities reported as
+    softmax(2z) (over-confident by 2x in logit space): fitted T ~ 2 and
+    temperature-scaled ECE improves."""
+    from supernet_tpu.calibration import (
+        apply_temperature,
+        expected_calibration_error,
+        fit_temperature,
+    )
+
+    rng = np.random.default_rng(1)
+    n, c = 20000, 4
+    z = rng.normal(0, 1.5, (n, c))
+
+    def softmax(a):
+        e = np.exp(a - a.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    p_true = softmax(z)
+    labels = np.array([rng.choice(c, p=p) for p in p_true])
+    probs = softmax(2.0 * z)  # over-confident model output
+    t = fit_temperature(labels, probs)
+    assert 1.5 < t < 2.6
+    correct = (np.argmax(probs, -1) == labels).astype(np.float64)
+    ece_before, _ = expected_calibration_error(probs.max(-1), correct)
+    ece_after, _ = expected_calibration_error(
+        apply_temperature(probs, t).max(-1), correct
+    )
+    assert ece_after < ece_before
+
+
+def test_analyze_reports_posthoc_fits():
+    from supernet_tpu.calibration import analyze
+
+    rng = np.random.default_rng(2)
+    n, h, w, c = 4, 10, 10, 3
+    labels = rng.integers(0, c, (n, h, w))
+    probs = rng.dirichlet(np.ones(c), (n, h, w))
+    sigma = np.abs(rng.normal(0.01, 0.005, (n, h, w, c)))
+    res = analyze(probs, sigma, labels, "hippocampus")
+    assert res["fitted_variance_scale"] > 0
+    assert res["fitted_temperature"] > 0
+    assert res["gaussian_nll_rescaled"] <= res["gaussian_nll"] + 1e-9
+    assert np.isfinite(res["ece_after_temperature"])
