@@ -282,6 +282,10 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--export-batch-size", type=int, default=8,
                    help="static batch size the module is compiled for "
                         "(serving pads/chunks requests to it)")
+    x.add_argument("--volumetric", action="store_true",
+                   help="export the 3-D family's forward (cube in/out); "
+                        "--checkpoint must be a train3d Orbax dir or .npz")
+    _add_3d_shape(x)  # --cube-size / --base-kernels / --depth
 
     b = sub.add_parser("bench", help="throughput benchmark")
     return ap
@@ -916,6 +920,24 @@ def main(argv=None) -> int:
                      steps_per_dispatch=args.steps_per_dispatch)
         tr.run()
         print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
+        return 0
+
+    if args.cmd == "export" and args.volumetric:
+        # 3-D bundle: derive the cube geometry, restore a 3-D checkpoint
+        from supernet_tpu.serving import export_bundle
+
+        exp = _cfg3d(exp, args)
+        params = _load_params3d(exp, args)
+        out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/export"
+        meta = export_bundle(
+            params,
+            exp.model,
+            out_dir,
+            batch_size=args.export_batch_size,
+            config_name=exp.name,
+            volumetric=True,
+        )
+        print(json.dumps(meta))
         return 0
 
     params = _load_params(exp, args)

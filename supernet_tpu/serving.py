@@ -237,6 +237,7 @@ def export_bundle(
     out_dir: str,
     batch_size: int = 8,
     config_name: str = "",
+    volumetric: bool = False,
 ) -> dict:
     """Write a self-contained serving bundle:
 
@@ -246,27 +247,38 @@ def export_bundle(
       ``{layer}/w_mu``/``{layer}/w_sigma``);
     - ``export_meta.json``      — shapes, dtypes, per-image FLOPs, config.
 
-    Returns the metadata dict (also printed by ``cli.py export``).
+    ``volumetric`` exports the 3-D family's forward instead (cube in,
+    cube out). Returns the metadata dict (also printed by
+    ``cli.py export``).
     """
     from supernet_tpu import flops as F
     from supernet_tpu.checkpoint import save_params_npz
 
     os.makedirs(out_dir, exist_ok=True)
     hlo_path = os.path.join(out_dir, "model.stablehlo.mlir")
-    export_stablehlo(params, cfg, batch_size, path=hlo_path)
+    export_stablehlo(
+        params, cfg, batch_size, path=hlo_path, volumetric=volumetric
+    )
     save_params_npz(os.path.join(out_dir, "params.npz"), params)
-    spec = _input_spec(cfg, batch_size)
+    spec = _input_spec(cfg, batch_size, volumetric)
+    o = cfg.out_size
+    out_spatial = [o, o, o] if volumetric else [o, o]
     meta = {
         "config": config_name,
+        "volumetric": bool(volumetric),
         "batch_size": batch_size,
         "input_shape": list(spec.shape),
         "input_dtype": "float32",
-        "output_shape": [
-            batch_size, cfg.out_size, cfg.out_size, cfg.n_classes
-        ],
+        "output_shape": [batch_size, *out_spatial, cfg.n_classes],
         "outputs": ["probs", "sigma"],
         "forward_gflops_per_image": round(
-            F.forward_flops(cfg, 1) / 1e9, 3
+            (
+                F.forward_flops3d(cfg, 1)
+                if volumetric
+                else F.forward_flops(cfg, 1)
+            )
+            / 1e9,
+            3,
         ),
         "param_count": int(
             sum(int(np.prod(v.shape)) for p in params.values()

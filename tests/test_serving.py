@@ -184,3 +184,33 @@ def test_scan_shard_requires_volumetric():
 
     with pytest.raises(ValueError, match="volumetric"):
         _make_fn(CFG, make_mesh(8), volumetric=False, shard="scan")
+
+
+def test_volumetric_export_bundle(tmp_path):
+    """export_bundle(volumetric=True): cube-shaped meta, 3-D FLOPs count,
+    loadable params (the cli export --volumetric path)."""
+    import dataclasses
+    import json as _json
+
+    from supernet_tpu.checkpoint import load_params_npz
+    from supernet_tpu.models import init_params3d
+    from supernet_tpu.serving import export_bundle
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    params = init_params3d(jax.random.PRNGKey(0), cfg)
+    meta = export_bundle(
+        params, cfg, str(tmp_path), batch_size=2, config_name="hippocampus",
+        volumetric=True,
+    )
+    assert meta["volumetric"] is True
+    assert meta["input_shape"] == [2, 16, 16, 16, 1]
+    assert meta["output_shape"] == [2, 10, 10, 10, cfg.n_classes]
+    on_disk = _json.loads((tmp_path / "export_meta.json").read_text())
+    assert on_disk["output_shape"] == meta["output_shape"]
+    assert "stablehlo" in (tmp_path / "model.stablehlo.mlir").read_text() \
+        or "module" in (tmp_path / "model.stablehlo.mlir").read_text()
+    loaded = load_params_npz(str(tmp_path / "params.npz"))
+    assert set(loaded) == set(params)
