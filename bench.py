@@ -380,7 +380,69 @@ def main() -> None:
             out["unet3d"] = _bench_3d(max(10, n_iters // 10))
         except Exception as e:
             out["unet3d"] = {"error": str(e)[:200]}
+
+    # serving-side forward throughput (the InferenceSession device path);
+    # SUPERNET_BENCH_INFER=0 to skip
+    if (
+        os.environ.get("SUPERNET_BENCH_INFER", "1") == "1"
+        and not data_parallel
+    ):
+        try:
+            out["inference"] = _bench_inference(max(20, n_iters))
+        except Exception as e:
+            out["inference"] = {"error": str(e)[:200]}
     print(json.dumps(out))
+
+
+def _bench_inference(n_iters: int) -> dict:
+    """Device-side forward throughput at the training batch size — the
+    rate a saturated InferenceSession sustains once requests are batched
+    (host->device transfer excluded: relay-dominated on this transport,
+    overlapped on real serving hosts; docs/PERFORMANCE.md 'Inference').
+    Chains the jitted forward K times per dispatch and fetches a scalar,
+    the same completion discipline as the train bench."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import forward, init_params
+
+    cfg, tc = HIPPOCAMPUS.model, HIPPOCAMPUS.train
+    b = tc.batch_size
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(0, 1, (b, cfg.image_size, cfg.image_size,
+                          cfg.in_channels)).astype(np.float32)
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    k = 8
+
+    @jax.jit
+    def fwd_k(p, x0):
+        def body(c, _):
+            probs, sigma = forward(p, c, cfg)
+            # feed a probs-dependent perturbation back in so XLA cannot
+            # hoist the K iterations into one
+            return c + 1e-6 * probs[:, :1, :1].reshape(
+                c.shape[0], 1, 1, 1
+            ), None
+        c, _ = jax.lax.scan(body, x0, None, length=k)
+        return jnp.sum(c)
+
+    float(fwd_k(params, x))  # compile + completion
+    t0 = _time.perf_counter()
+    for _ in range(max(1, n_iters // k)):
+        s = fwd_k(params, x)
+    assert float(s) > -1e30
+    dt = (_time.perf_counter() - t0) / (max(1, n_iters // k) * k)
+    return {
+        "model": "hippocampus",
+        "batch": b,
+        "images_per_sec": round(b / dt, 1),
+        "batch_ms": round(dt * 1e3, 3),
+    }
 
 
 def _bench_3d(n_iters: int) -> dict:
