@@ -423,11 +423,12 @@ def _bench_inference(n_iters: int) -> dict:
     def fwd_k(p, x0):
         def body(c, _):
             probs, sigma = forward(p, c, cfg)
-            # feed a probs-dependent perturbation back in so XLA cannot
-            # hoist the K iterations into one
-            return c + 1e-6 * probs[:, :1, :1].reshape(
-                c.shape[0], 1, 1, 1
-            ), None
+            # feed BOTH outputs back into the carry: probs alone would let
+            # XLA dead-code-eliminate the whole variance path (the mean
+            # path never reads sigma) and overstate the serving rate
+            return c + 1e-6 * (
+                probs[:, :1, :1] + sigma[:, :1, :1]
+            ).reshape(c.shape[0], 1, 1, 1), None
         c, _ = jax.lax.scan(body, x0, None, length=k)
         return jnp.sum(c)
 

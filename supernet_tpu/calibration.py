@@ -207,7 +207,10 @@ def fit_temperature(
     gr = (np.sqrt(5.0) - 1.0) / 2.0
     c, d = b - gr * (b - a), a + gr * (b - a)
     fc, fd = nll(c), nll(d)
-    for _ in range(60):
+    # 36 iterations shrink the log-T interval by 0.618^36 ~ 3e-8 — far
+    # below any meaningful temperature resolution; each extra iteration
+    # costs a full logsumexp pass over the pixel set
+    for _ in range(36):
         if fc < fd:
             b, d, fd = d, c, fc
             c = b - gr * (b - a)
@@ -268,11 +271,21 @@ def analyze(
     }
     # post-hoc calibration fits: the closed-form global variance scale
     # (honest sigma magnitude; ranking metrics above are scale-invariant)
-    # and probability-space temperature (honest confidence)
-    s = fit_variance_scale(labels, probs, sigma)
-    out["fitted_variance_scale"] = s
-    out["gaussian_nll"] = gaussian_nll(labels, probs, sigma)
-    out["gaussian_nll_rescaled"] = gaussian_nll(labels, probs, sigma * s)
+    # and probability-space temperature (honest confidence). One pass
+    # over the pixel set for the Gaussian quantities: with m = the fitted
+    # scale = mean(r^2/sigma), NLL(s*sigma) follows in closed form —
+    # NLL_after = NLL_before - 0.5 * (m - 1 - log m)
+    sig = np.maximum(np.asarray(sigma, np.float64), 1e-12)
+    r2_over_sig = (
+        np.square(np.eye(probs.shape[-1])[labels] - probs) / sig
+    )
+    m = float(r2_over_sig.mean())
+    out["fitted_variance_scale"] = m
+    out["gaussian_nll"] = float(0.5 * (m + np.log(sig).mean()))
+    out["gaussian_nll_rescaled"] = (
+        out["gaussian_nll"] - 0.5 * (m - 1.0 - np.log(m))
+    )
+    del r2_over_sig, sig
     t = fit_temperature(labels, probs)
     out["fitted_temperature"] = t
     out["ece_after_temperature"] = expected_calibration_error(

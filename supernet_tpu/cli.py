@@ -616,6 +616,13 @@ def main(argv=None) -> int:
                 "different sharding regimes (scan axis / batch / both on "
                 "a 2-D mesh); pass exactly one"
             )
+        if n_modes and args.steps_per_dispatch > 1:
+            # mirror Trainer3D's ValueError as a clean CLI error instead
+            # of a traceback
+            raise SystemExit(
+                "--steps-per-dispatch > 1 is not supported together with "
+                "a device mesh yet; drop one of the two options"
+            )
         if args.hybrid_shard:
             import jax
 
@@ -631,6 +638,11 @@ def main(argv=None) -> int:
                     "--data-parallel for multi-host 3-D training"
                 )
             n_data = args.hybrid_shard
+            if n_data < 1:
+                raise SystemExit(
+                    f"--hybrid-shard {n_data}: the data-axis size must be "
+                    "a positive integer"
+                )
             n_dev = jax.device_count()
             if n_dev % n_data != 0:
                 raise SystemExit(

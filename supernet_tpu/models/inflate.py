@@ -70,6 +70,14 @@ def inflate_params3d(params2d: Params, cfg: ModelConfig) -> Params:
                 "inflation needs a checkpoint trained with the same "
                 "ModelConfig (depth/base_kernels/channels)"
             )
+        if names2[name] != (k, cin, cout):
+            # both families derive their layer maps from one config, so a
+            # divergence here is a framework bug, not a user error — but
+            # fail loudly rather than inflate mismatched channel groups
+            raise ValueError(
+                f"layer {name!r}: 2-D layer map {names2[name]} disagrees "
+                f"with the 3-D map ({k}, {cin}, {cout})"
+            )
         w2 = jnp.asarray(params2d[name]["w_mu"], jnp.float32)
         s2 = jnp.asarray(params2d[name]["w_sigma"], jnp.float32)
         if w2.shape != (k, k, cin, cout) or s2.shape != (cout,):

@@ -58,6 +58,11 @@ def _make_fn(
         raise ValueError(
             "shard='scan' shards a volume's D axis — volumetric only"
         )
+    if shard == "scan" and mesh is None:
+        raise ValueError(
+            "shard='scan' needs a mesh to shard the D axis over — the "
+            "whole point of the mode is multi-chip whole-volume serving"
+        )
     constrain = None
     if mesh is not None and shard == "scan":
         # whole-volume regime: each volume's scan (D) axis over the mesh,

@@ -144,6 +144,10 @@ def test_trainer3d_steps_per_dispatch_trains_all_batches(tmp_path):
     logs = []
     tr = Trainer3D(exp, x, y, out_dir=str(tmp_path / "run"),
                    steps_per_dispatch=2)
-    tr.run(log=logs.append)
+    state = tr.run(log=logs.append)
     assert len(tr.history["train_loss"]) == 1
     assert np.isfinite(tr.history["train_loss"][0])
+    # the trailing 3rd batch must really have trained: the step counter
+    # is carried through the jitted states, so dropping it would show
+    # here even though the epoch-mean loss would still look fine
+    assert int(state.step) == 3
