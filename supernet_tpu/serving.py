@@ -51,6 +51,8 @@ def _make_fn(
     mesh=None,
     volumetric: bool = False,
     shard: str = "batch",
+    variance_scale: float = 1.0,
+    temperature: float = 1.0,
 ):
     if shard not in ("batch", "scan"):
         raise ValueError(f"unknown shard mode {shard!r}")
@@ -72,6 +74,24 @@ def _make_fn(
 
         _, _d_sharded, constrain = _spatial_shardings3d(mesh, "data")
 
+    if variance_scale <= 0.0 or temperature <= 0.0:
+        raise ValueError(
+            "variance_scale and temperature must be positive "
+            f"(got {variance_scale}, {temperature})"
+        )
+
+    def _recalibrate(probs, sigma):
+        """Post-hoc recalibration inside the compiled program: the global
+        variance scale and probability-space temperature fitted by
+        `calibration.fit_variance_scale` / `fit_temperature` (a no-op at
+        the 1.0 defaults — XLA folds the identity away)."""
+        if temperature != 1.0:
+            p = jnp.power(jnp.maximum(probs, 1e-30), 1.0 / temperature)
+            probs = p / jnp.sum(p, axis=-1, keepdims=True)
+        if variance_scale != 1.0:
+            sigma = sigma * variance_scale
+        return probs, sigma
+
     if volumetric:
         from supernet_tpu.models import forward3d
 
@@ -83,12 +103,14 @@ def _make_fn(
             probs, sigma = forward3d(params, x, cfg, constrain=constrain)
             b = x.shape[0]
             shape = (b, o, o, o, cfg.n_classes)
-            return probs.reshape(shape), sigma.reshape(shape)
+            return _recalibrate(
+                probs.reshape(shape), sigma.reshape(shape)
+            )
 
     else:
 
         def fn(params, x):
-            return forward_images(params, x, cfg)
+            return _recalibrate(*forward_images(params, x, cfg))
 
     if mesh is None:
         return jax.jit(fn)
@@ -166,6 +188,11 @@ class InferenceSession:
     repeating its last row and the padding sliced off the outputs — the
     exact pad-and-mask scheme the mesh evaluation path uses
     (evaluate._pad_batch), so numbers match the library's own eval.
+
+    ``variance_scale`` / ``temperature`` bake a fitted post-hoc
+    recalibration (`calibration.fit_variance_scale` /
+    `fit_temperature`) into the compiled program, so deployed
+    predictions are the honest ones.
     """
 
     def __init__(
@@ -176,6 +203,8 @@ class InferenceSession:
         mesh=None,
         volumetric: bool = False,
         shard: str = "batch",
+        variance_scale: float = 1.0,
+        temperature: float = 1.0,
     ):
         self.cfg = cfg
         self.batch_size = int(batch_size)
@@ -199,7 +228,10 @@ class InferenceSession:
         else:
             params = jax.device_put(params)
         self._params = params
-        self._fn = _make_fn(cfg, mesh, volumetric, shard)
+        self._fn = _make_fn(
+            cfg, mesh, volumetric, shard,
+            variance_scale=variance_scale, temperature=temperature,
+        )
 
     def warmup(self) -> "InferenceSession":
         """Trigger compilation outside the request path."""

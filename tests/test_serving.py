@@ -214,3 +214,25 @@ def test_volumetric_export_bundle(tmp_path):
         or "module" in (tmp_path / "model.stablehlo.mlir").read_text()
     loaded = load_params_npz(str(tmp_path / "params.npz"))
     assert set(loaded) == set(params)
+
+
+def test_session_applies_fitted_recalibration(params):
+    """InferenceSession(variance_scale=s, temperature=t): sigma comes out
+    exactly s * the raw sigma; probs are the temperature-softened,
+    renormalized raw probs (the deployment path for calibration's fits)."""
+    from supernet_tpu.serving import InferenceSession
+
+    x = _x(2, seed=5)
+    raw_p, raw_s = InferenceSession(params, CFG, batch_size=2).predict(x)
+    s, t = 3.5, 2.0
+    cal_p, cal_s = InferenceSession(
+        params, CFG, batch_size=2, variance_scale=s, temperature=t
+    ).predict(x)
+    np.testing.assert_allclose(cal_s, raw_s * s, rtol=1e-5)
+    want = np.power(np.maximum(raw_p, 1e-30), 1.0 / t)
+    want = want / want.sum(-1, keepdims=True)
+    np.testing.assert_allclose(cal_p, want, rtol=1e-4, atol=1e-6)
+    # temperature > 1 softens: max confidence cannot increase
+    assert cal_p.max() <= raw_p.max() + 1e-6
+    with pytest.raises(ValueError, match="positive"):
+        InferenceSession(params, CFG, batch_size=2, temperature=0.0)
