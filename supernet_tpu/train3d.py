@@ -321,6 +321,23 @@ class Trainer3D:
         rng = np.random.default_rng(tc.seed)
         y_c = self.y_crop
         t0 = time.perf_counter()
+        # async writer + divergence rollback — the same failure-recovery
+        # contract as the 2-D Trainer (checkpoints stream to disk while
+        # the next epoch trains; a non-finite epoch rolls back to the
+        # last good checkpoint instead of corrupting the run)
+        writer = ckpt.AsyncEpochCheckpointer(self.out_dir)
+        try:
+            state = self._run_epochs(
+                state, start, epochs, rng, y_c, t0, writer, log
+            )
+            writer.wait()
+        finally:
+            writer.close()
+        return self._finish(state, log)
+
+    def _run_epochs(self, state, start, epochs, rng, y_c, t0, writer, log):
+        tc = self.tc
+        last_good: Optional[int] = None
         for epoch in range(start, epochs):
             losses, accs = [], []
             xs: List[np.ndarray] = []
@@ -364,10 +381,32 @@ class Trainer3D:
                 f"acc={self.history['train_acc'][-1]:.4f} "
                 f"({vols_s:.2f} vols/s cum)"
             )
+            if not np.isfinite(self.history["train_loss"][-1]):
+                if last_good is None:
+                    raise FloatingPointError(
+                        f"non-finite loss in epoch {epoch} and no "
+                        "checkpoint to roll back to"
+                    )
+                log(
+                    f"epoch {epoch}: non-finite loss - rolling back to "
+                    f"epoch {last_good} checkpoint"
+                )
+                writer.wait()  # the rollback target may still be in flight
+                state = ckpt.restore_state(
+                    self.out_dir, last_good, jax.device_get(state)
+                )
+                t0 = time.perf_counter()
+                continue
             if self.x_val is not None:
                 self._validate(state, epoch, log)
-            ckpt.save_state(self.out_dir, epoch, jax.device_get(state))
+            if (epoch + 1) % tc.checkpoint_every == 0:
+                writer.save(epoch, jax.device_get(state))
+                last_good = epoch
             t0 = time.perf_counter()
+        return state
+
+    def _finish(self, state, log):
+        tc = self.tc
         if jax.process_count() > 1:
             # same scope as the 2-D Trainer: checkpoints are the multi-host
             # product; every process writing the curve PNGs/pickle into the

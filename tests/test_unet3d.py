@@ -379,3 +379,40 @@ def test_derive_out_size3d_rejects_collapsed_geometry_legibly():
     assert derive_out_size3d(
         dataclasses.replace(HIPPOCAMPUS.model, image_size=30)
     ) == 22
+
+
+def test_trainer3d_rolls_back_on_nonfinite_loss(tmp_path):
+    """Failure recovery for the volumetric trainer (parity with the 2-D
+    Trainer): a diverged epoch restores the last good checkpoint and
+    training continues — the run ends with more epochs checkpointed than
+    the poisoned one."""
+    from supernet_tpu import checkpoint as ckpt
+    from supernet_tpu.train3d import Trainer3D
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=16, out_size=10, base_kernels=2,
+        depth=2,
+    )
+    tc = dataclasses.replace(HIPPOCAMPUS.train, epochs=3, batch_size=2)
+    exp = dataclasses.replace(
+        HIPPOCAMPUS, model=cfg, train=tc, out_dir=str(tmp_path)
+    )
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, (4, 16, 16, 16, 1)).astype(np.float32)
+    y = rng.integers(0, cfg.n_classes, (4, 16, 16, 16)).astype(np.int32)
+    tr = Trainer3D(exp, x, y, out_dir=str(tmp_path / "run"))
+    orig = tr.step_fn
+    calls = {"n": 0}
+
+    def flaky(state, xb, yb):
+        state, m = orig(state, xb, yb)
+        calls["n"] += 1
+        if 3 <= calls["n"] <= 4:  # poison both steps of epoch 1
+            m = m._replace(loss=jnp.float32(float("nan")))
+        return state, m
+
+    tr.step_fn = flaky
+    logs = []
+    tr.run(log=logs.append)
+    assert any("rolling back to epoch 0" in str(m) for m in logs), logs
+    assert ckpt.latest_epoch(str(tmp_path / "run")) == 2
