@@ -286,6 +286,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export the 3-D family's forward (cube in/out); "
                         "--checkpoint must be a train3d Orbax dir or .npz")
     _add_3d_shape(x)  # --cube-size / --base-kernels / --depth
+    x.add_argument("--variance-scale", type=float, default=1.0,
+                   help="bake a fitted post-hoc variance scale (cli "
+                        "calibrate's fitted_variance_scale) into the "
+                        "exported computation")
+    x.add_argument("--temperature", type=float, default=1.0,
+                   help="bake a fitted probability temperature (cli "
+                        "calibrate's fitted_temperature) into the "
+                        "exported computation")
 
     b = sub.add_parser("bench", help="throughput benchmark")
     return ap
@@ -948,6 +956,8 @@ def main(argv=None) -> int:
             batch_size=args.export_batch_size,
             config_name=exp.name,
             volumetric=True,
+            variance_scale=args.variance_scale,
+            temperature=args.temperature,
         )
         print(json.dumps(meta))
         return 0
@@ -964,6 +974,8 @@ def main(argv=None) -> int:
             out_dir,
             batch_size=args.export_batch_size,
             config_name=exp.name,
+            variance_scale=args.variance_scale,
+            temperature=args.temperature,
         )
         print(json.dumps(meta))
         return 0

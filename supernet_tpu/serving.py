@@ -134,11 +134,17 @@ def lower(
     batch_size: int = 8,
     mesh=None,
     volumetric: bool = False,
+    variance_scale: float = 1.0,
+    temperature: float = 1.0,
 ):
     """``jax.jit(forward).lower(...)`` at a fixed batch size — the common
     stem for both AOT compilation and StableHLO export. ``volumetric``
-    serves the 3-D family (`models.forward3d`) instead."""
-    return _make_fn(cfg, mesh, volumetric).lower(
+    serves the 3-D family (`models.forward3d`) instead; a fitted
+    recalibration is baked into the lowered module."""
+    return _make_fn(
+        cfg, mesh, volumetric,
+        variance_scale=variance_scale, temperature=temperature,
+    ).lower(
         jax.eval_shape(lambda p: p, params),
         _input_spec(cfg, batch_size, volumetric),
     )
@@ -150,14 +156,21 @@ def export_stablehlo(
     batch_size: int = 8,
     path: Optional[str] = None,
     volumetric: bool = False,
+    variance_scale: float = 1.0,
+    temperature: float = 1.0,
 ) -> str:
     """Serialize the inference computation as StableHLO module text.
 
     The module closes over nothing: parameters are explicit arguments in
     ``layer_names`` order, so any PJRT-capable runtime can execute it
-    against a checkpoint exported with ``checkpoint.save_npz``.
+    against a checkpoint exported with ``checkpoint.save_npz``. A fitted
+    post-hoc recalibration (variance_scale / temperature) becomes part
+    of the exported computation itself.
     """
-    text = lower(params, cfg, batch_size, volumetric=volumetric).as_text(
+    text = lower(
+        params, cfg, batch_size, volumetric=volumetric,
+        variance_scale=variance_scale, temperature=temperature,
+    ).as_text(
         dialect="stablehlo"
     )
     if path is not None:
@@ -275,6 +288,8 @@ def export_bundle(
     batch_size: int = 8,
     config_name: str = "",
     volumetric: bool = False,
+    variance_scale: float = 1.0,
+    temperature: float = 1.0,
 ) -> dict:
     """Write a self-contained serving bundle:
 
@@ -285,8 +300,10 @@ def export_bundle(
     - ``export_meta.json``      — shapes, dtypes, per-image FLOPs, config.
 
     ``volumetric`` exports the 3-D family's forward instead (cube in,
-    cube out). Returns the metadata dict (also printed by
-    ``cli.py export``).
+    cube out). ``variance_scale`` / ``temperature`` (from
+    `calibration.fit_variance_scale` / `fit_temperature`) are baked into
+    the exported computation and recorded in the metadata. Returns the
+    metadata dict (also printed by ``cli.py export``).
     """
     from supernet_tpu import flops as F
     from supernet_tpu.checkpoint import save_params_npz
@@ -294,7 +311,8 @@ def export_bundle(
     os.makedirs(out_dir, exist_ok=True)
     hlo_path = os.path.join(out_dir, "model.stablehlo.mlir")
     export_stablehlo(
-        params, cfg, batch_size, path=hlo_path, volumetric=volumetric
+        params, cfg, batch_size, path=hlo_path, volumetric=volumetric,
+        variance_scale=variance_scale, temperature=temperature,
     )
     save_params_npz(os.path.join(out_dir, "params.npz"), params)
     spec = _input_spec(cfg, batch_size, volumetric)
@@ -303,6 +321,8 @@ def export_bundle(
     meta = {
         "config": config_name,
         "volumetric": bool(volumetric),
+        "variance_scale": float(variance_scale),
+        "temperature": float(temperature),
         "batch_size": batch_size,
         "input_shape": list(spec.shape),
         "input_dtype": "float32",

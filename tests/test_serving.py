@@ -236,3 +236,28 @@ def test_session_applies_fitted_recalibration(params):
     assert cal_p.max() <= raw_p.max() + 1e-6
     with pytest.raises(ValueError, match="positive"):
         InferenceSession(params, CFG, batch_size=2, temperature=0.0)
+
+
+def test_export_bundle_bakes_recalibration(params, tmp_path):
+    """export_bundle(variance_scale, temperature): the fits land in the
+    metadata AND in the exported computation — AOT-executing the lowered
+    recalibrated module must equal recalibrating the raw outputs."""
+    from supernet_tpu.serving import export_bundle, lower
+
+    s, t = 2.0, 1.5
+    meta = export_bundle(
+        params, CFG, str(tmp_path), batch_size=2, config_name="hippocampus",
+        variance_scale=s, temperature=t,
+    )
+    assert meta["variance_scale"] == s and meta["temperature"] == t
+    x = jnp.asarray(_x(2, seed=6))
+    raw_p, raw_s = lower(params, CFG, 2).compile()(params, x)
+    cal_p, cal_s = lower(
+        params, CFG, 2, variance_scale=s, temperature=t
+    ).compile()(params, x)
+    np.testing.assert_allclose(
+        np.asarray(cal_s), np.asarray(raw_s) * s, rtol=1e-5
+    )
+    want = np.power(np.maximum(np.asarray(raw_p), 1e-30), 1.0 / t)
+    want = want / want.sum(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(cal_p), want, rtol=1e-4, atol=1e-6)
