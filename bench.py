@@ -234,6 +234,41 @@ def main() -> None:
     except Exception:
         pass
 
+    # Watchdog: the relayed TPU backend sometimes HANGS at init instead of
+    # raising UNAVAILABLE (observed 2026-08-18: jax.devices() stuck >300 s).
+    # Run device discovery on a daemon thread with a bounded join so the
+    # driver always gets the one parseable JSON line instead of a stalled
+    # process. SUPERNET_BENCH_INIT_TIMEOUT=seconds (default 300) tunes it.
+    import threading
+
+    init_timeout = float(os.environ.get("SUPERNET_BENCH_INIT_TIMEOUT", "300"))
+    init_result: dict = {}
+
+    def _discover():
+        try:
+            init_result["devices"] = jax.devices()
+        except Exception as e:  # surfaced below as the error JSON line
+            init_result["error"] = e
+
+    th = threading.Thread(target=_discover, daemon=True)
+    th.start()
+    th.join(init_timeout)
+    if th.is_alive() or "error" in init_result:
+        why = (
+            f"backend init hung >{init_timeout:.0f}s"
+            if th.is_alive()
+            else f"{init_result['error']}"
+        )
+        print(json.dumps({
+            "metric": "images_per_sec",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {why[:200]}",
+        }))
+        sys.stdout.flush()
+        os._exit(1)  # the stuck init thread cannot be joined; hard-exit
+
     from supernet_tpu import flops as F
     from supernet_tpu.ops import set_backend, set_mxu_precision
 
