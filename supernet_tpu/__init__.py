@@ -25,6 +25,9 @@ GiuseppinaC/SUPER-Net-Bayesian-Image-Segmentation-with-Uncertainty-Propagation
 - ``metrics``  — Dice, Hausdorff, sensitivity/precision/specificity, RVD,
                  over-/under-segmentation, c-score.
 - ``reports``  — uncertainty maps, predictive-variance reports, artifacts.
+- ``serving``  — compile-once InferenceSession, StableHLO export bundles.
+- ``tiling``   — sliding-window whole-volume inference with per-voxel
+                 moment blending (volumes larger than one model cube).
 """
 
 __version__ = "0.1.0"

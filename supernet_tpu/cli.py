@@ -249,6 +249,35 @@ def build_parser() -> argparse.ArgumentParser:
                           "default: all foreground classes")
     sl3.add_argument("--images-n", type=int, default=4)
 
+    p3 = sub.add_parser(
+        "predict3d",
+        help="sliding-window whole-volume inference: one NIfTI/.npy volume "
+             "of ANY spatial shape in, full-frame segmentation + "
+             "uncertainty maps out (overlapping model cubes batched "
+             "through one compiled program, per-voxel moment blending)",
+    )
+    _add_common(p3)
+    _add_3d_shape(p3)
+    p3.add_argument("--volume", required=True,
+                    help="input volume: .nii / .nii.gz / .npy "
+                         "([D,H,W] or [D,H,W,C]); per-modality min-max "
+                         "normalized like the training ingestion")
+    p3.add_argument("--overlap", type=int, default=8,
+                    help="tile overlap in OUTPUT voxels (0 = abutting)")
+    p3.add_argument("--blend", default="gaussian",
+                    choices=["gaussian", "uniform"],
+                    help="per-voxel tile weighting")
+    p3.add_argument("--pad-mode", default="reflect",
+                    help="np.pad mode for the volume border (the VALID "
+                         "margins + grid tail)")
+    p3.add_argument("--save-probs", action="store_true",
+                    help="also write the full probs/sigma arrays (.npy, "
+                         "D*H*W*classes floats each)")
+    p3.add_argument("--variance-scale", type=float, default=1.0,
+                    help="fitted post-hoc variance scale (cli calibrate)")
+    p3.add_argument("--temperature", type=float, default=1.0,
+                    help="fitted probability temperature (cli calibrate)")
+
     c = sub.add_parser(
         "convert",
         help="convert reference pickles OR raw NIfTI volumes to .npy shards",
@@ -745,6 +774,96 @@ def main(argv=None) -> int:
                        steps_per_dispatch=args.steps_per_dispatch)
         tr.run()
         print(json.dumps({k: v[-1] for k, v in tr.history.items() if v}))
+        return 0
+
+    if args.cmd == "predict3d":
+        import os as _os
+
+        import numpy as np
+
+        exp = _cfg3d(exp, args)
+        cfg = exp.model
+        path = args.volume
+        is_nifti = path.endswith((".nii", ".nii.gz"))
+        if is_nifti:
+            from supernet_tpu.data import read_nifti
+
+            vol, _ = read_nifti(path)
+        elif path.endswith(".npy"):
+            vol = np.load(path)
+        else:
+            raise SystemExit(f"unsupported volume format: {path} "
+                             "(.nii / .nii.gz / .npy)")
+        vol = np.asarray(vol, np.float32)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        if vol.ndim != 4:
+            raise SystemExit(f"expected a 3-D volume, got shape {vol.shape}")
+        if vol.shape[-1] != cfg.in_channels:
+            raise SystemExit(
+                f"volume has {vol.shape[-1]} modalities; config "
+                f"{exp.name} expects {cfg.in_channels}"
+            )
+        # per-modality min-max — the same normalization the training
+        # ingestion applies (data.nifti.volume_to_cube)
+        flat = vol.reshape(-1, vol.shape[-1])
+        lo, hi = flat.min(axis=0), flat.max(axis=0)
+        vol = (vol - lo) / np.maximum(hi - lo, 1e-8)
+
+        params = _load_params3d(exp, args)
+        from supernet_tpu.serving import InferenceSession
+
+        sess = InferenceSession(
+            params,
+            cfg,
+            batch_size=args.batch_size or 4,
+            volumetric=True,
+            variance_scale=args.variance_scale,
+            temperature=args.temperature,
+        )
+        probs, sigma = sess.predict_volume(
+            vol,
+            overlap=args.overlap,
+            weight=args.blend,
+            pad_mode=args.pad_mode,
+        )
+        seg = np.argmax(probs, axis=-1).astype(np.int32)
+        # predictive variance AT the predicted class — the uncertainty
+        # map the 2-D reports render (reports.save_uncertainty_report)
+        unc = np.take_along_axis(sigma, seg[..., None], axis=-1)[..., 0]
+
+        out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/predict"
+        _os.makedirs(out_dir, exist_ok=True)
+        ext = ".nii.gz" if is_nifti else ".npy"
+        seg_path = _os.path.join(out_dir, f"segmentation{ext}")
+        unc_path = _os.path.join(out_dir, f"uncertainty{ext}")
+        if is_nifti:
+            from supernet_tpu.data import write_nifti
+
+            write_nifti(seg_path, seg)
+            write_nifti(unc_path, unc.astype(np.float32))
+        else:
+            np.save(seg_path, seg)
+            np.save(unc_path, unc.astype(np.float32))
+        extra = {}
+        if args.save_probs:
+            np.save(_os.path.join(out_dir, "probs.npy"), probs)
+            np.save(_os.path.join(out_dir, "sigma.npy"), sigma)
+            extra = {"probs": "probs.npy", "sigma": "sigma.npy"}
+        counts = np.bincount(seg.ravel(), minlength=cfg.n_classes)
+        print(json.dumps({
+            "volume": list(vol.shape),
+            "cube": cfg.image_size,
+            "out_cube": cfg.out_size,
+            "overlap": args.overlap,
+            "blend": args.blend,
+            "class_voxels": [int(c) for c in counts],
+            "mean_uncertainty": float(unc.mean()),
+            "max_uncertainty": float(unc.max()),
+            "segmentation": seg_path,
+            "uncertainty": unc_path,
+            **extra,
+        }))
         return 0
 
     if args.cmd in ("eval3d", "attack3d", "calibrate3d", "saliency3d"):

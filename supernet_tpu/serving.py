@@ -280,6 +280,31 @@ class InferenceSession:
             sigma_out.append(np.asarray(s)[:b])
         return np.concatenate(probs_out), np.concatenate(sigma_out)
 
+    def predict_volume(
+        self,
+        vol: np.ndarray,
+        overlap: int = 0,
+        weight: str = "gaussian",
+        pad_mode: str = "reflect",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sliding-window ``(probs, sigma)`` over ONE whole volume of any
+        spatial shape (``[D, H, W]`` or ``[D, H, W, C]``) — overlapping
+        model cubes batched through the compiled program and blended per
+        voxel (`tiling.predict_volume`). Volumetric sessions only."""
+        if not self.volumetric:
+            raise ValueError("predict_volume requires volumetric=True")
+        from supernet_tpu.tiling import predict_volume as _pv
+
+        return _pv(
+            self.predict,
+            vol,
+            self.cfg.image_size,
+            self.cfg.out_size,
+            overlap=overlap,
+            weight=weight,
+            pad_mode=pad_mode,
+        )
+
 
 def export_bundle(
     params,
