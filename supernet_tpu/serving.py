@@ -305,6 +305,33 @@ class InferenceSession:
             pad_mode=pad_mode,
         )
 
+    def predict_image(
+        self,
+        img: np.ndarray,
+        overlap: int = 0,
+        weight: str = "gaussian",
+        pad_mode: str = "reflect",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sliding-window ``(probs, sigma)`` over ONE 2-D image of any
+        spatial shape (``[H, W]`` or ``[H, W, C]``) through the
+        fixed-geometry 2-D model (`tiling.predict_image`). 2-D sessions
+        only."""
+        if self.volumetric:
+            raise ValueError(
+                "predict_image is for 2-D sessions; use predict_volume"
+            )
+        from supernet_tpu.tiling import predict_image as _pi
+
+        return _pi(
+            self.predict,
+            img,
+            self.cfg.image_size,
+            self.cfg.out_size,
+            overlap=overlap,
+            weight=weight,
+            pad_mode=pad_mode,
+        )
+
 
 def export_bundle(
     params,

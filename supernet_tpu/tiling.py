@@ -1,11 +1,11 @@
-"""Sliding-window whole-volume inference for the 3-D family.
+"""Sliding-window inference at arbitrary spatial shapes (2-D and 3-D).
 
-The volumetric VDP U-Net maps one input cube (side ``cfg.image_size``) to a
-center-aligned output cube (side ``cfg.out_size``) — the VALID geometry of
-the reference's 2-D chains (`Hippocampus.py:375-418`) one rank up. Real
-MSD/BraTS volumes are larger than a single model cube, so full-volume
-prediction tiles the volume with overlapping cubes and blends the
-per-tile moment pairs:
+The VDP U-Nets map one fixed input frame (side ``cfg.image_size``) to a
+center-aligned output frame (side ``cfg.out_size``) — the VALID geometry
+of the reference's chains (`Hippocampus.py:375-418`). Real MSD/BraTS
+volumes (and off-protocol slices) are larger than a single model frame,
+so full-frame prediction tiles the input with overlapping frames and
+blends the per-tile moment pairs:
 
 - the tile grid is STATIC for a given (volume shape, config, overlap) —
   every tile runs through the same compiled program at the same batch
@@ -99,55 +99,92 @@ def predict_volume(
         vol = vol[..., None]
     if vol.ndim != 4:
         raise ValueError(f"expected [D,H,W] or [D,H,W,C], got {vol.shape}")
+    return predict_tiled(
+        predict, vol, in_size, out_size,
+        overlap=overlap, weight=weight, pad_mode=pad_mode,
+    )
+
+
+def predict_image(
+    predict: Predict,
+    img: np.ndarray,
+    in_size: int,
+    out_size: int,
+    overlap: int = 0,
+    weight: str = "gaussian",
+    pad_mode: str = "reflect",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """2-D counterpart of :func:`predict_volume` — full-frame
+    ``(probs, sigma)`` for ONE image of any spatial shape through the
+    fixed-geometry 2-D model (``predict`` maps ``[N, T, T, C]`` tile
+    batches to ``[N, O, O, K]`` moment pairs). ``img`` is ``[H, W]`` or
+    ``[H, W, C]``; returns ``[H, W, K]`` maps."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.ndim != 3:
+        raise ValueError(f"expected [H,W] or [H,W,C], got {img.shape}")
+    return predict_tiled(
+        predict, img, in_size, out_size,
+        overlap=overlap, weight=weight, pad_mode=pad_mode,
+    )
+
+
+def predict_tiled(
+    predict: Predict,
+    arr: np.ndarray,
+    in_size: int,
+    out_size: int,
+    overlap: int = 0,
+    weight: str = "gaussian",
+    pad_mode: str = "reflect",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """N-D tiling core shared by :func:`predict_image` (2-D) and
+    :func:`predict_volume` (3-D): ``arr`` is ``spatial… + [C]`` with a
+    channel axis already present; every spatial axis is tiled with the
+    same (in_size, out_size, overlap)."""
+    import itertools
+
     t, o = int(in_size), int(out_size)
     if not 0 <= overlap < o:
         raise ValueError(f"overlap must be in [0, {o}), got {overlap}")
     stride = o - overlap
     lo, hi = output_margins(t, o)
-    spatial = vol.shape[:3]
+    spatial = arr.shape[:-1]
+    nd = len(spatial)
     # output coverage per axis: at least one full tile
     cover = tuple(max(s, o) for s in spatial)
-    pads = []
-    for s, cv in zip(spatial, cover):
-        pads.append((lo, (cv - s) + hi))
-    padded = _pad(vol, pads + [(0, 0)], pad_mode)
+    pads = [(lo, (cv - s) + hi) for s, cv in zip(spatial, cover)]
+    padded = _pad(arr, pads + [(0, 0)], pad_mode)
 
     grids = [tile_positions(cv, o, stride) for cv in cover]
-    tiles = []
-    for pd in grids[0]:
-        for ph in grids[1]:
-            for pw in grids[2]:
-                tiles.append(
-                    padded[pd : pd + t, ph : ph + t, pw : pw + t, :]
-                )
+    corners = list(itertools.product(*grids))
+    tiles = [
+        padded[tuple(slice(p, p + t) for p in c) + (slice(None),)]
+        for c in corners
+    ]
     probs_t, sigma_t = predict(np.stack(tiles))
     k = probs_t.shape[-1]
 
     w1 = _axis_weights(o, weight)
-    w3 = (w1[:, None, None] * w1[None, :, None] * w1[None, None, :])[
-        ..., None
-    ]  # [O, O, O, 1]
+    wnd = w1
+    for _ in range(nd - 1):
+        wnd = wnd[..., None] * w1
+    wnd = wnd[..., None]  # [O]*nd + [1]
     acc_p = np.zeros(cover + (k,), np.float64)
     acc_s = np.zeros(cover + (k,), np.float64)
     acc_w = np.zeros(cover + (1,), np.float64)
-    i = 0
-    for pd in grids[0]:
-        for ph in grids[1]:
-            for pw in grids[2]:
-                sl = np.s_[pd : pd + o, ph : ph + o, pw : pw + o]
-                acc_p[sl] += w3 * probs_t[i].astype(np.float64)
-                acc_s[sl] += w3 * sigma_t[i].astype(np.float64)
-                acc_w[sl] += w3
-                i += 1
+    for i, c in enumerate(corners):
+        sl = tuple(slice(p, p + o) for p in c)
+        acc_p[sl] += wnd * probs_t[i].astype(np.float64)
+        acc_s[sl] += wnd * sigma_t[i].astype(np.float64)
+        acc_w[sl] += wnd
     probs = acc_p / acc_w
     sigma = acc_s / acc_w
     # convex combination of simplex points; renormalize the fp drift
     probs /= np.maximum(probs.sum(axis=-1, keepdims=True), 1e-12)
-    d, h, w = spatial
-    return (
-        probs[:d, :h, :w].astype(np.float32),
-        sigma[:d, :h, :w].astype(np.float32),
-    )
+    crop = tuple(slice(0, s) for s in spatial)
+    return probs[crop].astype(np.float32), sigma[crop].astype(np.float32)
 
 
 def _pad(

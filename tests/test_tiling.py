@@ -124,6 +124,49 @@ def test_session_predict_volume_multi_tile():
         InferenceSession(params, TINY, batch_size=4).predict_volume(vol)
 
 
+@pytest.mark.parametrize("weight", ["uniform", "gaussian"])
+def test_blend_reconstructs_aligned_stub_2d(weight):
+    """The N-D core through the 2-D wrapper: same reconstruction identity
+    with rank-2 tiles."""
+    from supernet_tpu.tiling import predict_image
+
+    t, o = 16, 10
+    lo, _ = output_margins(t, o)
+
+    def predict(tiles):
+        crop = tiles[:, lo : lo + o, lo : lo + o, 0]
+        probs = np.stack([crop, 1.0 - crop], axis=-1)
+        return probs, 3.0 * probs
+
+    img = RNG.uniform(0.1, 0.9, (27, 13)).astype(np.float32)
+    probs, sigma = predict_image(predict, img, t, o, overlap=5,
+                                 weight=weight)
+    assert probs.shape == img.shape + (2,)
+    np.testing.assert_allclose(probs[..., 0], img, atol=1e-5)
+    np.testing.assert_allclose(sigma[..., 0], 3.0 * img, atol=1e-5)
+
+
+def test_session_predict_image_2d():
+    """A 2-D InferenceSession tiles an off-protocol slice size through the
+    fixed 64->54 Hippocampus geometry."""
+    from supernet_tpu.models import init_params
+    from supernet_tpu.serving import InferenceSession
+
+    cfg = HIPPOCAMPUS.model  # 64 -> 54
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    sess = InferenceSession(params, cfg, batch_size=4)
+    img = RNG.uniform(0, 1, (80, 47)).astype(np.float32)
+    probs, sigma = sess.predict_image(img, overlap=10)
+    assert probs.shape == (80, 47, cfg.n_classes)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-5)
+    assert np.isfinite(sigma).all() and (sigma >= 0).all()
+    with pytest.raises(ValueError):
+        params3 = init_params3d(jax.random.PRNGKey(0), TINY)
+        InferenceSession(
+            params3, TINY, batch_size=4, volumetric=True
+        ).predict_image(img)
+
+
 def test_cli_predict3d_npy(tmp_path, capsys):
     """cli predict3d end-to-end on a .npy volume: segmentation +
     uncertainty maps written, JSON summary printed."""
