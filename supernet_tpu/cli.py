@@ -259,8 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p3)
     _add_3d_shape(p3)
     p3.add_argument("--volume", required=True,
-                    help="input volume: .nii / .nii.gz / .npy "
-                         "([D,H,W] or [D,H,W,C]); per-modality min-max "
+                    help="input volume (.nii / .nii.gz / .npy, [D,H,W] or "
+                         "[D,H,W,C]) OR a directory of such volumes (e.g. "
+                         "an MSD imagesTs/); per-modality min-max "
                          "normalized like the training ingestion")
     p3.add_argument("--overlap", type=int, default=8,
                     help="tile overlap in OUTPUT voxels (0 = abutting)")
@@ -783,36 +784,54 @@ def main(argv=None) -> int:
 
         exp = _cfg3d(exp, args)
         cfg = exp.model
-        path = args.volume
-        is_nifti = path.endswith((".nii", ".nii.gz"))
-        if is_nifti:
-            from supernet_tpu.data import read_nifti
+        if _os.path.isdir(args.volume):
+            import glob as _glob
 
-            vol, _ = read_nifti(path)
-        elif path.endswith(".npy"):
-            vol = np.load(path)
-        else:
-            raise SystemExit(f"unsupported volume format: {path} "
-                             "(.nii / .nii.gz / .npy)")
-        vol = np.asarray(vol, np.float32)
-        if vol.ndim == 3:
-            vol = vol[..., None]
-        if vol.ndim != 4:
-            raise SystemExit(f"expected a 3-D volume, got shape {vol.shape}")
-        if vol.shape[-1] != cfg.in_channels:
-            raise SystemExit(
-                f"volume has {vol.shape[-1]} modalities; config "
-                f"{exp.name} expects {cfg.in_channels}"
+            paths = sorted(
+                p for pat in ("*.nii", "*.nii.gz", "*.npy")
+                for p in _glob.glob(_os.path.join(args.volume, pat))
+                if not _os.path.basename(p).startswith(".")
             )
-        # per-modality min-max — the same normalization the training
-        # ingestion applies (data.nifti.volume_to_cube)
-        flat = vol.reshape(-1, vol.shape[-1])
-        lo, hi = flat.min(axis=0), flat.max(axis=0)
-        vol = (vol - lo) / np.maximum(hi - lo, 1e-8)
+            if not paths:
+                raise SystemExit(
+                    f"no .nii/.nii.gz/.npy volumes under {args.volume}"
+                )
+        else:
+            paths = [args.volume]
+
+        def _load_volume(path):
+            if path.endswith((".nii", ".nii.gz")):
+                from supernet_tpu.data import read_nifti
+
+                vol, _ = read_nifti(path)
+                nifti = True
+            elif path.endswith(".npy"):
+                vol, nifti = np.load(path), False
+            else:
+                raise SystemExit(f"unsupported volume format: {path} "
+                                 "(.nii / .nii.gz / .npy)")
+            vol = np.asarray(vol, np.float32)
+            if vol.ndim == 3:
+                vol = vol[..., None]
+            if vol.ndim != 4:
+                raise SystemExit(
+                    f"{path}: expected a 3-D volume, got shape {vol.shape}"
+                )
+            if vol.shape[-1] != cfg.in_channels:
+                raise SystemExit(
+                    f"{path}: volume has {vol.shape[-1]} modalities; "
+                    f"config {exp.name} expects {cfg.in_channels}"
+                )
+            # per-modality min-max — the same normalization the training
+            # ingestion applies (data.nifti.volume_to_cube)
+            flat = vol.reshape(-1, vol.shape[-1])
+            lo, hi = flat.min(axis=0), flat.max(axis=0)
+            return (vol - lo) / np.maximum(hi - lo, 1e-8), nifti
 
         params = _load_params3d(exp, args)
         from supernet_tpu.serving import InferenceSession
 
+        # one session = one compiled program reused across every volume
         sess = InferenceSession(
             params,
             cfg,
@@ -821,49 +840,61 @@ def main(argv=None) -> int:
             variance_scale=args.variance_scale,
             temperature=args.temperature,
         )
-        probs, sigma = sess.predict_volume(
-            vol,
-            overlap=args.overlap,
-            weight=args.blend,
-            pad_mode=args.pad_mode,
-        )
-        seg = np.argmax(probs, axis=-1).astype(np.int32)
-        # predictive variance AT the predicted class — the uncertainty
-        # map the 2-D reports render (reports.save_uncertainty_report)
-        unc = np.take_along_axis(sigma, seg[..., None], axis=-1)[..., 0]
-
         out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/predict"
         _os.makedirs(out_dir, exist_ok=True)
-        ext = ".nii.gz" if is_nifti else ".npy"
-        seg_path = _os.path.join(out_dir, f"segmentation{ext}")
-        unc_path = _os.path.join(out_dir, f"uncertainty{ext}")
-        if is_nifti:
-            from supernet_tpu.data import write_nifti
+        multi = len(paths) > 1
+        for path in paths:
+            vol, is_nifti = _load_volume(path)
+            probs, sigma = sess.predict_volume(
+                vol,
+                overlap=args.overlap,
+                weight=args.blend,
+                pad_mode=args.pad_mode,
+            )
+            seg = np.argmax(probs, axis=-1).astype(np.int32)
+            # predictive variance AT the predicted class — the uncertainty
+            # map the 2-D reports render (reports.save_uncertainty_report)
+            unc = np.take_along_axis(sigma, seg[..., None], axis=-1)[..., 0]
 
-            write_nifti(seg_path, seg)
-            write_nifti(unc_path, unc.astype(np.float32))
-        else:
-            np.save(seg_path, seg)
-            np.save(unc_path, unc.astype(np.float32))
-        extra = {}
-        if args.save_probs:
-            np.save(_os.path.join(out_dir, "probs.npy"), probs)
-            np.save(_os.path.join(out_dir, "sigma.npy"), sigma)
-            extra = {"probs": "probs.npy", "sigma": "sigma.npy"}
-        counts = np.bincount(seg.ravel(), minlength=cfg.n_classes)
-        print(json.dumps({
-            "volume": list(vol.shape),
-            "cube": cfg.image_size,
-            "out_cube": cfg.out_size,
-            "overlap": args.overlap,
-            "blend": args.blend,
-            "class_voxels": [int(c) for c in counts],
-            "mean_uncertainty": float(unc.mean()),
-            "max_uncertainty": float(unc.max()),
-            "segmentation": seg_path,
-            "uncertainty": unc_path,
-            **extra,
-        }))
+            stem = _os.path.basename(path)
+            for suf in (".nii.gz", ".nii", ".npy"):
+                if stem.endswith(suf):
+                    stem = stem[: -len(suf)]
+                    break
+            pre = f"{stem}_" if multi else ""
+            ext = ".nii.gz" if is_nifti else ".npy"
+            seg_path = _os.path.join(out_dir, f"{pre}segmentation{ext}")
+            unc_path = _os.path.join(out_dir, f"{pre}uncertainty{ext}")
+            if is_nifti:
+                from supernet_tpu.data import write_nifti
+
+                write_nifti(seg_path, seg)
+                write_nifti(unc_path, unc.astype(np.float32))
+            else:
+                np.save(seg_path, seg)
+                np.save(unc_path, unc.astype(np.float32))
+            extra = {}
+            if args.save_probs:
+                pp = _os.path.join(out_dir, f"{pre}probs.npy")
+                sp = _os.path.join(out_dir, f"{pre}sigma.npy")
+                np.save(pp, probs)
+                np.save(sp, sigma)
+                extra = {"probs": pp, "sigma": sp}
+            counts = np.bincount(seg.ravel(), minlength=cfg.n_classes)
+            print(json.dumps({
+                "input": path,
+                "volume": list(vol.shape),
+                "cube": cfg.image_size,
+                "out_cube": cfg.out_size,
+                "overlap": args.overlap,
+                "blend": args.blend,
+                "class_voxels": [int(c) for c in counts],
+                "mean_uncertainty": float(unc.mean()),
+                "max_uncertainty": float(unc.max()),
+                "segmentation": seg_path,
+                "uncertainty": unc_path,
+                **extra,
+            }))
         return 0
 
     if args.cmd in ("eval3d", "attack3d", "calibrate3d", "saliency3d"):

@@ -202,3 +202,29 @@ def test_cli_predict3d_npy(tmp_path, capsys):
         )[..., 0],
         atol=0,
     )
+
+
+def test_cli_predict3d_directory(tmp_path, capsys):
+    """Directory mode: every volume under --volume is segmented through
+    ONE compiled session; outputs are per-case prefixed."""
+    from supernet_tpu import cli
+
+    vdir = os.path.join(tmp_path, "imagesTs")
+    os.makedirs(vdir)
+    for name, shape in (("caseA", (12, 12, 12)), ("caseB", (14, 11, 12))):
+        np.save(os.path.join(vdir, f"{name}.npy"),
+                RNG.uniform(0, 1, shape).astype(np.float32))
+    out = os.path.join(tmp_path, "out")
+    rc = cli.main([
+        "predict3d", "--config", "hippocampus", "--volume", vdir,
+        "--cube-size", "16", "--base-kernels", "2", "--depth", "2",
+        "--out-dir", out,
+    ])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 2
+    assert np.load(os.path.join(out, "caseA_segmentation.npy")).shape == \
+        (12, 12, 12)
+    assert np.load(os.path.join(out, "caseB_uncertainty.npy")).shape == \
+        (14, 11, 12)
