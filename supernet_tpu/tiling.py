@@ -138,11 +138,17 @@ def predict_tiled(
     overlap: int = 0,
     weight: str = "gaussian",
     pad_mode: str = "reflect",
+    tiles_per_call: int = 32,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """N-D tiling core shared by :func:`predict_image` (2-D) and
     :func:`predict_volume` (3-D): ``arr`` is ``spatial… + [C]`` with a
     channel axis already present; every spatial axis is tiled with the
-    same (in_size, out_size, overlap)."""
+    same (in_size, out_size, overlap).
+
+    Tiles stream through ``predict`` in groups of ``tiles_per_call`` and
+    blend immediately — peak host memory is one group of input tiles plus
+    the accumulators, not the whole tile set (a 240^3 4-modality BraTS
+    volume cuts into hundreds of cubes)."""
     import itertools
 
     t, o = int(in_size), int(out_size)
@@ -159,26 +165,31 @@ def predict_tiled(
 
     grids = [tile_positions(cv, o, stride) for cv in cover]
     corners = list(itertools.product(*grids))
-    tiles = [
-        padded[tuple(slice(p, p + t) for p in c) + (slice(None),)]
-        for c in corners
-    ]
-    probs_t, sigma_t = predict(np.stack(tiles))
-    k = probs_t.shape[-1]
 
     w1 = _axis_weights(o, weight)
     wnd = w1
     for _ in range(nd - 1):
         wnd = wnd[..., None] * w1
     wnd = wnd[..., None]  # [O]*nd + [1]
-    acc_p = np.zeros(cover + (k,), np.float64)
-    acc_s = np.zeros(cover + (k,), np.float64)
-    acc_w = np.zeros(cover + (1,), np.float64)
-    for i, c in enumerate(corners):
-        sl = tuple(slice(p, p + o) for p in c)
-        acc_p[sl] += wnd * probs_t[i].astype(np.float64)
-        acc_s[sl] += wnd * sigma_t[i].astype(np.float64)
-        acc_w[sl] += wnd
+    acc_p = acc_s = acc_w = None
+    step = max(1, int(tiles_per_call))
+    for g in range(0, len(corners), step):
+        group = corners[g : g + step]
+        tiles = np.stack([
+            padded[tuple(slice(p, p + t) for p in c) + (slice(None),)]
+            for c in group
+        ])
+        probs_t, sigma_t = predict(tiles)
+        if acc_p is None:
+            k = probs_t.shape[-1]
+            acc_p = np.zeros(cover + (k,), np.float64)
+            acc_s = np.zeros(cover + (k,), np.float64)
+            acc_w = np.zeros(cover + (1,), np.float64)
+        for i, c in enumerate(group):
+            sl = tuple(slice(p, p + o) for p in c)
+            acc_p[sl] += wnd * probs_t[i].astype(np.float64)
+            acc_s[sl] += wnd * sigma_t[i].astype(np.float64)
+            acc_w[sl] += wnd
     probs = acc_p / acc_w
     sigma = acc_s / acc_w
     # convex combination of simplex points; renormalize the fp drift

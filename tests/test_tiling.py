@@ -124,6 +124,21 @@ def test_session_predict_volume_multi_tile():
         InferenceSession(params, TINY, batch_size=4).predict_volume(vol)
 
 
+def test_streaming_groups_equal_single_call():
+    """tiles_per_call only bounds memory — any group size blends to the
+    same result."""
+    from supernet_tpu.tiling import predict_tiled
+
+    t, o = 16, 10
+    stub = _aligned_stub(t, o)
+    vol = RNG.uniform(0.1, 0.9, (23, 17, 12, 1)).astype(np.float32)
+    ref = predict_tiled(stub, vol, t, o, overlap=4, tiles_per_call=10_000)
+    for n in (1, 3, 4):
+        got = predict_tiled(stub, vol, t, o, overlap=4, tiles_per_call=n)
+        np.testing.assert_array_equal(got[0], ref[0])
+        np.testing.assert_array_equal(got[1], ref[1])
+
+
 @pytest.mark.parametrize("weight", ["uniform", "gaussian"])
 def test_blend_reconstructs_aligned_stub_2d(weight):
     """The N-D core through the 2-D wrapper: same reconstruction identity
