@@ -254,7 +254,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="sliding-window whole-volume inference: one NIfTI/.npy volume "
              "of ANY spatial shape in, full-frame segmentation + "
              "uncertainty maps out (overlapping model cubes batched "
-             "through one compiled program, per-voxel moment blending)",
+             "through one compiled program, per-voxel moment blending); "
+             "a comma-separated --checkpoint list serves the deep "
+             "ensemble (member disagreement enters the variance map)",
     )
     _add_common(p3)
     _add_3d_shape(p3)
@@ -506,7 +508,7 @@ def _val_count(n: int, frac: float, batch: int) -> int:
     return min(n_val, max(n - batch, 0))
 
 
-def _load_params3d(exp, args):
+def _load_params3d(exp, args, src=_UNSET):
     """Volumetric params: random init, .npz, or the latest Orbax
     ``epoch_{N}`` checkpoint under --checkpoint (what train3d writes)."""
     import jax
@@ -515,7 +517,8 @@ def _load_params3d(exp, args):
     from supernet_tpu.models import init_params3d
     from supernet_tpu.train import create_train_state
 
-    src = args.checkpoint
+    if src is _UNSET:
+        src = args.checkpoint
     if src is None:
         print("warning: no --checkpoint; using random init", file=sys.stderr)
         return init_params3d(jax.random.PRNGKey(0), exp.model)
@@ -828,18 +831,23 @@ def main(argv=None) -> int:
             lo, hi = flat.min(axis=0), flat.max(axis=0)
             return (vol - lo) / np.maximum(hi - lo, 1e-8), nifti
 
-        params = _load_params3d(exp, args)
-        from supernet_tpu.serving import InferenceSession
+        from supernet_tpu.serving import EnsembleSession, InferenceSession
 
-        # one session = one compiled program reused across every volume
-        sess = InferenceSession(
-            params,
-            cfg,
+        # one session = one compiled program reused across every volume;
+        # comma-separated --checkpoint serves the deep ensemble (mixture
+        # moments: member disagreement enters the variance map)
+        srcs = [s for s in (args.checkpoint or "").split(",") if s]
+        common = dict(
             batch_size=args.batch_size or 4,
             volumetric=True,
             variance_scale=args.variance_scale,
             temperature=args.temperature,
         )
+        if len(srcs) > 1:
+            members = [_load_params3d(exp, args, src=s) for s in srcs]
+            sess = EnsembleSession(members, cfg, **common)
+        else:
+            sess = InferenceSession(_load_params3d(exp, args), cfg, **common)
         out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/predict"
         _os.makedirs(out_dir, exist_ok=True)
         multi = len(paths) > 1

@@ -46,6 +46,28 @@ def _input_spec(
     )
 
 
+def _make_recalibrate(variance_scale: float, temperature: float):
+    """Post-hoc recalibration inside the compiled program: the global
+    variance scale and probability-space temperature fitted by
+    `calibration.fit_variance_scale` / `fit_temperature` (a no-op at the
+    1.0 defaults — XLA folds the identity away)."""
+    if variance_scale <= 0.0 or temperature <= 0.0:
+        raise ValueError(
+            "variance_scale and temperature must be positive "
+            f"(got {variance_scale}, {temperature})"
+        )
+
+    def _recalibrate(probs, sigma):
+        if temperature != 1.0:
+            p = jnp.power(jnp.maximum(probs, 1e-30), 1.0 / temperature)
+            probs = p / jnp.sum(p, axis=-1, keepdims=True)
+        if variance_scale != 1.0:
+            sigma = sigma * variance_scale
+        return probs, sigma
+
+    return _recalibrate
+
+
 def _make_fn(
     cfg: ModelConfig,
     mesh=None,
@@ -74,23 +96,7 @@ def _make_fn(
 
         _, _d_sharded, constrain = _spatial_shardings3d(mesh, "data")
 
-    if variance_scale <= 0.0 or temperature <= 0.0:
-        raise ValueError(
-            "variance_scale and temperature must be positive "
-            f"(got {variance_scale}, {temperature})"
-        )
-
-    def _recalibrate(probs, sigma):
-        """Post-hoc recalibration inside the compiled program: the global
-        variance scale and probability-space temperature fitted by
-        `calibration.fit_variance_scale` / `fit_temperature` (a no-op at
-        the 1.0 defaults — XLA folds the identity away)."""
-        if temperature != 1.0:
-            p = jnp.power(jnp.maximum(probs, 1e-30), 1.0 / temperature)
-            probs = p / jnp.sum(p, axis=-1, keepdims=True)
-        if variance_scale != 1.0:
-            sigma = sigma * variance_scale
-        return probs, sigma
+    _recalibrate = _make_recalibrate(variance_scale, temperature)
 
     if volumetric:
         from supernet_tpu.models import forward3d
@@ -331,6 +337,63 @@ class InferenceSession:
             weight=weight,
             pad_mode=pad_mode,
         )
+
+
+class EnsembleSession(InferenceSession):
+    """Deep-ensemble serving: K checkpoints of the SAME config answered by
+    ONE compiled program (members vmapped over a stacked parameter tree —
+    XLA batches the K forwards; no Python loop, no per-member dispatch).
+
+    Each member emits a per-pixel Gaussian ``(p_k, s_k)``; the ensemble
+    predictive is the uniform mixture, reported by its first two moments:
+
+        mean = (1/K) sum p_k
+        var  = (1/K) sum (s_k + p_k^2) - mean^2
+
+    i.e. within-member (propagated) variance PLUS the between-member
+    disagreement — the ensembles-over-VDP composition (Lakshminarayanan
+    et al.'s deep-ensemble recipe applied to moment pairs). ``var >= mean
+    member variance`` pointwise by Jensen; equal members reduce exactly
+    to a single session. Fitted recalibration applies AFTER the mixture
+    (fit it on ensemble outputs).
+
+    Single-device or replicated serving only (no mesh/scan modes);
+    ``predict`` / ``predict_volume`` / ``predict_image`` are inherited.
+    """
+
+    def __init__(
+        self,
+        params_list,
+        cfg: ModelConfig,
+        batch_size: int = 8,
+        volumetric: bool = False,
+        variance_scale: float = 1.0,
+        temperature: float = 1.0,
+    ):
+        params_list = list(params_list)
+        if not params_list:
+            raise ValueError("params_list must hold at least one member")
+        # member fn WITHOUT recalibration: recalibration is post-mixture
+        super().__init__(
+            params_list[0], cfg, batch_size=batch_size,
+            volumetric=volumetric,
+        )
+        self.n_members = len(params_list)
+        member = self._fn
+        recal = _make_recalibrate(variance_scale, temperature)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *params_list,
+        )
+        self._params = jax.device_put(stacked)
+
+        def efn(params, x):
+            p, s = jax.vmap(lambda pr: member(pr, x))(params)
+            mean = jnp.mean(p, axis=0)
+            var = jnp.mean(s + jnp.square(p), axis=0) - jnp.square(mean)
+            return recal(mean, jnp.maximum(var, 0.0))
+
+        self._fn = jax.jit(efn)
 
 
 def export_bundle(

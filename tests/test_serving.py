@@ -261,3 +261,59 @@ def test_export_bundle_bakes_recalibration(params, tmp_path):
     want = np.power(np.maximum(np.asarray(raw_p), 1e-30), 1.0 / t)
     want = want / want.sum(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(cal_p), want, rtol=1e-4, atol=1e-6)
+
+
+def test_ensemble_identical_members_equal_single(params):
+    """K identical members reduce exactly to one session: mixture mean ==
+    member mean and mixture var == member var (the disagreement term
+    vanishes)."""
+    single = serving.InferenceSession(params, CFG, batch_size=2)
+    ens = serving.EnsembleSession([params] * 3, CFG, batch_size=2)
+    x = _x(2, seed=11)
+    p1, s1 = single.predict(x)
+    pk, sk = ens.predict(x)
+    np.testing.assert_allclose(pk, p1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sk, s1, rtol=1e-4, atol=1e-6)
+
+
+def test_ensemble_disagreement_raises_variance(params):
+    """Distinct members: the served variance equals the mixture-moment
+    formula mean(s + p^2) - mean(p)^2 on the member outputs, which is
+    >= mean member variance pointwise (Jensen) and strictly greater
+    wherever members disagree; probs stay on the simplex."""
+    p2 = init_params(jax.random.PRNGKey(99), CFG)
+    ens = serving.EnsembleSession([params, p2], CFG, batch_size=2)
+    x = _x(2, seed=12)
+    pk, sk = ens.predict(x)
+    fwd = jax.jit(lambda pr, xx: forward_images(pr, xx, CFG))
+    outs = [
+        np.asarray(a, np.float64)
+        for m in (params, p2)
+        for a in fwd(m, jnp.asarray(x))
+    ]
+    p_mean = (outs[0] + outs[2]) / 2
+    want_var = (outs[1] + outs[3]) / 2 + (outs[0] ** 2 + outs[2] ** 2) / 2
+    want_var -= p_mean**2
+    # atol covers f32 cancellation in mean(p^2) - mean(p)^2 at tiny sigmas
+    np.testing.assert_allclose(sk, want_var, rtol=1e-3, atol=1e-7)
+    # Jensen: the disagreement term is non-negative, positive somewhere
+    gap = want_var - (outs[1] + outs[3]) / 2
+    assert gap.min() >= 0.0 and gap.max() > 0.0
+    np.testing.assert_allclose(pk.sum(-1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(pk, p_mean, atol=1e-5)
+
+
+def test_ensemble_recalibration_post_mixture(params):
+    """variance_scale applies to the MIXTURE variance (fit on ensemble
+    outputs), not per member."""
+    p2 = init_params(jax.random.PRNGKey(98), CFG)
+    raw = serving.EnsembleSession([params, p2], CFG, batch_size=2)
+    cal = serving.EnsembleSession(
+        [params, p2], CFG, batch_size=2, variance_scale=3.0
+    )
+    x = _x(2, seed=13)
+    _, s_raw = raw.predict(x)
+    _, s_cal = cal.predict(x)
+    np.testing.assert_allclose(s_cal, 3.0 * s_raw, rtol=1e-5)
+    with pytest.raises(ValueError):
+        serving.EnsembleSession([], CFG)
