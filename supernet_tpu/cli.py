@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "with FGSM/PGD examples generated in the jitted step")
     t.add_argument("--adv-epsilon", type=float, default=None,
                    help="L-inf radius for adversarial training")
+    t.add_argument("--ensemble", type=int, default=1, metavar="K",
+                   help="K>1 trains K independent members (init seeds "
+                        "seed..seed+K-1, independent data shuffles) into "
+                        "member_{k}/ subdirectories; serve them with a "
+                        "comma-separated --checkpoint list")
     t.add_argument("--adv-alpha", type=float, default=None,
                    help="clean-loss weight (0 = train on adversarial only)")
     t.add_argument("--adv-steps", type=int, default=None,
@@ -120,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
     t3.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="K>1 runs K train steps per device dispatch "
                          "(lax.scan) - removes per-step host round-trips")
+    t3.add_argument("--ensemble", type=int, default=1, metavar="K",
+                    help="K>1 trains K independent members (init seeds "
+                         "seed..seed+K-1, independent data shuffles) into "
+                         "member_{k}/ subdirectories; predict3d serves "
+                         "them via a comma-separated --checkpoint list")
     t3.add_argument("--init-from-2d", metavar="CKPT", default=None,
                     help="transfer init: inflate a trained 2-D checkpoint "
                          "(Orbax epoch dir / .npz / Keras .h5) of the SAME "
@@ -773,6 +783,35 @@ def main(argv=None) -> int:
             print(f"transfer init: inflated 2-D checkpoint "
                   f"{args.init_from_2d} into the 3-D model",
                   file=sys.stderr)
+        if args.ensemble > 1:
+            # K independent members: init seeds seed..seed+K-1 (the seed
+            # also drives the epoch shuffle, so data order diverges too);
+            # a shared --init-from-2d inflation still starts every member
+            # from the same mean weights — diversity then comes from the
+            # shuffle alone, so prefer random init for ensembles
+            base = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/ensemble"
+            dirs, finals = [], []
+            for k in range(args.ensemble):
+                exp_k = exp.replace(train=dataclasses.replace(
+                    exp.train, seed=exp.train.seed + k))
+                member_dir = f"{base}/member_{k}"
+                print(f"ensemble member {k}/{args.ensemble} -> "
+                      f"{member_dir}", file=sys.stderr)
+                tr = Trainer3D(exp_k, x_tr, y_tr, x_val, y_val,
+                               out_dir=member_dir, mesh=mesh3d,
+                               shard=shard3d, initial_params=init3d,
+                               steps_per_dispatch=args.steps_per_dispatch)
+                tr.run()
+                dirs.append(member_dir)
+                finals.append(
+                    {m: v[-1] for m, v in tr.history.items() if v})
+            print(json.dumps({
+                "members": args.ensemble,
+                "dirs": dirs,
+                "checkpoint_arg": ",".join(dirs),
+                "final": finals,
+            }))
+            return 0
         tr = Trainer3D(exp, x_tr, y_tr, x_val, y_val, out_dir=args.out_dir,
                        mesh=mesh3d, shard=shard3d, initial_params=init3d,
                        steps_per_dispatch=args.steps_per_dispatch)
@@ -1094,6 +1133,31 @@ def main(argv=None) -> int:
                       "pass --val-data for a held-out split",
                       file=sys.stderr)
             val_ds = _load_data(exp, args, "test")
+        if args.ensemble > 1:
+            # K independent members: init seeds seed..seed+K-1 (the seed
+            # also drives the epoch shuffle, so data order diverges too)
+            base = args.out_dir or f"{exp.out_dir}/{exp.name}/ensemble"
+            dirs, finals = [], []
+            for k in range(args.ensemble):
+                exp_k = exp.replace(train=dataclasses.replace(
+                    exp.train, seed=exp.train.seed + k))
+                member_dir = f"{base}/member_{k}"
+                print(f"ensemble member {k}/{args.ensemble} -> "
+                      f"{member_dir}", file=sys.stderr)
+                tr = Trainer(exp_k, train_ds, val_ds, out_dir=member_dir,
+                             mesh=mesh,
+                             steps_per_dispatch=args.steps_per_dispatch)
+                tr.run()
+                dirs.append(member_dir)
+                finals.append(
+                    {m: v[-1] for m, v in tr.history.items() if v})
+            print(json.dumps({
+                "members": args.ensemble,
+                "dirs": dirs,
+                "checkpoint_arg": ",".join(dirs),
+                "final": finals,
+            }))
+            return 0
         tr = Trainer(exp, train_ds, val_ds, out_dir=args.out_dir, mesh=mesh,
                      steps_per_dispatch=args.steps_per_dispatch)
         tr.run()

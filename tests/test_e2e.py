@@ -333,3 +333,39 @@ def test_lungs_config_train_eval_smoke(tmp_path):
     assert np.isfinite(res["accuracy"])
     # the lungs structure metrics ride the same per-structure machinery
     assert any(k.startswith("dice_") for k in res)
+
+
+def test_cli_train_ensemble_contract(tmp_path, monkeypatch, capsys):
+    """`cli train --ensemble K` trains K members with incrementing init
+    seeds into member_{k}/ dirs and prints the comma checkpoint_arg that
+    serving consumes. The Trainer is stubbed: the real member loop runs
+    end-to-end in the 3-D CLI test (full geometry is too slow here)."""
+    import supernet_tpu.trainer as trainer_mod
+
+    runs = []
+
+    class _StubTrainer:
+        def __init__(self, exp, train_ds, val_ds, out_dir=None,
+                     mesh=None, steps_per_dispatch=1):
+            runs.append((exp.train.seed, out_dir))
+            self.history = {"train_loss": [1.0]}
+
+        def run(self):
+            return None
+
+    monkeypatch.setattr(trainer_mod, "Trainer", _StubTrainer)
+    from supernet_tpu import cli
+
+    base = str(tmp_path / "ens2d")
+    rc = cli.main([
+        "train", "--config", "hippocampus", "--synthetic", "8",
+        "--batch-size", "4", "--epochs", "1",
+        "--out-dir", base, "--ensemble", "3",
+    ])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s for s, _ in runs] == [0, 1, 2]
+    assert [d for _, d in runs] == [f"{base}/member_{k}" for k in range(3)]
+    assert meta["members"] == 3
+    assert meta["checkpoint_arg"] == ",".join(meta["dirs"])
+    assert len(meta["final"]) == 3

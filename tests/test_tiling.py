@@ -243,3 +243,42 @@ def test_cli_predict3d_directory(tmp_path, capsys):
         (12, 12, 12)
     assert np.load(os.path.join(out, "caseB_uncertainty.npy")).shape == \
         (14, 11, 12)
+
+
+def test_cli_train3d_ensemble_then_predict3d(tmp_path, capsys):
+    """The deep-ensemble loop: train3d --ensemble 2 writes member_{k}/
+    checkpoint dirs and a checkpoint_arg comma list that predict3d
+    serves as one mixture (EnsembleSession); the ensemble uncertainty
+    map covers the whole volume and differs from member 0 alone."""
+    from supernet_tpu import cli
+
+    shape = ["--cube-size", "16", "--depth", "2", "--base-kernels", "2"]
+    base = os.path.join(tmp_path, "ens")
+    rc = cli.main([
+        "train3d", "--config", "hippocampus", "--synthetic", "4",
+        "--batch-size", "2", "--epochs", "1", "--val-frac", "0",
+        *shape, "--out-dir", base, "--ensemble", "2",
+    ])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["members"] == 2 and len(meta["final"]) == 2
+    for k in (0, 1):
+        assert os.path.isdir(os.path.join(base, f"member_{k}", "epoch_0"))
+
+    vpath = os.path.join(tmp_path, "vol.npy")
+    np.save(vpath, RNG.uniform(0, 1, (18, 12, 12)).astype(np.float32))
+
+    def _predict(ckpt, out):
+        rc = cli.main([
+            "predict3d", "--config", "hippocampus", "--volume", vpath,
+            *shape, "--checkpoint", ckpt, "--out-dir", out,
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        return np.load(os.path.join(out, "uncertainty.npy"))
+
+    unc_ens = _predict(meta["checkpoint_arg"], os.path.join(tmp_path, "pe"))
+    unc_m0 = _predict(meta["dirs"][0], os.path.join(tmp_path, "p0"))
+    assert unc_ens.shape == (18, 12, 12) and (unc_ens >= 0).all()
+    # two independently-initialized members must disagree somewhere
+    assert not np.allclose(unc_ens, unc_m0)
