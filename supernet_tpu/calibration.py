@@ -365,6 +365,10 @@ def run_calibration(
     if mc_samples > 0 and mesh is not None:
         raise ValueError("mc_samples mode is single-device; drop mesh")
     fwd = _forward_fn(cfg, mesh, mc_samples=mc_samples)
+    from supernet_tpu.evaluate import _reject_ensemble_modes, ensemble_forward
+
+    if _reject_ensemble_modes(params, mesh, mc_samples):
+        fwd, params = ensemble_forward(fwd, params)
     if mesh is not None:
         from supernet_tpu.parallel import replicate
 

@@ -518,6 +518,30 @@ def _val_count(n: int, frac: float, batch: int) -> int:
     return min(n_val, max(n - batch, 0))
 
 
+def _checkpoint_list(args):
+    """Comma-separated ``--checkpoint`` = deep-ensemble member list."""
+    return [s for s in (getattr(args, "checkpoint", None) or "").split(",")
+            if s]
+
+
+def _load_maybe_ensemble(load_one, exp, args, cmd_ok=True):
+    """Load one checkpoint, or a LIST of members for a comma-separated
+    --checkpoint (the eval runners mix them via
+    `evaluate.ensemble_forward`). ``cmd_ok=False`` rejects the list for
+    single-member commands (export/saliency/attack) with a legible
+    error."""
+    srcs = _checkpoint_list(args)
+    if len(srcs) > 1:
+        if not cmd_ok:
+            raise SystemExit(
+                f"{args.cmd} takes ONE checkpoint; a comma-separated "
+                "ensemble list is served by eval/calibrate/sweep "
+                "(2-D and 3-D) and predict3d"
+            )
+        return [load_one(exp, args, src=s) for s in srcs]
+    return load_one(exp, args)
+
+
 def _load_params3d(exp, args, src=_UNSET):
     """Volumetric params: random init, .npz, or the latest Orbax
     ``epoch_{N}`` checkpoint under --checkpoint (what train3d writes)."""
@@ -973,7 +997,10 @@ def main(argv=None) -> int:
                     "score everything incl. training volumes",
                     file=sys.stderr,
                 )
-        params = _load_params3d(exp, args)
+        params = _load_maybe_ensemble(
+            _load_params3d, exp, args,
+            cmd_ok=args.cmd in ("eval3d", "calibrate3d"),
+        )
 
         if args.cmd == "eval3d":
             from supernet_tpu.evaluate3d import (
@@ -1169,7 +1196,8 @@ def main(argv=None) -> int:
         from supernet_tpu.serving import export_bundle
 
         exp = _cfg3d(exp, args)
-        params = _load_params3d(exp, args)
+        params = _load_maybe_ensemble(_load_params3d, exp, args,
+                                      cmd_ok=False)
         out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/export"
         meta = export_bundle(
             params,
@@ -1184,7 +1212,10 @@ def main(argv=None) -> int:
         print(json.dumps(meta))
         return 0
 
-    params = _load_params(exp, args)
+    params = _load_maybe_ensemble(
+        _load_params, exp, args,
+        cmd_ok=args.cmd in ("eval", "calibrate", "sweep"),
+    )
 
     if args.cmd == "export":
         from supernet_tpu.serving import export_bundle

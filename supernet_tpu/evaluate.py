@@ -104,6 +104,45 @@ def make_eval_forward(
     return f
 
 
+def ensemble_forward(fwd, params_list):
+    """Deep-ensemble eval forward: wrap a ``fwd(params, x) -> (p, s)``
+    into the uniform-mixture moments over K stacked member trees
+    (`serving.EnsembleSession`'s math — within-member variance PLUS
+    between-member disagreement), vmapped so XLA batches the K forwards
+    in one program. Returns ``(mixture_fwd, stacked_params)``.
+
+    Single-device VDP only: callers reject mesh / mc_samples modes."""
+    params_list = list(params_list)
+    if not params_list:
+        raise ValueError("params_list must hold at least one member")
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
+    )
+
+    @jax.jit
+    def efn(params, x):
+        p, s = jax.vmap(lambda pr: fwd(pr, x))(params)
+        mean = jnp.mean(p, axis=0)
+        var = jnp.mean(s + jnp.square(p), axis=0) - jnp.square(mean)
+        return mean, jnp.maximum(var, 0.0)
+
+    return efn, stacked
+
+
+def _reject_ensemble_modes(params, mesh, mc_samples=0):
+    """Shared guard: list-of-members params compose with the plain VDP
+    forward only (the mixture is not defined for the MC baseline, and
+    mesh sharding of the stacked tree is unimplemented)."""
+    if isinstance(params, (list, tuple)):
+        if mesh is not None or mc_samples:
+            raise ValueError(
+                "ensemble eval (a list of member params) is single-device "
+                "VDP only; drop mesh / mc_samples"
+            )
+        return True
+    return False
+
+
 def _forward_fn(cfg, mesh=None, mc_samples: int = 0, mc_seed: int = 0):
     """2-D eval forward (see `make_eval_forward`): batch-sharded over the
     mesh, or the `forward_sampled` MC ensemble."""
@@ -191,6 +230,8 @@ def run_testing(
     if mc_samples > 0 and mesh is not None:
         raise ValueError("mc_samples mode is single-device; drop mesh")
     fwd = _forward_fn(cfg, mesh, mc_samples=mc_samples, mc_seed=seed)
+    if _reject_ensemble_modes(params, mesh, mc_samples):
+        fwd, params = ensemble_forward(fwd, params)
     if mesh is not None:
         from supernet_tpu.parallel import replicate
 
@@ -325,6 +366,11 @@ def run_adversarial(
     untargeted BraTS (`Brats.py:984-991`)."""
     cfg = exp.model
     ac = exp.attack
+    if isinstance(params, (list, tuple)):
+        raise ValueError(
+            "adversarial eval attacks ONE member's loss surface; pass a "
+            "single checkpoint (ensemble attack transfer is out of scope)"
+        )
     fwd = _forward_fn(cfg, mesh)
     if mesh is not None:
         from supernet_tpu.parallel import replicate

@@ -138,6 +138,10 @@ def run_testing3d(
     if mc_samples > 0 and mesh is not None:
         raise ValueError("mc_samples mode is single-device; drop mesh")
     fwd = _forward3d_fn(cfg, mesh, mc_samples=mc_samples, mc_seed=seed)
+    from supernet_tpu.evaluate import _reject_ensemble_modes, ensemble_forward
+
+    if _reject_ensemble_modes(params, mesh, mc_samples):
+        fwd, params = ensemble_forward(fwd, params)
     if mesh is not None:
         from supernet_tpu.parallel import replicate
 
@@ -250,6 +254,11 @@ def run_adversarial3d(
     differentiating through the full 3-D VDP forward."""
     cfg = exp.model
     ac = exp.attack
+    if isinstance(params, (list, tuple)):
+        raise ValueError(
+            "adversarial eval attacks ONE member's loss surface; pass a "
+            "single checkpoint (ensemble attack transfer is out of scope)"
+        )
     fwd = _forward3d_fn(cfg, mesh)
     x_spec = y_spec = None
     if mesh is not None:
@@ -384,6 +393,10 @@ def run_calibration3d(
     if mc_samples > 0 and mesh is not None:
         raise ValueError("mc_samples mode is single-device; drop mesh")
     fwd = _forward3d_fn(cfg, mesh, mc_samples=mc_samples)
+    from supernet_tpu.evaluate import _reject_ensemble_modes, ensemble_forward
+
+    if _reject_ensemble_modes(params, mesh, mc_samples):
+        fwd, params = ensemble_forward(fwd, params)
     if mesh is not None:
         from supernet_tpu.parallel import replicate
 

@@ -369,3 +369,49 @@ def test_cli_train_ensemble_contract(tmp_path, monkeypatch, capsys):
     assert meta["members"] == 3
     assert meta["checkpoint_arg"] == ",".join(meta["dirs"])
     assert len(meta["final"]) == 3
+
+
+def test_run_testing_ensemble_members(tmp_path):
+    """run_testing accepts a LIST of member params: the mixture's
+    uncertainty is >= the mean member variance in aggregate, the full
+    metric dict is produced, and mesh / mc_samples modes reject."""
+    p1 = init_params(jax.random.PRNGKey(3), EXP.model)
+    p2 = init_params(jax.random.PRNGKey(4), EXP.model)
+    ds = _ds(4)
+    res_e = run_testing(EXP, [p1, p2], ds, images_n=0,
+                        out_dir=str(tmp_path / "ens"))
+    assert 0.0 <= res_e["accuracy"] <= 1.0
+    assert np.isfinite(res_e["mean_predictive_variance"])
+    singles = [
+        run_testing(EXP, p, ds, images_n=0,
+                    out_dir=str(tmp_path / f"s{i}"))
+        for i, p in enumerate((p1, p2))
+    ]
+    mean_member = np.mean(
+        [s["mean_predictive_variance"] for s in singles])
+    assert res_e["mean_predictive_variance"] >= mean_member - 1e-8
+
+    with pytest.raises(ValueError, match="single-device"):
+        run_testing(EXP, [p1, p2], ds, mc_samples=3)
+    from supernet_tpu.evaluate import run_adversarial
+
+    with pytest.raises(ValueError, match="ONE member"):
+        run_adversarial(EXP, [p1, p2], ds)
+
+
+def test_cli_ensemble_checkpoint_guards():
+    """Single-member commands reject a comma --checkpoint list with a
+    legible error instead of a FileNotFoundError on 'a,b'."""
+    from supernet_tpu import cli
+
+    class _A:
+        checkpoint = "a,b"
+        cmd = "export"
+
+    with pytest.raises(SystemExit, match="ONE checkpoint"):
+        cli._load_maybe_ensemble(lambda *a, **k: None, None, _A(),
+                                 cmd_ok=False)
+    # a single path loads through load_one unchanged
+    assert cli._load_maybe_ensemble(
+        lambda e, a: "loaded", None, type("B", (), {"checkpoint": "x"})(),
+        cmd_ok=False) == "loaded"
