@@ -908,7 +908,22 @@ def main(argv=None) -> int:
         )
         if len(srcs) > 1:
             members = [_load_params3d(exp, args, src=s) for s in srcs]
-            sess = EnsembleSession(members, cfg, **common)
+            mesh = None
+            if args.data_parallel:
+                import jax
+
+                from supernet_tpu.parallel import make_mesh
+
+                # member-parallel serving: largest device count that
+                # divides K runs K/n members per device, mixture means
+                # all-reduce over ICI
+                n = jax.device_count()
+                while n > 1 and len(members) % n != 0:
+                    n -= 1
+                mesh = make_mesh(n)
+                print(f"ensemble members sharded over {n} devices",
+                      file=sys.stderr)
+            sess = EnsembleSession(members, cfg, mesh=mesh, **common)
         else:
             sess = InferenceSession(_load_params3d(exp, args), cfg, **common)
         out_dir = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/predict"

@@ -357,8 +357,12 @@ class EnsembleSession(InferenceSession):
     to a single session. Fitted recalibration applies AFTER the mixture
     (fit it on ensemble outputs).
 
-    Single-device or replicated serving only (no mesh/scan modes);
-    ``predict`` / ``predict_volume`` / ``predict_image`` are inherited.
+    With a ``mesh``, the MEMBER axis shards over the mesh's data axis:
+    each device runs its members on the full (replicated) batch and the
+    mixture means become one all-reduce over ICI — embarrassingly
+    parallel ensemble serving in the same compiled program (requires
+    ``K % n_devices == 0``). ``predict`` / ``predict_volume`` /
+    ``predict_image`` are inherited.
     """
 
     def __init__(
@@ -369,11 +373,14 @@ class EnsembleSession(InferenceSession):
         volumetric: bool = False,
         variance_scale: float = 1.0,
         temperature: float = 1.0,
+        mesh=None,
     ):
         params_list = list(params_list)
         if not params_list:
             raise ValueError("params_list must hold at least one member")
-        # member fn WITHOUT recalibration: recalibration is post-mixture
+        # member fn WITHOUT recalibration: recalibration is post-mixture;
+        # the parent session is built meshless — the ensemble shards the
+        # member axis itself below
         super().__init__(
             params_list[0], cfg, batch_size=batch_size,
             volumetric=volumetric,
@@ -385,7 +392,6 @@ class EnsembleSession(InferenceSession):
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
             *params_list,
         )
-        self._params = jax.device_put(stacked)
 
         def efn(params, x):
             p, s = jax.vmap(lambda pr: member(pr, x))(params)
@@ -393,7 +399,27 @@ class EnsembleSession(InferenceSession):
             var = jnp.mean(s + jnp.square(p), axis=0) - jnp.square(mean)
             return recal(mean, jnp.maximum(var, 0.0))
 
-        self._fn = jax.jit(efn)
+        if mesh is None:
+            self._params = jax.device_put(stacked)
+            self._fn = jax.jit(efn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(np.prod(mesh.devices.shape))
+            if self.n_members % n_dev != 0:
+                raise ValueError(
+                    f"{self.n_members} ensemble members do not shard over "
+                    f"the {n_dev}-device mesh; K % n_devices must be 0"
+                )
+            self._mesh = mesh
+            members_sh = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self._params = jax.device_put(stacked, members_sh)
+            self._fn = jax.jit(
+                efn,
+                in_shardings=(members_sh, rep),
+                out_shardings=(rep, rep),
+            )
 
 
 def export_bundle(

@@ -317,3 +317,26 @@ def test_ensemble_recalibration_post_mixture(params):
     np.testing.assert_allclose(s_cal, 3.0 * s_raw, rtol=1e-5)
     with pytest.raises(ValueError):
         serving.EnsembleSession([], CFG)
+
+
+def test_ensemble_mesh_members_sharded(params):
+    """Mesh-sharded ensemble: the MEMBER axis splits over the mesh's data
+    axis (each device runs K/n members on the replicated batch; mixture
+    means become an all-reduce) — outputs equal the meshless ensemble,
+    and a non-dividing K rejects at construction."""
+    from supernet_tpu.parallel import make_mesh
+
+    members = [init_params(jax.random.PRNGKey(s), CFG) for s in (3, 99)]
+    x = _x(2, seed=21)
+    base_p, base_s = serving.EnsembleSession(
+        members, CFG, batch_size=2).predict(x)
+    mesh = make_mesh(2)
+    ens = serving.EnsembleSession(members, CFG, batch_size=2, mesh=mesh)
+    # the stacked member axis is actually distributed over the mesh
+    assert len(ens._params["conv_input"]["w_mu"].sharding.device_set) == 2
+    pk, sk = ens.predict(x)
+    np.testing.assert_allclose(pk, base_p, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sk, base_s, rtol=1e-4, atol=1e-7)
+
+    with pytest.raises(ValueError, match="do not shard"):
+        serving.EnsembleSession(members, CFG, mesh=make_mesh(8))
