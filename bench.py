@@ -24,6 +24,17 @@ the measured naive baseline; default: on for Hippocampus only — BraTS's
 patch matrices at batch 20 are ~GB-scale transients),
 SUPERNET_BENCH_SCALING=1|0 (batch-scaling study -> "best" fields; default
 on), SUPERNET_PRECISION, SUPERNET_BACKEND, SUPERNET_DATA_PARALLEL=1.
+
+Resilience (round-3 postmortem: one 300-s init hang cost the round its
+entire perf record, BENCH_r03.json): the measurement now runs in a CHILD
+subprocess supervised by this process. The relayed TPU backend's init hang
+is in-process state — a fresh process is the only reliable reset — so the
+supervisor makes SUPERNET_BENCH_ATTEMPTS (default 4) attempts, each a new
+subprocess with a SUPERNET_BENCH_INIT_TIMEOUT (default 150 s) init
+watchdog, with backoff between attempts. Every successful run is persisted
+to bench_last_good.json; if all attempts fail, that last-known-good payload
+is emitted with ``stale: true`` + the failure trace so a round is never
+evidence-free. SUPERNET_BENCH_CHILD=1 marks the child (internal).
 """
 
 from __future__ import annotations
@@ -365,11 +376,16 @@ def main() -> None:
         out["vs_baseline_is_estimate"] = True
 
     # batch-scaling study: the parity batch (20) underfills the chip; report
-    # the best-throughput configuration alongside it (VERDICT r2 #1)
+    # the best-throughput configuration alongside it (VERDICT r2 #1).
+    # "best" is an ALWAYS-PRESENT first-class key (VERDICT r3 #8) so
+    # round-over-round regression stays machine-checkable: when the sweep
+    # is skipped it degrades to the parity-batch stats rather than vanish.
     if os.environ.get("SUPERNET_BENCH_SCALING", "1") == "1" and not data_parallel:
         scaling, best = _scaling_study(model, stats, max(20, n_iters // 4))
         out["batch_scaling"] = scaling
         out["best"] = best
+    else:
+        out["best"] = {k: stats[k] for k in _BEST_KEYS if k in stats}
 
     # secondary models for the record (same JSON line, extra fields)
     if os.environ.get("SUPERNET_BENCH_EXTRA", "1") == "1":
@@ -553,21 +569,123 @@ def _bench_3d(n_iters: int) -> dict:
     }
 
 
-if __name__ == "__main__":
+LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_last_good.json"
+)
+
+
+def _child_main() -> int:
+    """One measurement attempt (runs in a subprocess). Returns exit code."""
     try:
         main()
+        return 0
     except RuntimeError as e:  # e.g. TPU relay UNAVAILABLE at backend init
         if "backend" not in str(e).lower():
             raise
-        import json as _json
-
-        # still emit ONE parseable JSON line so the driver records WHY
-        # there is no throughput number instead of an empty file
-        print(_json.dumps({
+        # still emit ONE parseable JSON line so the supervisor records WHY
+        # this attempt produced no throughput number
+        print(json.dumps({
             "metric": "images_per_sec",
             "value": 0.0,
             "unit": "images/sec",
             "vs_baseline": 0.0,
             "error": f"TPU backend unavailable: {str(e)[:200]}",
         }))
-        raise SystemExit(1)
+        return 1
+
+
+def _parse_json_tail(text: str):
+    """Last parseable JSON line of a child's stdout, or None."""
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None
+
+
+def supervise() -> int:
+    """Retry the measurement in fresh subprocesses; never leave the round
+    evidence-free (VERDICT r3 #1).
+
+    The observed failure mode is an in-process backend-init hang on the
+    relayed TPU transport — unjoinable thread, no exception — so each
+    attempt is a NEW process (the only reliable reset) with its own init
+    watchdog. On total failure the last-known-good payload is replayed,
+    timestamped and labeled ``stale: true``.
+    """
+    import subprocess
+
+    attempts = max(1, int(os.environ.get("SUPERNET_BENCH_ATTEMPTS", "4")))
+    init_timeout = float(os.environ.get("SUPERNET_BENCH_INIT_TIMEOUT", "150"))
+    # overall per-attempt wall clamp: the full sweep (scaling + extra models
+    # + naive baseline + 3-D + inference) legitimately takes many minutes
+    child_timeout = float(os.environ.get("SUPERNET_BENCH_CHILD_TIMEOUT", "2700"))
+    failures = []
+    for attempt in range(attempts):
+        env = dict(os.environ)
+        env["SUPERNET_BENCH_CHILD"] = "1"
+        env["SUPERNET_BENCH_INIT_TIMEOUT"] = str(init_timeout)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                timeout=child_timeout,
+                env=env,
+            )
+            payload = _parse_json_tail(proc.stdout)
+            if proc.returncode == 0 and payload and "error" not in payload:
+                payload["captured_at"] = time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                )
+                try:
+                    with open(LAST_GOOD_PATH, "w") as f:
+                        json.dump(payload, f, indent=1)
+                except OSError:
+                    pass  # read-only checkout: still print the live result
+                print(json.dumps(payload))
+                return 0
+            why = (
+                payload.get("error", f"rc={proc.returncode}")
+                if payload
+                else f"rc={proc.returncode}, no JSON in stdout "
+                f"(stderr tail: {proc.stderr[-200:]!r})"
+            )
+        except subprocess.TimeoutExpired:
+            why = f"child exceeded {child_timeout:.0f}s wall clamp"
+        failures.append(f"attempt {attempt + 1}: {why}")
+        print(f"bench attempt {attempt + 1}/{attempts} failed: {why}",
+              file=sys.stderr)
+        if attempt + 1 < attempts:
+            time.sleep(min(60.0, 5.0 * 2 ** attempt))  # backoff before retry
+
+    trace = "; ".join(failures)[:800]
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            stale = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        stale = None
+    if stale is not None:
+        stale["stale"] = True
+        stale["stale_captured_at"] = stale.pop("captured_at", "unknown")
+        stale["error"] = f"TPU backend unavailable this round: {trace}"
+        print(json.dumps(stale))
+        return 0  # parseable last-known-good evidence, clearly labeled
+    print(json.dumps({
+        "metric": "images_per_sec",
+        "value": 0.0,
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
+        "error": f"TPU backend unavailable and no last-known-good: {trace}",
+    }))
+    return 1
+
+
+if __name__ == "__main__":
+    if os.environ.get("SUPERNET_BENCH_CHILD") == "1":
+        raise SystemExit(_child_main())
+    raise SystemExit(supervise())
