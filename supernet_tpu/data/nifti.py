@@ -105,8 +105,15 @@ def read_nifti(path: str) -> Tuple[np.ndarray, Dict[str, object]]:
                 break
         else:
             # some pipelines ship ni1-magic files with the data inline
-            # after the header; accept that if the buffer is big enough
-            offset = _HDR_SIZE + 4
+            # after the header; honor the header's vox_offset when it
+            # points inside this buffer (it can differ from 352 when an
+            # extension block follows the header), else assume the
+            # canonical 352 = header + 4-byte extension flag
+            offset = (
+                int(vox_offset)
+                if _HDR_SIZE <= int(vox_offset) < len(raw)
+                else _HDR_SIZE + 4
+            )
             if len(raw) < offset + n * dt.itemsize:
                 raise ValueError(
                     f"{path}: detached NIfTI ('ni1') with no companion "

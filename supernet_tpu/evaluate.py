@@ -97,11 +97,27 @@ def make_eval_forward(
     if mesh is not None:
         return sharded_factory(cfg, mesh)
 
+    # memoized per (forward_fn, cfg): a sweep calls run_testing once per
+    # noise level x region, and a fresh jit wrapper each call would
+    # re-trace the whole model every time (ADVICE r3)
+    hit = _PLAIN_FWD_CACHE.get((forward_fn, cfg))
+    if hit is not None:
+        return hit
+
     @jax.jit
     def f(params, x):
         return forward_fn(params, x, cfg)
 
+    _PLAIN_FWD_CACHE[(forward_fn, cfg)] = f
     return f
+
+
+_PLAIN_FWD_CACHE: Dict[tuple, object] = {}
+
+# latest ensemble wrap: (member list, mixture fwd, stacked tree). Size-1 —
+# a sweep reuses one ensemble; holding strong member refs makes the
+# id()-based key safe (ids cannot be recycled while the entry lives).
+_ENSEMBLE_CACHE: Dict[tuple, tuple] = {}
 
 
 def ensemble_forward(fwd, params_list):
@@ -111,10 +127,21 @@ def ensemble_forward(fwd, params_list):
     between-member disagreement), vmapped so XLA batches the K forwards
     in one program. Returns ``(mixture_fwd, stacked_params)``.
 
-    Single-device VDP only: callers reject mesh / mc_samples modes."""
+    Single-device VDP only: callers reject mesh / mc_samples modes.
+
+    Repeated calls with the SAME fwd and member trees (a noise sweep calls
+    run_testing per level x region) return the cached (mixture fwd,
+    stacked tree) pair instead of re-stacking K trees and re-tracing the
+    vmapped K-member program every time (ADVICE r3)."""
     params_list = list(params_list)
     if not params_list:
         raise ValueError("params_list must hold at least one member")
+    key = (fwd, tuple(id(p) for p in params_list))
+    hit = _ENSEMBLE_CACHE.get(key)
+    if hit is not None and all(
+        a is b for a, b in zip(hit[0], params_list)
+    ):
+        return hit[1], hit[2]
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
     )
@@ -126,6 +153,8 @@ def ensemble_forward(fwd, params_list):
         var = jnp.mean(s + jnp.square(p), axis=0) - jnp.square(mean)
         return mean, jnp.maximum(var, 0.0)
 
+    _ENSEMBLE_CACHE.clear()
+    _ENSEMBLE_CACHE[key] = (params_list, efn, stacked)
     return efn, stacked
 
 
