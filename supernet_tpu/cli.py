@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "seed..seed+K-1, independent data shuffles) into "
                         "member_{k}/ subdirectories; serve them with a "
                         "comma-separated --checkpoint list")
+    t.add_argument("--ensemble-mode", default="vmap",
+                   choices=["vmap", "sequential"],
+                   help="vmap (default): all K members train as ONE "
+                        "compiled vmapped program (with --data-parallel, "
+                        "members shard over the devices); sequential: K "
+                        "separate full trainings (the round-3 behavior)")
     t.add_argument("--adv-alpha", type=float, default=None,
                    help="clean-loss weight (0 = train on adversarial only)")
     t.add_argument("--adv-steps", type=int, default=None,
@@ -1179,22 +1185,49 @@ def main(argv=None) -> int:
             # K independent members: init seeds seed..seed+K-1 (the seed
             # also drives the epoch shuffle, so data order diverges too)
             base = args.out_dir or f"{exp.out_dir}/{exp.name}/ensemble"
-            dirs, finals = [], []
-            for k in range(args.ensemble):
-                exp_k = exp.replace(train=dataclasses.replace(
-                    exp.train, seed=exp.train.seed + k))
-                member_dir = f"{base}/member_{k}"
-                print(f"ensemble member {k}/{args.ensemble} -> "
-                      f"{member_dir}", file=sys.stderr)
-                tr = Trainer(exp_k, train_ds, val_ds, out_dir=member_dir,
-                             mesh=mesh,
-                             steps_per_dispatch=args.steps_per_dispatch)
+            if args.ensemble_mode == "vmap":
+                # ONE compiled vmapped program for all K members — the
+                # training twin of serving.EnsembleSession (VERDICT r3 #4)
+                from supernet_tpu.ensemble import EnsembleTrainer
+
+                if args.steps_per_dispatch > 1:
+                    print("note: --steps-per-dispatch is ignored in vmap "
+                          "ensemble mode (the member axis already batches "
+                          "the device work)", file=sys.stderr)
+                emesh = None
+                if mesh is not None:
+                    # --data-parallel + vmap ensemble = member-per-device:
+                    # shrink the mesh to the largest divisor of K
+                    from supernet_tpu.parallel import make_mesh_for_batch
+
+                    emesh = make_mesh_for_batch(args.ensemble)
+                    print(f"ensemble members sharded over "
+                          f"{len(emesh.devices.flat)} devices",
+                          file=sys.stderr)
+                tr = EnsembleTrainer(exp, args.ensemble, train_ds, val_ds,
+                                     out_dir=base, mesh=emesh)
                 tr.run()
-                dirs.append(member_dir)
-                finals.append(
-                    {m: v[-1] for m, v in tr.history.items() if v})
+                dirs = tr.member_dirs
+                finals = [{m: v[-1] for m, v in h.items() if v}
+                          for h in tr.histories]
+            else:
+                dirs, finals = [], []
+                for k in range(args.ensemble):
+                    exp_k = exp.replace(train=dataclasses.replace(
+                        exp.train, seed=exp.train.seed + k))
+                    member_dir = f"{base}/member_{k}"
+                    print(f"ensemble member {k}/{args.ensemble} -> "
+                          f"{member_dir}", file=sys.stderr)
+                    tr = Trainer(exp_k, train_ds, val_ds,
+                                 out_dir=member_dir, mesh=mesh,
+                                 steps_per_dispatch=args.steps_per_dispatch)
+                    tr.run()
+                    dirs.append(member_dir)
+                    finals.append(
+                        {m: v[-1] for m, v in tr.history.items() if v})
             print(json.dumps({
                 "members": args.ensemble,
+                "mode": args.ensemble_mode,
                 "dirs": dirs,
                 "checkpoint_arg": ",".join(dirs),
                 "final": finals,

@@ -1,0 +1,394 @@
+"""One-compiled-program deep-ensemble training.
+
+Round 3 trained ``--ensemble K`` as K sequential full trainings — K jit
+compiles, K epoch loops (`cli.py`), while the serving side already vmapped
+the member axis into one program (`serving.EnsembleSession`). This module
+is the training twin: the K member states are stacked along a leading axis
+and every update is ONE vmapped XLA program (`train.make_ensemble_train_step`),
+so the model compiles once and the members' convs batch together on the MXU.
+
+Semantics match the sequential path exactly (tested in
+tests/test_ensemble_train.py):
+
+- member k's params init from ``PRNGKey(seed + k)``;
+- member k's epoch shuffle is seeded ``seed + k`` — each member sees ITS
+  OWN data order, fed as stacked ``[K, B, ...]`` batches;
+- member k's on-device augmentation is keyed by ``seed + k`` (the vmapped
+  step takes a per-member seed vector);
+- per-member ``epoch_{N}`` checkpoints in ``member_{k}/`` dirs — the same
+  layout `cli eval --checkpoint dir0,dir1,...` and `EnsembleSession`
+  consume;
+- per-member validation curves / history pickles / hyperparameter dumps.
+
+The reference has no ensemble support at all; deep ensembles are a net-new
+uncertainty baseline (ensemble disagreement complements the VDP variance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from supernet_tpu import checkpoint as ckpt
+from supernet_tpu import metrics as M
+from supernet_tpu import reports
+from supernet_tpu.configs import ExperimentConfig
+from supernet_tpu.data import PickleDataset
+from supernet_tpu.models import init_params
+from supernet_tpu.train import (
+    TrainState,
+    create_train_state,
+    index_tree,
+    make_ensemble_eval_step,
+    make_ensemble_train_step,
+    stack_trees,
+)
+from supernet_tpu.trainer import _prep_batch
+
+
+class EnsembleTrainer:
+    """Epoch driver for the vmapped K-member ensemble.
+
+    ``mesh``: optional member-axis sharding (one device trains a block of
+    members; K must divide over the mesh — shrink it with
+    ``parallel.make_mesh_for_batch(K)``).
+    """
+
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        n_members: int,
+        train_ds: PickleDataset,
+        val_ds: Optional[PickleDataset] = None,
+        out_dir: Optional[str] = None,
+        mesh=None,
+        track_curves: bool = True,
+    ):
+        if n_members < 2:
+            raise ValueError("EnsembleTrainer needs n_members >= 2")
+        self.exp = exp
+        self.cfg = exp.model
+        self.tc = exp.train
+        self.n_members = n_members
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.base_dir = out_dir or os.path.join(
+            exp.out_dir, exp.name, "ensemble"
+        )
+        self.member_dirs = [
+            os.path.join(self.base_dir, f"member_{k}")
+            for k in range(n_members)
+        ]
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            if n_members % n_dev != 0:
+                raise ValueError(
+                    f"{n_members} members do not divide over the {n_dev}-"
+                    "device mesh; use parallel.make_mesh_for_batch("
+                    "n_members) to shrink it"
+                )
+        self.structures = M.dataset_structures(exp.name)
+        # per-structure train curves need a per-step [K, B, H*W] pred fetch
+        # + K x host metrics; same trade-off as Trainer.track_curves. Same
+        # forced-off rule for augmentation (the step's pred is of the
+        # augmented batch while the host holds unaugmented labels).
+        self.track_curves = track_curves
+        self.track_train_curves = track_curves and exp.train.augment is None
+        self.step_fn = make_ensemble_train_step(
+            self.cfg, self.tc, with_pred=self.track_train_curves, mesh=mesh
+        )
+        self.eval_fn = make_ensemble_eval_step(self.cfg, self.tc)
+        self.seeds = np.arange(n_members, dtype=np.int32) + self.tc.seed
+        # one history dict per member, same keys as Trainer.history
+        self.histories: List[Dict[str, List[float]]] = [
+            {
+                "train_loss": [],
+                "train_acc": [],
+                "val_loss": [],
+                "val_acc": [],
+                "val_dice": [],
+            }
+            for _ in range(n_members)
+        ]
+
+    # -- state ---------------------------------------------------------
+
+    def init_state(self) -> TrainState:
+        members = []
+        for k in range(self.n_members):
+            params = init_params(
+                jax.random.PRNGKey(self.tc.seed + k), self.cfg
+            )
+            state, _ = create_train_state(params, self.tc)
+            members.append(state)
+        self.start_epoch = 0
+        if self.tc.continue_training:
+            latest = [ckpt.latest_epoch(d) for d in self.member_dirs]
+            if all(e is not None for e in latest):
+                # resume from the newest epoch EVERY member has (an async
+                # writer can be one epoch ahead for some members)
+                epoch = min(latest)  # type: ignore[type-var]
+                members = [
+                    ckpt.restore_state(d, epoch, s)
+                    for d, s in zip(self.member_dirs, members)
+                ]
+                self.start_epoch = epoch + 1
+            elif any(e is not None for e in latest):
+                raise FileNotFoundError(
+                    "continue_training: only some member dirs have "
+                    f"checkpoints ({latest}); refusing a mixed resume"
+                )
+        return stack_trees(members)
+
+    # -- epoch loop ----------------------------------------------------
+
+    def run(self, epochs: Optional[int] = None, log=print) -> TrainState:
+        state = self.init_state()
+        epochs = epochs if epochs is not None else self.tc.epochs
+        writers = [
+            ckpt.AsyncEpochCheckpointer(d) for d in self.member_dirs
+        ]
+        t_start = time.perf_counter()
+        last_good: Optional[int] = None
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                state = self._train_epoch(state, epoch, log)
+                bad = [
+                    k
+                    for k, h in enumerate(self.histories)
+                    if not np.isfinite(h["train_loss"][-1])
+                ]
+                if bad:
+                    # one shared program: a diverged member poisons its own
+                    # slice only, but the rollback restores ALL members to
+                    # the last good epoch so the stacked state stays aligned
+                    if last_good is None:
+                        raise FloatingPointError(
+                            f"non-finite loss in members {bad} at epoch "
+                            f"{epoch} and no checkpoint to roll back to"
+                        )
+                    log(
+                        f"epoch {epoch}: non-finite loss in members {bad} "
+                        f"- rolling back ALL members to epoch {last_good}"
+                    )
+                    for w in writers:
+                        w.wait()
+                    host = jax.device_get(state)
+                    members = [
+                        ckpt.restore_state(d, last_good, index_tree(host, k))
+                        for k, d in enumerate(self.member_dirs)
+                    ]
+                    state = stack_trees(members)
+                    continue
+                if self.val_ds is not None:
+                    self._validate(state, epoch, log)
+                if (epoch + 1) % self.tc.checkpoint_every == 0:
+                    host = jax.device_get(state)
+                    for k, w in enumerate(writers):
+                        w.save(epoch, index_tree(host, k))
+                    last_good = epoch
+            for w in writers:
+                w.wait()
+        finally:
+            for w in writers:
+                w.close()
+        self.total_time = time.perf_counter() - t_start
+        self._finalize()
+        return state
+
+    def _member_batches(self, epoch: int):
+        """Zip the K per-member shuffles into stacked [K, B, ...] batches.
+        drop_remainder=True keeps every member's stream the same length
+        and shape, so the stack is always rectangular."""
+        iters = [
+            self.train_ds.batches(
+                self.tc.batch_size,
+                shuffle=True,
+                seed=self.tc.seed + k,
+                epoch=epoch,
+            )
+            for k in range(self.n_members)
+        ]
+        for group in zip(*iters):
+            xs, ys = [], []
+            for x, y in group:
+                x, y_c = _prep_batch(
+                    x, y, self.cfg.out_size, self.cfg.n_classes
+                )
+                xs.append(x)
+                ys.append(np.ascontiguousarray(y_c, np.int32))
+            yield np.stack(xs), np.stack(ys)
+
+    def _train_epoch(self, state, epoch, log):
+        from supernet_tpu.profiling import StepTimer
+
+        losses = [[] for _ in range(self.n_members)]
+        accs = [[] for _ in range(self.n_members)]
+        t_dice = [
+            {s: [] for s in self.structures} for _ in range(self.n_members)
+        ]
+        t_haus = [
+            {s: [] for s in self.structures} for _ in range(self.n_members)
+        ]
+        timer = StepTimer()
+        tick_imgs: List[int] = []
+        tick_host: List[float] = []
+        seeds = self.seeds
+        step = 0
+        timer.tick()
+        for xk, yk in self._member_batches(epoch):
+            host_s = 0.0
+            if self.track_train_curves:
+                state, m, pred = self.step_fn(state, xk, yk, seeds)
+                preds = np.asarray(pred)  # [K, B, H*W]; fetch = sync
+                t0 = time.perf_counter()
+                for k in range(self.n_members):
+                    pred_img = preds[k].reshape(yk[k].shape)
+                    for s in self.structures:
+                        tm = M.binarize(yk[k], s, self.exp.name)
+                        pm = M.binarize(pred_img, s, self.exp.name)
+                        d, _ = M.dice(tm, pm)
+                        t_dice[k][s].append(d)
+                        t_haus[k][s].append(M.compute_H(tm, pm))
+                host_s = time.perf_counter() - t0
+            else:
+                state, m = self.step_fn(state, xk, yk, seeds)
+            loss_k = np.asarray(m.loss)  # [K]
+            acc_k = np.asarray(m.accuracy)
+            for k in range(self.n_members):
+                losses[k].append(float(loss_k[k]))
+                accs[k].append(float(acc_k[k]))
+            if step % self.tc.log_every == 0:
+                log(
+                    f"epoch {epoch} step {step}: "
+                    f"loss={np.array2string(loss_k, precision=4)} "
+                    f"acc={np.array2string(acc_k, precision=4)}"
+                )
+            step += 1
+            timer.tick()
+            tick_imgs.append(int(xk.shape[1]))  # per-member images
+            tick_host.append(host_s)
+        for k in range(self.n_members):
+            h = self.histories[k]
+            h["train_loss"].append(float(np.mean(losses[k])))
+            h["train_acc"].append(float(np.mean(accs[k])))
+            if self.track_train_curves:
+                for s in self.structures:
+                    h.setdefault(f"train_dice_{s}", []).append(
+                        float(np.nanmean(t_dice[k][s]))
+                    )
+                    h.setdefault(f"train_haus_{s}", []).append(
+                        float(np.nanmean(t_haus[k][s]))
+                    )
+        timer.sync(state.params)
+        n_ticks = len(tick_imgs)
+        skip = 1 if n_ticks > 1 else 0
+        secs = timer.times[-1] - timer.times[skip] if n_ticks > skip else 0.0
+        secs -= sum(tick_host[skip:])
+        imgs = sum(tick_imgs[skip:])
+        # per-member rate, directly comparable with the sequential path's
+        # images/sec; the whole-ensemble rate is K x this
+        ips = imgs / secs if secs > 0 else 0.0
+        for h in self.histories:
+            h.setdefault("images_per_sec", []).append(ips)
+            h.setdefault("ensemble_images_per_sec", []).append(
+                ips * self.n_members
+            )
+        log(
+            f"epoch {epoch}: {ips:.4g} images/sec/member "
+            f"({ips * self.n_members:.4g} ensemble-wide, "
+            f"{timer.total_seconds():.2f}s)"
+        )
+        return state
+
+    def _validate(self, state, epoch, log):
+        losses = [[] for _ in range(self.n_members)]
+        accs = [[] for _ in range(self.n_members)]
+        dices = [[] for _ in range(self.n_members)]
+        v_dice = [
+            {s: [] for s in self.structures} for _ in range(self.n_members)
+        ]
+        v_haus = [
+            {s: [] for s in self.structures} for _ in range(self.n_members)
+        ]
+        for x, y in self.val_ds.batches(
+            self.tc.batch_size, drop_remainder=False
+        ):
+            x, y_c = _prep_batch(x, y, self.cfg.out_size, self.cfg.n_classes)
+            _, _, pred, loss, acc = self.eval_fn(
+                state.params,
+                np.asarray(x, np.float32),
+                np.ascontiguousarray(y_c, np.int32),
+            )
+            loss = np.asarray(loss)
+            acc = np.asarray(acc)
+            preds = np.asarray(pred)  # [K, B, H*W]
+            for k in range(self.n_members):
+                losses[k].append(float(loss[k]))
+                accs[k].append(float(acc[k]))
+                pred_img = preds[k].reshape(
+                    len(x), self.cfg.out_size, self.cfg.out_size
+                )
+                for s in self.structures:
+                    tm = M.binarize(y_c, s, self.exp.name)
+                    pm = M.binarize(pred_img, s, self.exp.name)
+                    d, _ = M.dice(tm, pm)
+                    dices[k].append(d)
+                    v_dice[k][s].append(d)
+                    if self.track_curves:
+                        v_haus[k][s].append(M.compute_H(tm, pm))
+        for k in range(self.n_members):
+            h = self.histories[k]
+            h["val_loss"].append(float(np.mean(losses[k])))
+            h["val_acc"].append(float(np.mean(accs[k])))
+            h["val_dice"].append(float(np.nanmean(dices[k])))
+            for s in self.structures:
+                h.setdefault(f"val_dice_{s}", []).append(
+                    float(np.nanmean(v_dice[k][s]))
+                )
+                if self.track_curves:
+                    h.setdefault(f"val_haus_{s}", []).append(
+                        float(np.nanmean(v_haus[k][s]))
+                    )
+        mean_loss = float(np.mean([h["val_loss"][-1] for h in self.histories]))
+        mean_dice = float(
+            np.mean([h["val_dice"][-1] for h in self.histories])
+        )
+        log(
+            f"epoch {epoch} val: mean member loss={mean_loss:.4f} "
+            f"dice={mean_dice:.4f}"
+        )
+
+    def _finalize(self):
+        for k, (d, h) in enumerate(zip(self.member_dirs, self.histories)):
+            reports.save_training_curves(d, h)
+            reports.save_history_pickle(d, h)
+            reports.save_reference_training_curves(d, h, self.structures)
+            summary = {}
+            for s in self.structures:
+                for key in (
+                    f"train_dice_{s}",
+                    f"val_dice_{s}",
+                    f"train_haus_{s}",
+                    f"val_haus_{s}",
+                ):
+                    if h.get(key):
+                        summary[f"final_{key}"] = h[key][-1]
+            reports.write_hyperparameters(
+                d,
+                "Related_hyperparameters.txt",
+                {
+                    **dataclasses.asdict(self.tc),
+                    **dataclasses.asdict(self.cfg),
+                    "ensemble_member": k,
+                    "ensemble_size": self.n_members,
+                    "total_training_time_s": getattr(self, "total_time", 0.0),
+                    **summary,
+                },
+            )

@@ -195,16 +195,21 @@ def maybe_augment(
     cfg: ModelConfig,
     tc: TrainConfig,
     axis_name: str | None = None,
+    seed: Array | int | None = None,
 ) -> Tuple[Array, Array]:
     """On-device augmentation inside the jitted step (``tc.augment``);
     identity when disabled. Keyed by the step counter and the GLOBAL image
-    index so every data-parallel path augments identically."""
+    index so every data-parallel path augments identically. ``seed``
+    overrides ``tc.seed`` — the vmapped ensemble step passes each member's
+    own (traced) seed so member k's draws match a sequential run seeded
+    ``tc.seed + k``."""
     if tc.augment is None:
         return x, y
     from supernet_tpu.data.augment import augment_train_batch
 
     return augment_train_batch(
-        step, x, y, cfg.out_size, tc.augment, tc.seed, axis_name
+        step, x, y, cfg.out_size, tc.augment,
+        tc.seed if seed is None else seed, axis_name,
     )
 
 
@@ -216,8 +221,9 @@ def _train_step(
     cfg: ModelConfig,
     tc: TrainConfig,
     constrain=None,
+    seed: Array | None = None,
 ) -> Tuple[TrainState, StepMetrics, Array]:
-    x, y = maybe_augment(state.step, x, y, cfg, tc)
+    x, y = maybe_augment(state.step, x, y, cfg, tc, seed=seed)
     y = ensure_one_hot(y, cfg.n_classes)
     (loss, (nll, kl, probs, _)), grads = value_and_grad_step(
         state.params, x, y, cfg, tc, constrain
@@ -275,6 +281,110 @@ def make_multi_train_step(
         return (state, *out) if with_pred else (state, out)
 
     return steps
+
+
+def stack_trees(trees):
+    """Stack K structurally identical pytrees along a new leading axis —
+    the member axis of the vmapped ensemble paths (training here,
+    `serving.EnsembleSession` for inference)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(a) for a in xs]), *trees
+    )
+
+
+def index_tree(tree, k: int):
+    """Member ``k``'s slice of a stacked tree (host-side unstack for
+    per-member checkpoints/eval)."""
+    return jax.tree_util.tree_map(lambda a: a[k], tree)
+
+
+def make_ensemble_train_step(
+    cfg: ModelConfig, tc: TrainConfig, with_pred: bool = False, mesh=None
+):
+    """One-compiled-program deep-ensemble training: the training twin of
+    ``serving.EnsembleSession`` (which already vmaps the member axis at
+    inference). Instead of K sequential full trainings — K compiles, K
+    epoch loops (the round-3 ``--ensemble`` path) — the K member states are
+    stacked along a leading axis and the whole update is ONE vmapped XLA
+    program: every member's convs batch together on the MXU and the model
+    is compiled once.
+
+    Takes ``state`` with leaves ``[K, ...]``, ``x [K, B, H, W, C]``,
+    ``y [K, B, h, w]`` int labels (each member sees ITS OWN shuffle order,
+    fed by the driver), and ``seeds [K]`` int32 — member k's augmentation
+    seed, matching a sequential run seeded ``tc.seed + k``.
+
+    ``mesh``: optional member-axis sharding — each device trains a
+    contiguous block of members (K must divide over the mesh; use
+    ``parallel.make_mesh_for_batch(K)``). GSPMD then runs the members
+    embarrassingly parallel, no collectives on the update path."""
+    opt = make_optimizer(tc)
+
+    def one(state, x, y, seed):
+        return _train_step(state, x, y, opt, cfg, tc, seed=seed)
+
+    vstep = jax.vmap(one)
+
+    if mesh is None:
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, x: Array, y: Array, seeds: Array):
+            new_state, m, pred = vstep(state, x, y, seeds)
+            return (new_state, m, pred) if with_pred else (new_state, m)
+
+        return step
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    member = NamedSharding(mesh, P(axis))
+
+    def shard_leading(t):
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a,
+                NamedSharding(mesh, P(*((axis,) + (None,) * (a.ndim - 1)))),
+            ),
+            t,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, x: Array, y: Array, seeds: Array):
+        state = shard_leading(state)
+        x = shard_leading(x)
+        y = shard_leading(y)
+        seeds = jax.lax.with_sharding_constraint(seeds, member)
+        new_state, m, pred = vstep(state, x, y, seeds)
+        new_state = shard_leading(new_state)
+        return (new_state, m, pred) if with_pred else (new_state, m)
+
+    return step
+
+
+def make_ensemble_eval_step(cfg: ModelConfig, tc: TrainConfig):
+    """Per-member validation in one program: vmap the eval computation over
+    the stacked member params; the batch is shared (validation data is not
+    shuffled per member). Returns per-member (probs, sigma, pred, loss,
+    acc) with a leading [K] axis."""
+
+    @jax.jit
+    def step(params: Params, x: Array, y: Array):
+        y1 = ensure_one_hot(y, cfg.n_classes)
+
+        def one(p):
+            probs, sigma = forward(p, x, cfg)
+            sigma_c = jnp.clip(sigma, tc.sigma_clip_min, tc.sigma_clip_max)
+            nll = nll_gaussian(y1, probs, sigma_c)
+            loss = nll + tc.kl_factor * 0.5 * kl_regularizer(p)
+            pred = jnp.argmax(probs, axis=-1)
+            acc = jnp.mean(
+                (pred == jnp.argmax(y1, axis=-1)).astype(jnp.float32)
+            )
+            return probs, sigma, pred, loss, acc
+
+        return jax.vmap(one)(params)
+
+    return step
 
 
 def make_accum_train_step(cfg: ModelConfig, tc: TrainConfig, n_micro: int):

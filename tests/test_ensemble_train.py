@@ -1,0 +1,177 @@
+"""One-compiled-program ensemble training (supernet_tpu/ensemble.py).
+
+The contract under test: member k of the vmapped run matches a sequential
+``--ensemble`` run with the same seeds — same init (PRNGKey(seed+k)), same
+per-member shuffle order, same augmentation draws — to float32 tolerance
+(vmap batches the member convs, so XLA may reassociate reductions; the
+paths are not guaranteed bit-identical)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from supernet_tpu import checkpoint as ckpt
+from supernet_tpu.configs import HIPPOCAMPUS, AugmentConfig
+from supernet_tpu.data import PickleDataset, synthetic_dataset
+from supernet_tpu.ensemble import EnsembleTrainer
+from supernet_tpu.train import index_tree
+from supernet_tpu.trainer import Trainer
+
+EXP = HIPPOCAMPUS.replace(
+    model=dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=4
+    ),
+    train=dataclasses.replace(
+        HIPPOCAMPUS.train, batch_size=4, epochs=2, log_every=100
+    ),
+)
+
+
+def _ds(n=8, seed=0):
+    x, y = synthetic_dataset(EXP.model, n, seed=seed)
+    return PickleDataset(x, y, 1)
+
+
+def _sequential_members(exp, tmp_path, k_members, epochs=2):
+    """The round-3 path: K separate Trainer runs seeded seed..seed+K-1."""
+    finals = []
+    for k in range(k_members):
+        exp_k = exp.replace(
+            train=dataclasses.replace(exp.train, seed=exp.train.seed + k)
+        )
+        tr = Trainer(
+            exp_k,
+            _ds(8),
+            None,
+            out_dir=str(tmp_path / f"seq_{k}"),
+            track_curves=False,
+        )
+        state = tr.run(epochs=epochs, log=lambda *_: None)
+        finals.append((state.params, tr.history))
+    return finals
+
+
+def _assert_members_match(seq_finals, ens, ens_state, epochs):
+    for k, (seq_params, seq_hist) in enumerate(seq_finals):
+        vm_params = index_tree(ens_state.params, k)
+        for layer, p in seq_params.items():
+            for name, val in p.items():
+                np.testing.assert_allclose(
+                    np.asarray(vm_params[layer][name]),
+                    np.asarray(val),
+                    rtol=2e-4,
+                    atol=1e-5,
+                    err_msg=f"member {k} {layer}/{name}",
+                )
+        np.testing.assert_allclose(
+            ens.histories[k]["train_loss"],
+            seq_hist["train_loss"],
+            rtol=1e-4,
+            err_msg=f"member {k} loss curve",
+        )
+        assert len(ens.histories[k]["train_loss"]) == epochs
+
+
+def test_vmap_matches_sequential(tmp_path):
+    epochs = 2
+    seq = _sequential_members(EXP, tmp_path, 2, epochs)
+    ens = EnsembleTrainer(
+        EXP, 2, _ds(8), None, out_dir=str(tmp_path / "vmap"),
+        track_curves=False,
+    )
+    state = ens.run(epochs=epochs, log=lambda *_: None)
+    _assert_members_match(seq, ens, state, epochs)
+
+
+def test_vmap_matches_sequential_with_augment(tmp_path):
+    """Per-member augmentation seeds: the vmapped step passes seed+k as a
+    traced per-member scalar; draws must match the sequential run where
+    member k's TrainConfig.seed is literally seed+k."""
+    exp = EXP.replace(
+        train=dataclasses.replace(
+            EXP.train, augment=AugmentConfig(), epochs=1
+        )
+    )
+    seq = _sequential_members(exp, tmp_path, 2, epochs=1)
+    ens = EnsembleTrainer(
+        exp, 2, _ds(8), None, out_dir=str(tmp_path / "vmap"),
+        track_curves=False,
+    )
+    state = ens.run(epochs=1, log=lambda *_: None)
+    _assert_members_match(seq, ens, state, 1)
+
+
+def test_checkpoint_layout_and_resume(tmp_path):
+    """member_{k}/epoch_{N} checkpoints (the layout EnsembleSession and
+    `cli eval --checkpoint a,b` consume) + continue_training resume."""
+    base = str(tmp_path / "ens")
+    ens = EnsembleTrainer(EXP, 2, _ds(8), _ds(4, seed=1), out_dir=base,
+                          track_curves=False)
+    ens.run(epochs=2, log=lambda *_: None)
+    for k in range(2):
+        d = os.path.join(base, f"member_{k}")
+        assert ckpt.latest_epoch(d) == 1
+        assert os.path.exists(os.path.join(d, "history.pkl"))
+        assert os.path.exists(
+            os.path.join(d, "Related_hyperparameters.txt")
+        )
+        # member histories include validation curves
+        assert len(ens.histories[k]["val_dice"]) == 2
+
+    exp_resume = EXP.replace(
+        train=dataclasses.replace(EXP.train, continue_training=True)
+    )
+    ens2 = EnsembleTrainer(exp_resume, 2, _ds(8), None, out_dir=base,
+                           track_curves=False)
+    ens2.run(epochs=3, log=lambda *_: None)
+    assert ens2.start_epoch == 2  # resumed past the two finished epochs
+    for k in range(2):
+        assert ckpt.latest_epoch(os.path.join(base, f"member_{k}")) == 2
+
+
+def test_member_sharded_mesh(tmp_path):
+    """Member-axis sharding over the virtual device mesh: same math as the
+    unsharded vmapped run (GSPMD just places members on devices)."""
+    from supernet_tpu.parallel import make_mesh_for_batch
+
+    mesh = make_mesh_for_batch(4)
+    assert len(mesh.devices.flat) == 4
+    ref = EnsembleTrainer(EXP, 4, _ds(8), None,
+                          out_dir=str(tmp_path / "ref"), track_curves=False)
+    ref_state = ref.run(epochs=1, log=lambda *_: None)
+    ens = EnsembleTrainer(EXP, 4, _ds(8), None,
+                          out_dir=str(tmp_path / "mesh"), mesh=mesh,
+                          track_curves=False)
+    state = ens.run(epochs=1, log=lambda *_: None)
+    # losses match to float32 reduce-order drift; params are compared
+    # loosely because Adam normalizes by sqrt(v) — on near-zero early
+    # gradients a 1-ulp grad difference can flip an update's sign,
+    # so per-weight drift of ~lr per step is expected noise (measured
+    # worst diff 3.4e-4 after 2 steps at lr 1e-4)
+    np.testing.assert_allclose(
+        [h["train_loss"][-1] for h in ens.histories],
+        [h["train_loss"][-1] for h in ref.histories],
+        rtol=1e-4,
+    )
+    for layer, p in ref_state.params.items():
+        for name, val in p.items():
+            np.testing.assert_allclose(
+                np.asarray(state.params[layer][name]),
+                np.asarray(val),
+                atol=2e-3,
+                err_msg=f"{layer}/{name}",
+            )
+
+
+def test_mesh_divisibility_guard():
+    from supernet_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="divide"):
+        EnsembleTrainer(EXP, 3, _ds(8), None, mesh=make_mesh())
+
+
+def test_rejects_single_member():
+    with pytest.raises(ValueError, match="n_members"):
+        EnsembleTrainer(EXP, 1, _ds(8), None)
