@@ -432,6 +432,19 @@ def main() -> None:
         except Exception as e:
             out["unet3d"] = {"error": str(e)[:200]}
 
+    # vmapped ensemble training (ensemble.EnsembleTrainer's step) vs the
+    # K-sequential-steps cost; SUPERNET_BENCH_ENSEMBLE=0 to skip
+    if (
+        os.environ.get("SUPERNET_BENCH_ENSEMBLE", "1") == "1"
+        and not data_parallel
+    ):
+        try:
+            out["ensemble_train"] = _bench_ensemble(
+                max(10, n_iters // 10), stats["step_ms"]
+            )
+        except Exception as e:
+            out["ensemble_train"] = {"error": str(e)[:200]}
+
     # serving-side forward throughput (the InferenceSession device path);
     # SUPERNET_BENCH_INFER=0 to skip
     if (
@@ -494,6 +507,71 @@ def _bench_inference(n_iters: int) -> dict:
         "batch": b,
         "images_per_sec": round(b / dt, 1),
         "batch_ms": round(dt * 1e3, 3),
+    }
+
+
+def _bench_ensemble(n_iters: int, single_step_ms: float) -> dict:
+    """Vmapped K-member ensemble train step (train.make_ensemble_train_step)
+    at the Hippocampus parity batch. ``sequential_step_ms`` is K x the
+    measured single-model step — what the round-3 K-sequential-trainings
+    path pays per aligned step, EXCLUDING its K-1 extra jit compiles and
+    K-1 extra epoch/validation loops (which dominate real wall-clock on
+    short runs: ~35 s/compile on the relayed TPU vs ~9 s of step compute
+    per 120-epoch Hippocampus member). ``speedup_per_step`` is therefore
+    the steady-state per-step ratio, a LOWER bound on the end-to-end win;
+    measured 2026-08-19: 0.8x at batch 20/member (vmap's weights-batched
+    conv lowering costs ~20% there), ~0.94x at batch 64/member."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from supernet_tpu.configs import HIPPOCAMPUS
+    from supernet_tpu.models import init_params
+    from supernet_tpu.train import (
+        create_train_state,
+        make_ensemble_train_step,
+        stack_trees,
+    )
+
+    cfg, tc = HIPPOCAMPUS.model, HIPPOCAMPUS.train
+    k_members, b = 4, tc.batch_size
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(
+            0, 1,
+            (k_members, b, cfg.image_size, cfg.image_size, cfg.in_channels),
+        ).astype(np.float32)
+    )
+    y = jnp.asarray(
+        rng.integers(
+            0, cfg.n_classes, (k_members, b, cfg.out_size, cfg.out_size)
+        ).astype(np.int32)
+    )
+    seeds = jnp.arange(k_members, dtype=jnp.int32)
+    members = []
+    for k in range(k_members):
+        p = init_params(jax.random.PRNGKey(k), cfg)
+        s, _ = create_train_state(p, tc)
+        members.append(s)
+    state = stack_trees(members)
+    step = make_ensemble_train_step(cfg, tc)
+    state, m = step(state, x, y, seeds)
+    float(jnp.min(m.loss))  # compile + completion
+    t0 = _time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, x, y, seeds)
+    assert float(jnp.min(m.loss)) > -1e30
+    dt = (_time.perf_counter() - t0) / n_iters
+    return {
+        "members": k_members,
+        "batch_per_member": b,
+        "step_ms": round(dt * 1e3, 3),
+        "sequential_step_ms": round(k_members * single_step_ms, 3),
+        "speedup_per_step": round(
+            k_members * single_step_ms / (dt * 1e3), 2
+        ),
+        "member_images_per_sec": round(b / dt, 1),
     }
 
 
