@@ -300,8 +300,11 @@ def forward_sampled(
         return conv(name, h)
 
     def crop_concat(h: Array, enc: Array) -> Array:
+        # decoder channels FIRST, like vcrop_concat and the reference's
+        # tf.concat([muD, mu_cropped]) (`Hippocampus.py:268`) — the twin
+        # must bind w[:, :, :c] to the same channel block as `forward`
         size = h.shape[1]
-        return jnp.concatenate([crop_center(enc, size, size), h], axis=-1)
+        return jnp.concatenate([h, crop_center(enc, size, size)], axis=-1)
 
     skips: List[Array] = []
     h = conv_relu("conv_input", x)
