@@ -38,11 +38,13 @@ from supernet_tpu.ops import (
     vconv_input_relu,
     vconv_relu,
     vcrop_concat,
+    vglue_conv_relu,
     vmaxpool,
     vpad,
     vsoftmax,
     vunpool_conv2,
 )
+from supernet_tpu.ops.moments import get_backend, get_glue_fold
 
 Array = jax.Array
 Params = Dict[str, Dict[str, Array]]
@@ -161,6 +163,11 @@ def forward(
     """
     depth = cfg.depth
     fill = cfg.sigma_fill
+    # "fold" computes each pad -> (concat ->) conv -> relu stage
+    # algebraically inside the conv (ops.moments.vglue_conv_relu) so the
+    # padded/cropped/concatenated tensors never hit HBM; the naive backend
+    # must keep the explicit choreography (it IS the reference algorithm).
+    glue_fold = get_glue_fold() == "fold" and get_backend() != "naive"
     if constrain is None:
         constrain = lambda m, s: (m, s)  # noqa: E731
 
@@ -189,6 +196,14 @@ def forward(
 
     def encoder_block(i: int, m: Array, s: Array) -> Tuple[Array, Array]:
         if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
+            if glue_fold:
+                p = params[f"conv{2 * i}"]
+                m, s = vglue_conv_relu(
+                    m, s, p["w_mu"], p["w_sigma"],
+                    cfg.bottleneck_pre_pad, fill,
+                )
+                _tap(f"conv{2 * i}", m)
+                return conv_relu(f"conv{2 * i + 1}", m, s)
             m, s = vpad(m, s, cfg.bottleneck_pre_pad, fill)
             _tap("pre_pad", m)
         m, s = conv_relu(f"conv{2 * i}", m, s)
@@ -203,6 +218,17 @@ def forward(
         p = params[f"up{j}_conv2x2"]
         m, s = vunpool_conv2(m, s, p["w_mu"], p["w_sigma"])
         _tap(f"up{j}_conv2x2", m)
+        if glue_fold:
+            p1, p2 = params[f"up{j}_conv1"], params[f"up{j}_conv2"]
+            m, s = vglue_conv_relu(
+                m, s, p1["w_mu"], p1["w_sigma"], (3, 3), fill, m_e, s_e
+            )
+            _tap(f"up{j}_conv1", m)
+            m, s = vglue_conv_relu(
+                m, s, p2["w_mu"], p2["w_sigma"], (2, 2), fill
+            )
+            _tap(f"up{j}_conv2", m)
+            return m, s
         m, s = vpad(m, s, (3, 3), fill)
         _tap(f"up{j}_pad", m)
         m, s = vcrop_concat(m, s, m_e, s_e)
