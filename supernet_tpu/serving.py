@@ -134,6 +134,13 @@ def _make_fn(
     )
 
 
+def _stack_members(params_list):
+    """Stack a list of same-structure member trees on a leading K axis."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
+    )
+
+
 def lower(
     params,
     cfg: ModelConfig,
@@ -146,7 +153,28 @@ def lower(
     """``jax.jit(forward).lower(...)`` at a fixed batch size — the common
     stem for both AOT compilation and StableHLO export. ``volumetric``
     serves the 3-D family (`models.forward3d`) instead; a fitted
-    recalibration is baked into the lowered module."""
+    recalibration is baked into the lowered module.
+
+    A LIST/TUPLE of member trees lowers the deep-ensemble mixture instead
+    (the ``EnsembleSession`` computation: vmapped members, uniform-mixture
+    first two moments, recalibration after the mixture); the lowered
+    module's parameter arguments then carry a leading K member axis.
+    """
+    if isinstance(params, (list, tuple)):
+        member = _make_fn(cfg, mesh, volumetric)
+        recal = _make_recalibrate(variance_scale, temperature)
+
+        def efn(stacked, x):
+            p, s = jax.vmap(lambda pr: member(pr, x))(stacked)
+            mean = jnp.mean(p, axis=0)
+            # stable mixture second moment (see EnsembleSession.efn)
+            var = jnp.mean(s + jnp.square(p - mean[None]), axis=0)
+            return recal(mean, var)
+
+        return jax.jit(efn).lower(
+            jax.eval_shape(lambda p: p, _stack_members(list(params))),
+            _input_spec(cfg, batch_size, volumetric),
+        )
     return _make_fn(
         cfg, mesh, volumetric,
         variance_scale=variance_scale, temperature=temperature,
@@ -360,9 +388,10 @@ class EnsembleSession(InferenceSession):
     With a ``mesh``, the MEMBER axis shards over the mesh's data axis:
     each device runs its members on the full (replicated) batch and the
     mixture means become one all-reduce over ICI — embarrassingly
-    parallel ensemble serving in the same compiled program (requires
-    ``K % n_devices == 0``). ``predict`` / ``predict_volume`` /
-    ``predict_image`` are inherited.
+    parallel ensemble serving in the same compiled program. When
+    ``K % n_devices != 0`` the member axis is padded with zero-weight
+    repeats of the last member, so any K serves on any mesh.
+    ``predict`` / ``predict_volume`` / ``predict_image`` are inherited.
     """
 
     def __init__(
@@ -388,16 +417,33 @@ class EnsembleSession(InferenceSession):
         self.n_members = len(params_list)
         member = self._fn
         recal = _make_recalibrate(variance_scale, temperature)
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-            *params_list,
+        # Mixture weights, uniform over the REAL members. When K does not
+        # divide the mesh's device count, the member axis is padded by
+        # repeating the last member with weight 0 — it computes but cannot
+        # influence the mixture (weighted mean/second-moment below), so
+        # K=6 on 8 devices serves instead of refusing. Meshless sessions
+        # never pad.
+        k = self.n_members
+        n_pad = 0
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            n_pad = (-k) % n_dev
+            if n_pad:
+                params_list = params_list + [params_list[-1]] * n_pad
+        weights = jnp.concatenate(
+            [jnp.full((k,), 1.0 / k, jnp.float32), jnp.zeros((n_pad,))]
         )
+        stacked = _stack_members(params_list)
 
         def efn(params, x):
             p, s = jax.vmap(lambda pr: member(pr, x))(params)
-            mean = jnp.mean(p, axis=0)
-            var = jnp.mean(s + jnp.square(p), axis=0) - jnp.square(mean)
-            return recal(mean, jnp.maximum(var, 0.0))
+            w = weights.reshape((-1,) + (1,) * (p.ndim - 1))
+            mean = jnp.sum(w * p, axis=0)
+            # Σw·s + Σw·(p−mean)² == Σw(s+p²) − mean², but without the
+            # catastrophic cancellation (s ~1e-5 under p² ~1) and
+            # non-negative by construction
+            var = jnp.sum(w * (s + jnp.square(p - mean)), axis=0)
+            return recal(mean, var)
 
         if mesh is None:
             self._params = jax.device_put(stacked)
@@ -405,12 +451,6 @@ class EnsembleSession(InferenceSession):
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n_dev = int(np.prod(mesh.devices.shape))
-            if self.n_members % n_dev != 0:
-                raise ValueError(
-                    f"{self.n_members} ensemble members do not shard over "
-                    f"the {n_dev}-device mesh; K % n_devices must be 0"
-                )
             self._mesh = mesh
             members_sh = NamedSharding(mesh, P("data"))
             rep = NamedSharding(mesh, P())
@@ -445,17 +485,26 @@ def export_bundle(
     `calibration.fit_variance_scale` / `fit_temperature`) are baked into
     the exported computation and recorded in the metadata. Returns the
     metadata dict (also printed by ``cli.py export``).
+
+    A LIST of member trees exports the deep-ensemble mixture (the
+    ``EnsembleSession`` computation): ``params.npz`` then holds the
+    STACKED parameters (leading K member axis on every array) and the
+    metadata records ``ensemble_members``.
     """
     from supernet_tpu import flops as F
     from supernet_tpu.checkpoint import save_params_npz
 
+    n_members = len(params) if isinstance(params, (list, tuple)) else 0
     os.makedirs(out_dir, exist_ok=True)
     hlo_path = os.path.join(out_dir, "model.stablehlo.mlir")
     export_stablehlo(
         params, cfg, batch_size, path=hlo_path, volumetric=volumetric,
         variance_scale=variance_scale, temperature=temperature,
     )
-    save_params_npz(os.path.join(out_dir, "params.npz"), params)
+    save_params_npz(
+        os.path.join(out_dir, "params.npz"),
+        _stack_members(list(params)) if n_members else params,
+    )
     spec = _input_spec(cfg, batch_size, volumetric)
     o = cfg.out_size
     out_spatial = [o, o, o] if volumetric else [o, o]
@@ -479,11 +528,16 @@ def export_bundle(
             3,
         ),
         "param_count": int(
-            sum(int(np.prod(v.shape)) for p in params.values()
-                for v in p.values())
+            sum(
+                int(np.prod(v.shape))
+                for p in (params[0] if n_members else params).values()
+                for v in p.values()
+            )
         ),
         "files": ["model.stablehlo.mlir", "params.npz"],
     }
+    if n_members:
+        meta["ensemble_members"] = n_members
     with open(os.path.join(out_dir, "export_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return meta

@@ -108,6 +108,34 @@ def test_export_bundle_and_cli(params, tmp_path):
             )
 
 
+def test_export_bundle_ensemble(params, tmp_path):
+    """A list of member trees exports the deep-ensemble mixture: stacked
+    params.npz (leading K axis), ensemble_members in the metadata, and a
+    StableHLO module whose parameter arguments carry the member axis."""
+    p2 = init_params(jax.random.PRNGKey(61), CFG)
+    out = str(tmp_path / "ens_bundle")
+    meta = serving.export_bundle(
+        [params, p2], CFG, out, batch_size=2, config_name="hippocampus"
+    )
+    assert meta["ensemble_members"] == 2
+    # param_count is per member (the runtime contract: one member's layout)
+    single = serving.export_bundle(
+        params, CFG, str(tmp_path / "single"), batch_size=2
+    )
+    assert meta["param_count"] == single["param_count"]
+    from supernet_tpu.checkpoint import load_params_npz
+
+    loaded = load_params_npz(os.path.join(out, "params.npz"))
+    assert loaded["conv_input"]["w_mu"].shape[0] == 2
+    np.testing.assert_array_equal(
+        np.asarray(loaded["conv_input"]["w_mu"][1]),
+        np.asarray(p2["conv_input"]["w_mu"]),
+    )
+    hlo = open(os.path.join(out, "model.stablehlo.mlir")).read()
+    k, cin = 3, CFG.in_channels
+    assert f"tensor<2x{k}x{k}x{cin}x" in hlo  # stacked conv_input w_mu arg
+
+
 def test_volumetric_inference_session(tmp_path):
     """InferenceSession(volumetric=True) serves the 3-D family with the
     same compile-once padded-batch scheme, matching forward3d."""
@@ -322,8 +350,9 @@ def test_ensemble_recalibration_post_mixture(params):
 def test_ensemble_mesh_members_sharded(params):
     """Mesh-sharded ensemble: the MEMBER axis splits over the mesh's data
     axis (each device runs K/n members on the replicated batch; mixture
-    means become an all-reduce) — outputs equal the meshless ensemble,
-    and a non-dividing K rejects at construction."""
+    means become an all-reduce) — outputs equal the meshless ensemble.
+    A non-dividing K pads the member axis with ZERO-WEIGHT repeats of the
+    last member, so the mixture is unchanged (no refusal)."""
     from supernet_tpu.parallel import make_mesh
 
     members = [init_params(jax.random.PRNGKey(s), CFG) for s in (3, 99)]
@@ -336,7 +365,15 @@ def test_ensemble_mesh_members_sharded(params):
     assert len(ens._params["conv_input"]["w_mu"].sharding.device_set) == 2
     pk, sk = ens.predict(x)
     np.testing.assert_allclose(pk, base_p, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(sk, base_s, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(sk, base_s, rtol=1e-4, atol=5e-7)
 
-    with pytest.raises(ValueError, match="do not shard"):
-        serving.EnsembleSession(members, CFG, mesh=make_mesh(8))
+    # K=2 on 8 devices: padded to 8 members, 6 with weight 0 — the
+    # mixture (mean AND variance) must equal the meshless 2-member one
+    ens8 = serving.EnsembleSession(
+        members, CFG, batch_size=2, mesh=make_mesh(8)
+    ).warmup()
+    assert ens8.n_members == 2
+    assert ens8._params["conv_input"]["w_mu"].shape[0] == 8
+    p8, s8 = ens8.predict(x)
+    np.testing.assert_allclose(p8, base_p, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s8, base_s, rtol=1e-4, atol=5e-7)
