@@ -23,11 +23,13 @@ import jax.numpy as jnp
 
 from supernet_tpu.configs import ModelConfig
 from supernet_tpu.models.unet import _decoder_channels, _encoder_channels
+from supernet_tpu.ops.moments import get_backend, get_glue_fold
 from supernet_tpu.ops.moments3d import (
     vconv3d,
     vconv3d_input,
     vconv3d_relu,
     vcrop_concat3d,
+    vglue_conv3d_relu,
     vmaxpool3d,
     vpad3d,
     vrelu,
@@ -112,6 +114,9 @@ def forward3d(
     mesh-sharded (GSPMD spatial partitioning of whole volumes)."""
     depth = cfg.depth
     fill = cfg.sigma_fill
+    # same knob as the 2-D family: "fold" computes each pad -> (concat ->)
+    # conv -> relu stage algebraically inside the conv (vglue_conv3d_relu)
+    glue_fold = get_glue_fold() == "fold" and get_backend() != "naive"
     if constrain is None:
         constrain = lambda m, s: (m, s)  # noqa: E731
 
@@ -130,6 +135,14 @@ def forward3d(
 
     def encoder_block(i: int, m: Array, s: Array) -> Tuple[Array, Array]:
         if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
+            if glue_fold:
+                p = params[f"conv{2 * i}"]
+                m, s = vglue_conv3d_relu(
+                    m, s, p["w_mu"], p["w_sigma"],
+                    cfg.bottleneck_pre_pad, fill,
+                )
+                _tap(f"conv{2 * i}", m)
+                return conv_relu(f"conv{2 * i + 1}", m, s)
             m, s = vpad3d(m, s, cfg.bottleneck_pre_pad, fill)
             _tap("pre_pad", m)
         m, s = conv_relu(f"conv{2 * i}", m, s)
@@ -141,6 +154,15 @@ def forward3d(
         p = params[f"up{j}_conv2x2"]
         m, s = vunpool3d_conv2(m, s, p["w_mu"], p["w_sigma"])
         _tap(f"up{j}_conv2x2", m)
+        if glue_fold:
+            p1, p2 = params[f"up{j}_conv1"], params[f"up{j}_conv2"]
+            m, s = vglue_conv3d_relu(
+                m, s, p1["w_mu"], p1["w_sigma"], (3, 3), fill, m_e, s_e
+            )
+            _tap(f"up{j}_conv1", m)
+            return vglue_conv3d_relu(
+                m, s, p2["w_mu"], p2["w_sigma"], (2, 2), fill
+            )
         m, s = vpad3d(m, s, (3, 3), fill)
         m, s = vcrop_concat3d(m, s, m_e, s_e)
         _tap(f"up{j}_concat", m)

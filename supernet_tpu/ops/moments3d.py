@@ -114,34 +114,91 @@ def vmaxpool3d(mu: Array, sigma: Array) -> MomentPair:
     """2x2x2 / stride-2 max pool on the mean, variance gathered at the SAME
     argmax (3-D `mymaxpooling` + `get_pooled`, `Hippocampus.py:54-64,
     226-234`). SAME padding; TF's first-flat-index tie-break preserved by
-    selecting taps in (d, h, w) scan order."""
-    b, d, h, w, c = mu.shape
-    pd, ph, pw = d % 2, h % 2, w % 2
-    neg = jnp.asarray(-jnp.inf, mu.dtype)
-    mu_p = jnp.pad(
-        mu, ((0, 0), (0, pd), (0, ph), (0, pw), (0, 0)),
-        constant_values=neg,
-    )
-    sg_p = jnp.pad(sigma, ((0, 0), (0, pd), (0, ph), (0, pw), (0, 0)))
-    taps = [
-        (
-            mu_p[:, di::2, hi::2, wi::2, :],
-            sg_p[:, di::2, hi::2, wi::2, :],
-        )
+    selecting taps in (d, h, w) scan order.
+
+    Round-4 port of the two 2-D pool lessons (docs/PERFORMANCE.md "The
+    max-pool lesson"): the eight window taps come from ONE reshape
+    splitting each spatial dim by 2 plus unit-index slices (a single
+    relayout feeding contiguous reads, not 8 strided-window passes), and
+    a hand-derived parity-form custom VJP replaces the transpose of
+    8 strided slices under a where-tree, which XLA lowers to sequential
+    scatter chains.
+    """
+    return _vmaxpool3d_fast(mu, sigma)
+
+
+def _pool_taps3d(x: Array):
+    """The eight 2x2x2-window elements as eighth-size views, in (d, h, w)
+    row-major (TF flat-index) order."""
+    b, d, h, w, c = x.shape
+    r = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    return [
+        r[:, :, di, :, hi, :, wi]
         for di in (0, 1)
         for hi in (0, 1)
         for wi in (0, 1)
     ]
-    mx = taps[0][0]
-    for t, _ in taps[1:]:
+
+
+@jax.custom_vjp
+def _vmaxpool3d_fast(mu: Array, sigma: Array) -> MomentPair:
+    mu_out, sigma_out, _ = _vmaxpool3d_fwd_impl(mu, sigma)
+    return mu_out, sigma_out
+
+
+def _vmaxpool3d_fwd_impl(mu: Array, sigma: Array):
+    b, d, h, w, c = mu.shape
+    dp, hp, wp = -(-d // 2) * 2, -(-h // 2) * 2, -(-w // 2) * 2
+    if (dp, hp, wp) != (d, h, w):
+        pad = ((0, 0), (0, dp - d), (0, hp - h), (0, wp - w), (0, 0))
+        fill = jnp.finfo(mu.dtype).min
+        mu = jnp.pad(mu, pad, constant_values=fill)
+        sigma = jnp.pad(sigma, pad)
+    m_taps = _pool_taps3d(mu)
+    s_taps = _pool_taps3d(sigma)
+    mx = m_taps[0]
+    for t in m_taps[1:]:
         mx = jnp.maximum(mx, t)
-    out = taps[0][1]
-    chosen = taps[0][0] == mx
-    for t, s in taps[1:]:
-        take = (t == mx) & ~chosen
-        out = jnp.where(take, s, out)
-        chosen = chosen | take
-    return mx, out
+    dt = mu.dtype
+    # first-occurrence selection + selected-tap index (0..7 exact in
+    # bf16/f32) in one backward-to-forward where chain: tap k wins iff it
+    # equals the max and no earlier tap does
+    sigma_out = s_taps[7]
+    idx = jnp.asarray(7, dt)
+    for k in range(6, -1, -1):
+        hit = m_taps[k] == mx
+        sigma_out = jnp.where(hit, s_taps[k], sigma_out)
+        idx = jnp.where(hit, jnp.asarray(k, dt), idx)
+    return mx, sigma_out, (idx, (d, h, w))
+
+
+def _vmaxpool3d_fwd(mu, sigma):
+    mu_out, sigma_out, res = _vmaxpool3d_fwd_impl(mu, sigma)
+    return (mu_out, sigma_out), res
+
+
+def _vmaxpool3d_bwd(res, g):
+    """Route each output grad to its selected window tap at full
+    resolution: nearest-upsample the grad and the tap index 2x and keep
+    only voxels whose window parity (4*d%2 + 2*h%2 + w%2) equals the
+    index — pure broadcast+elementwise, no scatters (the 2-D
+    `_vmaxpool_bwd` argument, one rank up)."""
+    g_mu, g_sigma = g
+    idx, (d, h, w) = res
+    iu = _upsample2_nearest3d(idx)
+    b, dp, hp, wp, c = iu.shape
+    par_d = lax.broadcasted_iota(jnp.int32, (b, dp, hp, wp, c), 1) % 2
+    par_h = lax.broadcasted_iota(jnp.int32, (b, dp, hp, wp, c), 2) % 2
+    par_w = lax.broadcasted_iota(jnp.int32, (b, dp, hp, wp, c), 3) % 2
+    k = (4 * par_d + 2 * par_h + par_w).astype(idx.dtype)
+    sel = iu == k
+    zero = jnp.asarray(0, g_mu.dtype)
+    d_mu = jnp.where(sel, _upsample2_nearest3d(g_mu), zero)
+    d_sigma = jnp.where(sel, _upsample2_nearest3d(g_sigma), zero)
+    return d_mu[:, :d, :h, :w, :], d_sigma[:, :d, :h, :w, :]
+
+
+_vmaxpool3d_fast.defvjp(_vmaxpool3d_fwd, _vmaxpool3d_bwd)
 
 
 def _unpool3d_one(x: Array) -> Array:
@@ -245,6 +302,93 @@ def vcrop_concat3d(
         jnp.concatenate([mu, crop_center3d(mu_e, d, h, w)], axis=-1),
         jnp.concatenate([sigma, crop_center3d(sigma_e, d, h, w)], axis=-1),
     )
+
+
+def _conv3d_pads(x: Array, w: Array, pads, stride: int = 1) -> Array:
+    """3-D conv with an explicit per-spatial-dim (lo, hi) padding config;
+    negative entries slice (the crop-as-conv-padding mechanism, see the
+    2-D ``_conv_pad``)."""
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        (stride,) * 3,
+        padding=tuple(tuple(p) for p in pads),
+        dimension_numbers=_DN,
+        preferred_element_type=x.dtype,
+        precision=get_mxu_precision(),
+    )
+
+
+def vglue_conv3d_relu(
+    mu: Array,
+    sigma: Array,
+    w_mu: Array,
+    w_sigma: Array,
+    pad_size: Sequence[int],
+    sigma_fill: float,
+    mu_enc: Array | None = None,
+    sigma_enc: Array | None = None,
+) -> MomentPair:
+    """Rank-3 port of ``ops.moments.vglue_conv_relu``: the decoder's
+    ``vpad3d -> [vcrop_concat3d ->] vconv3d -> vrelu`` computed
+    algebraically inside the conv — zero mu-pad as conv padding, skip
+    crop as negative conv padding, channel concat as a kernel split on
+    the DHWIO input axis, and the constant ``sigma_fill`` border as two
+    analytic ring-mask terms. In 3-D the materialized pads are a larger
+    fraction of the work (an 18^3 -> 24^3 (3,3)-pad is 2.4x the voxels),
+    so this is the family's main HBM-glue lever. Equality with the
+    explicit choreography is pinned in tests/test_glue_fold.py.
+    """
+    lo, hi = int(pad_size[0]), int(pad_size[1])
+    k = w_mu.shape[0]
+    c_d = mu.shape[-1]
+    s_w = jax.nn.softplus(w_sigma.astype(jnp.float32))
+    mu, sigma = _act(mu), _act(sigma)
+    w_d = w_mu[..., :c_d, :] if mu_enc is not None else w_mu
+    ones = jnp.ones((k, k, k, 1, 1), mu.dtype)
+    pd = ((lo, hi),) * 3
+
+    def _src(m, s):
+        t = jnp.sum(
+            (jnp.square(m) + s).astype(jnp.float32), axis=-1, keepdims=True
+        )
+        return t.astype(m.dtype)
+
+    mu_out = _conv3d_pads(mu, w_d, pd)
+    ws = _conv3d_pads(_src(mu, sigma), ones, pd)
+    sig_conv = _conv3d_pads(sigma, jnp.square(w_d.astype(jnp.float32)), pd)
+
+    if sigma_fill != 0.0 and (lo or hi):
+        b_, d, h, w, _ = mu.shape
+        ring = jnp.pad(
+            jnp.zeros((1, d, h, w, 1), mu.dtype),
+            ((0, 0), (lo, hi), (lo, hi), (lo, hi), (0, 0)),
+            constant_values=1.0,
+        )
+        fill = jnp.asarray(sigma_fill, mu.dtype)
+        ws = ws + _conv3d_valid(ring, ones) * (c_d * fill)
+        w2_sum = jnp.sum(
+            jnp.square(w_d.astype(jnp.float32)), axis=3, keepdims=True
+        )
+        sig_conv = sig_conv + _conv3d_valid(ring, w2_sum) * fill
+
+    if mu_enc is not None:
+        mu_enc, sigma_enc = _act(mu_enc), _act(sigma_enc)
+        w_e = w_mu[..., c_d:, :]
+        tgt = tuple(mu.shape[i] + lo + hi for i in (1, 2, 3))
+        src = tuple(mu_enc.shape[i] for i in (1, 2, 3))
+        offs = tuple((s - t) // 2 for s, t in zip(src, tgt))
+        pe = tuple(
+            (-o, -(s - o - t)) for s, t, o in zip(src, tgt, offs)
+        )
+        mu_out = mu_out + _conv3d_pads(mu_enc, w_e, pe)
+        ws = ws + _conv3d_pads(_src(mu_enc, sigma_enc), ones, pe)
+        sig_conv = sig_conv + _conv3d_pads(
+            sigma_enc, jnp.square(w_e.astype(jnp.float32)), pe
+        )
+
+    sigma_out = _act(ws) * _act(s_w) + sig_conv
+    return vrelu(_act(mu_out), _act(sigma_out))
 
 
 def vsoftmax3d(mu: Array, sigma: Array) -> MomentPair:

@@ -109,3 +109,33 @@ def test_forward_and_grad_equality(cfgname):
                 atol=2e-5,
                 err_msg=f"{name}/{leaf}",
             )
+
+
+def test_forward3d_fold_equality():
+    """3-D fold vs explicit choreography: full forward3d + grads."""
+    from supernet_tpu.models import forward3d, init_params3d
+
+    cfg = dataclasses.replace(
+        HIPPOCAMPUS.model, image_size=32, out_size=22, base_kernels=2
+    )
+    params = init_params3d(jax.random.PRNGKey(4), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 32, 32, 1))
+
+    def loss(p, x):
+        probs, sigma = forward3d(p, x, cfg)
+        return jnp.mean(jnp.log(sigma + 1e-3)) + jnp.mean(jnp.square(probs))
+
+    set_glue_fold("none")
+    p_ref, s_ref = forward3d(params, x, cfg)
+    g_ref = jax.grad(loss)(params, x)
+    set_glue_fold("fold")
+    p_f, s_f = forward3d(params, x, cfg)
+    g_f = jax.grad(loss)(params, x)
+    np.testing.assert_allclose(p_f, p_ref, rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(s_f, s_ref, rtol=3e-5, atol=3e-6)
+    for name in g_ref:
+        for leaf in ("w_mu", "w_sigma"):
+            np.testing.assert_allclose(
+                g_f[name][leaf], g_ref[name][leaf],
+                rtol=2e-4, atol=2e-5, err_msg=f"{name}/{leaf}",
+            )

@@ -105,6 +105,68 @@ def test_vmaxpool3d_tie_break_first():
     assert float(sg[0, 0, 0, 0, 0]) == 0.0  # tap (0,0,0)
 
 
+def test_vmaxpool3d_custom_bwd_matches_where_tree():
+    """The 3-D parity-form custom VJP (moments3d._vmaxpool3d_bwd) must
+    equal the gradients of a plain strided-tap where-tree formulation on
+    random inputs with plenty of exact ties, incl. the odd-dim pad."""
+
+    def pool_naive(mu, sigma):
+        b, d, h, w, c = mu.shape
+        dp, hp, wp = -(-d // 2) * 2, -(-h // 2) * 2, -(-w // 2) * 2
+        if (dp, hp, wp) != (d, h, w):
+            pad = ((0, 0), (0, dp - d), (0, hp - h), (0, wp - w), (0, 0))
+            mu = jnp.pad(mu, pad, constant_values=-jnp.inf)
+            sigma = jnp.pad(sigma, pad)
+        m_taps = [
+            mu[:, di::2, hi::2, wi::2, :]
+            for di in (0, 1) for hi in (0, 1) for wi in (0, 1)
+        ]
+        s_taps = [
+            sigma[:, di::2, hi::2, wi::2, :]
+            for di in (0, 1) for hi in (0, 1) for wi in (0, 1)
+        ]
+        mx = m_taps[0]
+        for t in m_taps[1:]:
+            mx = jnp.maximum(mx, t)
+        mx = jax.lax.stop_gradient(mx)
+
+        def sel(taps):
+            out = taps[7]
+            for k in range(6, -1, -1):
+                out = jnp.where(m_taps[k] == mx, taps[k], out)
+            return out
+
+        return sel(m_taps), sel(s_taps)
+
+    rng = np.random.default_rng(17)
+    for shape in [(2, 4, 4, 6, 3), (1, 5, 4, 6, 2)]:
+        mu = jnp.asarray(
+            np.round(rng.normal(0, 1, shape) * 2) / 2
+        ).astype(jnp.float32)
+        sg = jnp.abs(jnp.asarray(rng.normal(0, 1, shape).astype(np.float32)))
+        np.testing.assert_array_equal(
+            np.asarray(m3.vmaxpool3d(mu, sg)[0]),
+            np.asarray(pool_naive(mu, sg)[0]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m3.vmaxpool3d(mu, sg)[1]),
+            np.asarray(pool_naive(mu, sg)[1]),
+        )
+
+        def loss(fn):
+            return lambda m, s: (
+                jnp.sum(jnp.sin(fn(m, s)[0]))
+                + jnp.sum(jnp.cos(fn(m, s)[1]))
+            )
+
+        g_fast = jax.grad(loss(m3.vmaxpool3d), (0, 1))(mu, sg)
+        g_ref = jax.grad(loss(pool_naive), (0, 1))(mu, sg)
+        for x, y in zip(g_fast, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-6
+            )
+
+
 def test_vunpool3d_geometry_and_values():
     x = _rand(1, 3, 3, 3, 2)
     up, _ = m3.vunpool3d(jnp.asarray(x), jnp.asarray(x))
