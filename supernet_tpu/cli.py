@@ -175,6 +175,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="N>0: evaluate the Monte-Carlo weight-sampling "
                          "baseline (N forwards/batch) instead of the VDP "
                          "propagated moments")
+    e3.add_argument("--artifact-max-samples", type=int, default=None,
+                    help="cap the rows kept for the full-set "
+                         "uncertainty_info.pkl artifact (metrics and the "
+                         "variance report still cover ALL samples; "
+                         "default: keep all)")
 
     a3 = sub.add_parser(
         "attack3d", help="FGSM/PGD adversarial evaluation on volumes"
@@ -190,6 +195,11 @@ def build_parser() -> argparse.ArgumentParser:
     a3.add_argument("--max-adv-step", type=int, default=None)
     a3.add_argument("--step-size", type=float, default=None)
     a3.add_argument("--images-n", type=int, default=4)
+    a3.add_argument("--artifact-max-samples", type=int, default=None,
+                    help="cap the rows kept for the full-set "
+                         "uncertainty_info.pkl artifact (metrics and the "
+                         "variance report still cover ALL samples; "
+                         "default: keep all)")
 
     c3 = sub.add_parser(
         "calibrate3d",
@@ -214,6 +224,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="N>0: evaluate the Monte-Carlo weight-sampling "
                         "baseline (N forwards/batch) instead of the VDP "
                         "propagated moments")
+    e.add_argument("--artifact-max-samples", type=int, default=None,
+                    help="cap the rows kept for the full-set "
+                         "uncertainty_info.pkl artifact (metrics and the "
+                         "variance report still cover ALL samples; "
+                         "default: keep all)")
 
     cal = sub.add_parser(
         "calibrate",
@@ -235,6 +250,11 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--max-adv-step", type=int, default=None)
     a.add_argument("--step-size", type=float, default=None)
     a.add_argument("--images-n", type=int, default=10)
+    a.add_argument("--artifact-max-samples", type=int, default=None,
+                    help="cap the rows kept for the full-set "
+                         "uncertainty_info.pkl artifact (metrics and the "
+                         "variance report still cover ALL samples; "
+                         "default: keep all)")
 
     s = sub.add_parser("sweep", help="noise-robustness sweep (levels x regions)")
     _add_common(s)
@@ -1045,13 +1065,17 @@ def main(argv=None) -> int:
             res = run_testing3d(exp, params, x, y, nc,
                                 out_dir=args.out_dir,
                                 images_n=args.images_n, mesh=mesh,
-                                mc_samples=args.mc_samples)
+                                mc_samples=args.mc_samples,
+                                artifact_max_samples=(
+                                    args.artifact_max_samples))
         elif args.cmd == "attack3d":
             from supernet_tpu.evaluate3d import run_adversarial3d
 
             res = run_adversarial3d(exp, params, x, y,
                                     out_dir=args.out_dir,
-                                    images_n=args.images_n, mesh=mesh)
+                                    images_n=args.images_n, mesh=mesh,
+                                    artifact_max_samples=(
+                                        args.artifact_max_samples))
         elif args.cmd == "saliency3d":
             import jax.numpy as jnp
             import numpy as np
@@ -1299,7 +1323,8 @@ def main(argv=None) -> int:
         res = run_testing(exp, params, ds, images_n=args.images_n,
                           out_dir=args.out_dir,
                           mesh=mesh,
-                          mc_samples=args.mc_samples)
+                          mc_samples=args.mc_samples,
+                          artifact_max_samples=args.artifact_max_samples)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
         return 0
@@ -1320,7 +1345,8 @@ def main(argv=None) -> int:
         from supernet_tpu.evaluate import run_adversarial
 
         res = run_adversarial(exp, params, ds, images_n=args.images_n,
-                              out_dir=args.out_dir, mesh=mesh)
+                              out_dir=args.out_dir, mesh=mesh,
+                              artifact_max_samples=args.artifact_max_samples)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, str))}))
         return 0

@@ -23,6 +23,7 @@ scheme (on_anterior/on_posterior/on_all, on_object/on_background/on_all).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import time
 from typing import Dict, List, Optional
@@ -249,12 +250,23 @@ def run_testing(
     seed: int = 0,
     mesh=None,
     mc_samples: int = 0,
+    artifact_max_samples: Optional[int] = None,
 ) -> Dict[str, object]:
     """The ``testing`` protocol; returns metrics + artifact path.
 
     ``mc_samples > 0`` evaluates the Monte-Carlo weight-sampling baseline
     instead of the VDP propagation (same metrics/artifacts; N forwards per
-    batch — see `_forward_fn`)."""
+    batch — see `_forward_fn`).
+
+    Host memory is O(batch + images_n + artifact rows): metrics and the
+    predictive-variance report accumulate ONLINE
+    (`reports.UncertaintyAccumulator`), so the test set can be arbitrarily
+    large. The one full-set surface is the reference's
+    ``uncertainty_info*.pkl`` dump ([probs, sigma, images, labels, acc] —
+    `Hippocampus.py:1420,1449`, ~2.8 MB/sample on BraTS);
+    ``artifact_max_samples`` caps how many leading samples it keeps
+    (``None`` = all, the parity default; the cap is recorded in the result
+    as ``artifact_samples`` and in the hyperparameters dump)."""
     cfg = exp.model
     if mc_samples > 0 and mesh is not None:
         raise ValueError("mc_samples mode is single-device; drop mesh")
@@ -267,7 +279,17 @@ def run_testing(
         params = replicate(mesh, params)
     key = jax.random.PRNGKey(seed)
 
+    n_total = len(ds)
+    # clamp to >=1: downstream artifact writers need at least one row
+    artifact_cap = (
+        n_total if artifact_max_samples is None
+        else min(max(artifact_max_samples, 1), n_total)
+    )
     all_probs, all_sigma, all_x, all_y = [], [], [], []
+    n_kept = 0
+    rep = reports.UncertaintyAccumulator(
+        n_total, images_n=images_n, dataset=exp.name, adversarial=False
+    )
     snrs: List[float] = []
     accs: List[float] = []
     structs = M.dataset_structures(exp.name)
@@ -321,10 +343,15 @@ def run_testing(
                     M.binarize(pred, s, exp.name),
                 )
             )
-        all_probs.append(probs_i)
-        all_sigma.append(sigma_i)
-        all_x.append(center_crop_np(np.asarray(xb)[:b], cfg.out_size))
-        all_y.append(y_crop)
+        x_noisy = center_crop_np(np.asarray(xb)[:b], cfg.out_size)
+        rep.update(x_noisy, probs_i, y_crop, sigma_i)
+        take = min(b, artifact_cap - n_kept)
+        if take > 0:
+            all_probs.append(probs_i[:take])
+            all_sigma.append(sigma_i[:take])
+            all_x.append(x_noisy[:take])
+            all_y.append(y_crop[:take])
+            n_kept += take
 
     probs = np.concatenate(all_probs)
     sigma = np.concatenate(all_sigma)
@@ -362,17 +389,13 @@ def run_testing(
         ),
     )
     result["artifact"] = artifact
-    unc = reports.save_uncertainty_report(
-        out_dir,
-        xs,
-        xs,
-        probs,
-        ys,
-        sigma,
-        images_n=images_n,
-        adversarial=False,
-        dataset=exp.name,
-    )
+    result["artifact_samples"] = n_kept
+    if n_kept < n_total:
+        logging.getLogger(__name__).info(
+            "uncertainty_info artifact capped to %d of %d samples "
+            "(artifact_max_samples)", n_kept, n_total,
+        )
+    unc = rep.finalize(out_dir)
     result["mean_predictive_variance"] = unc["mean"]
     reports.write_hyperparameters(
         out_dir,
@@ -389,10 +412,15 @@ def run_adversarial(
     out_dir: Optional[str] = None,
     images_n: int = 0,
     mesh=None,
+    artifact_max_samples: Optional[int] = None,
 ) -> Dict[str, object]:
     """Adversarial evaluation branch (`Hippocampus.py:894-1049`): PGD when
     targeted (both datasets) / always for Hippocampus; single-step FGSM for
-    untargeted BraTS (`Brats.py:984-991`)."""
+    untargeted BraTS (`Brats.py:984-991`).
+
+    Streams like ``run_testing``: metrics and the variance report
+    accumulate online; ``artifact_max_samples`` caps the full-set
+    ``uncertainty_info.pkl`` rows (None = all, parity default)."""
     cfg = exp.model
     ac = exp.attack
     if isinstance(params, (list, tuple)):
@@ -412,7 +440,18 @@ def run_adversarial(
         cfg, ac, mesh=mesh
     )
 
-    all_probs, all_sigma, all_adv, all_y, all_masked = [], [], [], [], []
+    n_total = len(ds)
+    # clamp to >=1: downstream artifact writers need at least one row
+    artifact_cap = (
+        n_total if artifact_max_samples is None
+        else min(max(artifact_max_samples, 1), n_total)
+    )
+    all_probs, all_sigma, all_adv, all_y = [], [], [], []
+    n_kept = 0
+    rep = reports.UncertaintyAccumulator(
+        n_total, images_n=images_n, dataset=exp.name,
+        adversarial=True, targeted=ac.targeted,
+    )
     accs, snrs = [], []
     structs = M.dataset_structures(exp.name)
     acc_metrics: Dict[str, List[M.StructureMetrics]] = {s: [] for s in structs}
@@ -431,7 +470,6 @@ def run_adversarial(
                     ac.adv_class,
                 )
             )
-            all_masked.append(y_attack)
         # one_hot with depth n_classes: the targeted adv_class (3 for
         # Hippocampus, out of range) becomes an all-zero row, exactly like
         # the reference's tf.one_hot(depth=output_size) (Hippocampus.py:917).
@@ -479,16 +517,22 @@ def run_adversarial(
         # SNR of the adversarial perturbation on the cropped frames
         # (`Hippocampus.py:995-1000`: 10 log10(sum x^2 / sum (adv - x)^2))
         snrs.append(float(perturb.snr_db(x_crop, adv_crop)))
-        all_probs.append(probs_i)
-        all_sigma.append(sigma_i)
-        all_adv.append(adv_crop)
-        all_y.append(y_crop)
+        rep.update(
+            adv_crop, probs_i, y_crop, sigma_i, adv=adv_crop,
+            masked=y_attack if ac.targeted else None,
+        )
+        take = min(b, artifact_cap - n_kept)
+        if take > 0:
+            all_probs.append(probs_i[:take])
+            all_sigma.append(sigma_i[:take])
+            all_adv.append(adv_crop[:take])
+            all_y.append(y_crop[:take])
+            n_kept += take
 
     probs = np.concatenate(all_probs)
     sigma = np.concatenate(all_sigma)
     advs = np.concatenate(all_adv)
     ys = np.concatenate(all_y)
-    masked = np.concatenate(all_masked) if all_masked else None
 
     mode = "targeted" if ac.targeted else "untargeted"
     out_dir = out_dir or os.path.join(
@@ -509,19 +553,13 @@ def run_adversarial(
         out_dir, probs, sigma, advs, ys, acc=result["accuracy"]
     )
     result["artifact"] = artifact
-    unc = reports.save_uncertainty_report(
-        out_dir,
-        advs,
-        advs,
-        probs,
-        ys,
-        sigma,
-        masked=masked,
-        images_n=images_n,
-        adversarial=True,
-        targeted=ac.targeted,
-        dataset=exp.name,
-    )
+    result["artifact_samples"] = n_kept
+    if n_kept < n_total:
+        logging.getLogger(__name__).info(
+            "uncertainty_info artifact capped to %d of %d samples "
+            "(artifact_max_samples)", n_kept, n_total,
+        )
+    unc = rep.finalize(out_dir)
     result["mean_predictive_variance"] = unc["mean"]
     # per-class / per-structure predictive variance lines the reference
     # appends for targeted attacks (`Hippocampus.py:1105-1112`)

@@ -127,13 +127,18 @@ def run_testing3d(
     seed: int = 0,
     mesh=None,
     mc_samples: int = 0,
+    artifact_max_samples: Optional[int] = None,
 ) -> Dict[str, object]:
     """The ``testing`` protocol on volumes; returns metrics + artifact path.
 
     ``x``: [N, S, S, S, C] cubes, ``y``: [N, S, S, S] int labels (what
     `data.nifti.volume_to_cube` / `data.synthetic.synthetic_volumes`
     produce). ``mc_samples > 0`` evaluates the Monte-Carlo weight-sampling
-    baseline instead of the VDP propagation (same metrics/artifacts)."""
+    baseline instead of the VDP propagation (same metrics/artifacts).
+
+    Metrics and the variance report accumulate ONLINE (O(batch) host
+    memory); ``artifact_max_samples`` caps the rows kept for the full-set
+    ``uncertainty_info.pkl`` + slice renders (None = all volumes)."""
     cfg = exp.model
     if mc_samples > 0 and mesh is not None:
         raise ValueError("mc_samples mode is single-device; drop mesh")
@@ -150,7 +155,17 @@ def run_testing3d(
     x = np.asarray(x, np.float32)
     y = np.asarray(y, np.int32)
 
+    n_total = len(x)
+    # clamp to >=1: downstream artifact writers need at least one row
+    artifact_cap = (
+        n_total if artifact_max_samples is None
+        else min(max(artifact_max_samples, 1), n_total)
+    )
     all_probs, all_sigma, all_x, all_y = [], [], [], []
+    n_kept = 0
+    rep = reports.UncertaintyAccumulator(
+        n_total, images_n=0, dataset=exp.name, adversarial=False
+    )
     snrs: List[float] = []
     accs: List[float] = []
     structs = M.dataset_structures(exp.name)
@@ -186,10 +201,15 @@ def run_testing3d(
         probs_v, sigma_v, _ = _score_batch(
             probs, sigma, y_crop, cfg, exp.name, structs, acc_metrics, accs
         )
-        all_probs.append(probs_v)
-        all_sigma.append(sigma_v)
-        all_x.append(np.asarray(xb))
-        all_y.append(y_crop)
+        rep.update(np.asarray(xb), probs_v, y_crop, sigma_v)
+        b = len(probs_v)
+        take = min(b, artifact_cap - n_kept)
+        if take > 0:
+            all_probs.append(probs_v[:take])
+            all_sigma.append(sigma_v[:take])
+            all_x.append(np.asarray(xb)[:take])
+            all_y.append(y_crop[:take])
+            n_kept += take
 
     probs = np.concatenate(all_probs)
     sigma = np.concatenate(all_sigma)
@@ -217,19 +237,15 @@ def run_testing3d(
         result["mc_samples"] = mc_samples
     _aggregate_structures(result, structs, acc_metrics)
 
-    unc = reports.save_uncertainty_slices3d(
+    reports.save_uncertainty_slices3d(
         out_dir, probs, sigma, xs, ys,
         images_n=images_n, n_classes=cfg.n_classes,
     )
+    # full-set (not capped) exact mean + reference-format per-structure
+    # variance report, accumulated online over every batch above
+    unc = rep.finalize(out_dir)
     result["mean_predictive_variance"] = unc["mean"]
-    # Predictive_variance_tasks.txt — the per-structure variance text block
-    # is rank-agnostic (boolean-mask means over the predicted map), so the
-    # 2-D writer produces the reference-format report for volumes too
-    # (images_n=0: the slice renders come from save_uncertainty_slices3d)
-    reports.save_uncertainty_report(
-        out_dir, xs, None, probs, ys, sigma,
-        images_n=0, adversarial=False, dataset=exp.name,
-    )
+    result["artifact_samples"] = n_kept
     reports.write_hyperparameters(
         out_dir,
         "Related_hyperparameters.txt",
@@ -246,12 +262,17 @@ def run_adversarial3d(
     out_dir: Optional[str] = None,
     images_n: int = 4,
     mesh=None,
+    artifact_max_samples: Optional[int] = None,
 ) -> Dict[str, object]:
     """Adversarial evaluation on volumes: PGD when targeted / for
     hippocampus-style configs, single-step FGSM otherwise — the same
     branch logic as the 2-D `evaluate.run_adversarial`
     (`Hippocampus.py:894-1049`, `Brats.py:984-991`), the attack
-    differentiating through the full 3-D VDP forward."""
+    differentiating through the full 3-D VDP forward.
+
+    Streams like ``run_testing3d``: metrics and the variance report
+    accumulate online; ``artifact_max_samples`` caps the volumes kept
+    for the slice renders (None = all)."""
     cfg = exp.model
     ac = exp.attack
     if isinstance(params, (list, tuple)):
@@ -278,7 +299,18 @@ def run_adversarial3d(
     x = np.asarray(x, np.float32)
     y = np.asarray(y, np.int32)
 
+    n_total = len(x)
+    # clamp to >=1: downstream artifact writers need at least one row
+    artifact_cap = (
+        n_total if artifact_max_samples is None
+        else min(max(artifact_max_samples, 1), n_total)
+    )
     all_probs, all_sigma, all_adv, all_y = [], [], [], []
+    n_kept = 0
+    rep = reports.UncertaintyAccumulator(
+        n_total, images_n=0, dataset=exp.name,
+        adversarial=True, targeted=ac.targeted,
+    )
     accs, snrs = [], []
     structs = M.dataset_structures(exp.name)
     acc_metrics: Dict[str, List[M.StructureMetrics]] = {s: [] for s in structs}
@@ -324,10 +356,15 @@ def run_adversarial3d(
         # SNR of the adversarial perturbation on the cropped frames
         # (`Hippocampus.py:995-1000`)
         snrs.append(float(perturb.snr_db(x_crop, adv_crop)))
-        all_probs.append(probs_v)
-        all_sigma.append(sigma_v)
-        all_adv.append(adv_np)
-        all_y.append(y_crop)
+        rep.update(adv_crop, probs_v, y_crop, sigma_v)
+        b = len(probs_v)
+        take = min(b, artifact_cap - n_kept)
+        if take > 0:
+            all_probs.append(probs_v[:take])
+            all_sigma.append(sigma_v[:take])
+            all_adv.append(adv_np[:take])
+            all_y.append(y_crop[:take])
+            n_kept += take
 
     probs = np.concatenate(all_probs)
     sigma = np.concatenate(all_sigma)
@@ -348,19 +385,17 @@ def run_adversarial3d(
     }
     _aggregate_structures(result, structs, acc_metrics)
 
-    unc = reports.save_uncertainty_slices3d(
+    reports.save_uncertainty_slices3d(
         out_dir, probs, sigma, advs, ys,
         images_n=images_n, n_classes=cfg.n_classes,
     )
-    result["mean_predictive_variance"] = unc["mean"]
-    # reference-format per-structure variance report (rank-agnostic text
-    # path of the 2-D writer; see run_testing3d) + the per-structure
-    # variance fields targeted attacks append (`Hippocampus.py:1105-1112`)
-    pv = reports.save_uncertainty_report(
-        out_dir, advs, None, probs, ys, sigma,
-        images_n=0, adversarial=True, targeted=ac.targeted,
-        dataset=exp.name,
-    )
+    # full-set (not capped) exact mean + reference-format per-structure
+    # variance report, accumulated online over every batch above, incl.
+    # the per-structure variance fields targeted attacks append
+    # (`Hippocampus.py:1105-1112`)
+    pv = rep.finalize(out_dir)
+    result["mean_predictive_variance"] = pv["mean"]
+    result["artifact_samples"] = n_kept
     for k, v in pv.items():
         if k != "mean":
             result[f"predictive_variance_{k}"] = v

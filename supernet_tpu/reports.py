@@ -78,6 +78,254 @@ def sample_indices(n_total: int, images_n: int, dataset: str) -> np.ndarray:
     return np.random.choice(np.arange(n_total), images_n)
 
 
+def _variance_conditions(dataset: str, n_classes: int):
+    """Ordered ``{key: fn(predict, truey) -> bool mask}`` for the
+    reference's ``Predictive_variance_tasks.txt`` groups
+    (`Hippocampus_functions.py:100-145`, `Brats_functions.py:296-335`)."""
+    if dataset == "hippocampus":
+        return {
+            "anterior": lambda p, y: p == 1,
+            "non_anterior": lambda p, y: p != 1,
+            "posterior": lambda p, y: p == 2,
+            "non_posterior": lambda p, y: p != 2,
+        }
+    conds = {
+        "tumor": lambda p, y: p > 0,
+        "background": lambda p, y: p == 0,
+        "core": lambda p, y: (p > 0) & (p != 2),
+        "non_core": lambda p, y: ~((p > 0) & (p != 2)),
+        "enhancing": lambda p, y: p == 4,
+        "non_enhancing": lambda p, y: p != 4,
+    }
+    for cls in range(1, n_classes):
+        conds[f"class{cls}"] = (lambda c: lambda p, y: p == c)(cls)
+    conds["correct"] = lambda p, y: p == y
+    # the reference's incorrect_unc reuses the correct mask
+    # (`Brats_functions.py:299`) — fixed here, catalogued SURVEY §2.7.8
+    conds["incorrect"] = lambda p, y: p != y
+    return conds
+
+
+def _render_sample(
+    img_dir: str,
+    i: int,
+    truex_i: np.ndarray,
+    adv_i: Optional[np.ndarray],
+    predict_i: np.ndarray,
+    uncert_i: np.ndarray,
+    truey_i: np.ndarray,
+    masked_i: Optional[np.ndarray],
+    cmap,
+    adversarial: bool,
+    targeted: bool,
+) -> None:
+    """The reference's per-sample PNG set (`Hippocampus_functions.py:55-98`,
+    `Brats_functions.py:203-294`)."""
+    if adversarial and adv_i is not None:
+        n_mod = truex_i.shape[-1] if truex_i.ndim == 3 else 1
+        if n_mod > 1:  # BraTS 4-modality overlay (Brats_functions.py:211)
+            plt.figure(figsize=(10 * n_mod, 10))
+            for j in range(n_mod):
+                plt.subplot(1, n_mod, j + 1)
+                plt.imshow(truex_i[:, :, j], "gray", interpolation="none")
+                plt.imshow(adv_i[:, :, j], "gray",
+                           interpolation="none", alpha=0.9)
+                ax = plt.gca()
+                ax.axes.xaxis.set_visible(False)
+                ax.axes.yaxis.set_visible(False)
+            plt.savefig(os.path.join(img_dir, f"{i}_Adversarial_noise.png"))
+            plt.close()
+        else:
+            plt.figure()
+            plt.imshow(np.squeeze(truex_i), "gray", interpolation="none")
+            plt.imshow(np.squeeze(adv_i), "gray",
+                       interpolation="none", alpha=0.8)
+            _save(os.path.join(img_dir, f"{i}_Adversarial_noise.png"))
+    plt.figure(figsize=(10, 10))
+    plt.imshow(truey_i, cmap, interpolation="none")
+    plt.title("Ground truth Label")
+    _save(os.path.join(img_dir, f"{i}_Label_image.png"))
+    plt.figure(figsize=(10, 10))
+    plt.imshow(predict_i, cmap, interpolation="none")
+    plt.title("Predicted Label")
+    _save(os.path.join(img_dir, f"{i}_Predicted_image.png"))
+    plt.figure(figsize=(10, 10))
+    im = plt.imshow(uncert_i, cmap="winter_r", interpolation="nearest")
+    plt.title("Uncertainty map")
+    plt.colorbar(im, fraction=0.046, pad=0.04)
+    _save(os.path.join(img_dir, f"{i}_uncertainty_heatmap.png"))
+    if adversarial and targeted and masked_i is not None:
+        plt.figure(figsize=(10, 10))
+        plt.imshow(masked_i, cmap, interpolation="none")
+        plt.title("Masked Label")
+        _save(os.path.join(img_dir, f"{i}_Masked_Label_image.png"))
+
+
+class UncertaintyAccumulator:
+    """Online twin of ``save_uncertainty_report``: feed it batches, it
+    holds O(batch + selected-render-samples) host memory — running
+    per-condition (sum, count) pairs in float64 plus only the rows whose
+    global index was pre-selected for rendering. ``finalize`` writes the
+    same PNG set and ``Predictive_variance_tasks.txt`` byte-for-byte as
+    the one-shot path (which is itself a wrapper over this class), so the
+    eval protocols can stream arbitrarily large test sets (VERDICT r3 #5).
+
+    ``n_total`` must be the FULL dataset size (the reference's sampled
+    render indices are drawn over N upfront: seed 3/N<=403 Hippocampus,
+    seed 70/N BraTS — `Hippocampus_functions.py:39,49`).
+    """
+
+    def __init__(
+        self,
+        n_total: int,
+        images_n: int = 10,
+        dataset: str = "hippocampus",
+        adversarial: bool = True,
+        targeted: bool = True,
+    ):
+        sel = (
+            sample_indices(n_total, images_n, dataset)
+            if images_n > 0
+            else np.empty((0,), np.int64)
+        )
+        self._sel = set(int(i) for i in sel)
+        self.dataset = dataset
+        self.adversarial = adversarial
+        self.targeted = targeted
+        self._sums: Dict[str, float] = {}
+        self._counts: Dict[str, int] = {}
+        self._total_sum = 0.0
+        self._total_cnt = 0
+        self._stash: Dict[int, tuple] = {}
+        self._n_seen = 0
+        self._n_classes: Optional[int] = None
+        self._conds = None
+
+    @property
+    def n_seen(self) -> int:
+        return self._n_seen
+
+    @property
+    def n_stashed(self) -> int:
+        """Rows held for rendering — the accumulator's entire per-sample
+        memory footprint (bounded by images_n)."""
+        return len(self._stash)
+
+    def update(
+        self,
+        truex: np.ndarray,
+        probs: np.ndarray,
+        truey: np.ndarray,
+        sigma: np.ndarray,
+        adv: Optional[np.ndarray] = None,
+        masked: Optional[np.ndarray] = None,
+    ) -> None:
+        n = len(probs)
+        i0 = self._n_seen
+        self._n_seen += n
+        predict = np.argmax(probs, axis=-1)
+        uncert = uncertainty_at_prediction(sigma, predict)
+        if self._n_classes is None:
+            self._n_classes = probs.shape[-1]
+            self._conds = _variance_conditions(self.dataset, self._n_classes)
+        self._total_sum += float(uncert.sum(dtype=np.float64))
+        self._total_cnt += uncert.size
+        for key, fn in self._conds.items():
+            m = fn(predict, truey)
+            self._sums[key] = self._sums.get(key, 0.0) + float(
+                uncert[m].sum(dtype=np.float64)
+            )
+            self._counts[key] = self._counts.get(key, 0) + int(m.sum())
+        for i in range(n):
+            gi = i0 + i
+            if gi in self._sel:
+                self._stash[gi] = (
+                    np.asarray(truex[i]),
+                    None if adv is None else np.asarray(adv[i]),
+                    predict[i],
+                    uncert[i],
+                    np.asarray(truey[i]),
+                    None if masked is None else np.asarray(masked[i]),
+                )
+
+    def _mean(self, key: str) -> float:
+        c = self._counts.get(key, 0)
+        return self._sums.get(key, 0.0) / c if c else float("nan")
+
+    def finalize(self, path: str) -> Dict[str, float]:
+        """Render the stashed samples + write the variance report; returns
+        the mean predictive variances the reference returns."""
+        n_classes = self._n_classes or 2
+        mean_u = self._total_sum / self._total_cnt if self._total_cnt else float("nan")
+        out: Dict[str, float] = {"mean": mean_u}
+
+        if _HAVE_MPL and self._stash:
+            img_dir = os.path.join(path, "test_images")
+            os.makedirs(img_dir, exist_ok=True)
+            cmap = label_colormap(n_classes)
+            for i in sorted(self._stash):
+                tx, ad, pr, un, ty, mk = self._stash[i]
+                _render_sample(
+                    img_dir, i, tx, ad, pr, un, ty, mk, cmap,
+                    self.adversarial, self.targeted,
+                )
+
+        os.makedirs(path, exist_ok=True)
+        lines = [f"\n Average Predictive variance : {mean_u}"]
+        lines.append("\n---------------------------------")
+        if self.dataset == "hippocampus":
+            for key in ("anterior", "non_anterior", "posterior",
+                        "non_posterior"):
+                out[key] = self._mean(key)
+            lines.append(
+                "\n Predictive variance for all  anterior structures : "
+                + str(out["anterior"])
+            )
+            lines.append(
+                "\n Predictive variance for non-anterior structures : "
+                + str(out["non_anterior"])
+            )
+            lines.append("\n---------------------------------")
+            lines.append(
+                "\n Predictive variance for posterior portion : "
+                + str(out["posterior"])
+            )
+            lines.append(
+                "\n Predictive variance for non-posterior structures : "
+                + str(out["non_posterior"])
+            )
+        else:
+            for key in self._conds or _variance_conditions(
+                self.dataset, n_classes
+            ):
+                out[key] = self._mean(key)
+            lines += [
+                f"\n Predictive variance for all tumor structures : {out['tumor']}",
+                f"\n Predictive variance for non-tumor structures : {out['background']}",
+                "\n---------------------------------",
+                f"\n Predictive variance for core portion : {out['core']}",
+                f"\n Predictive variance for non-core structures : {out['non_core']}",
+                "\n---------------------------------",
+                f"\n Predictive variance for enhancing portion : {out['enhancing']}",
+                f"\n Predictive variance for non-enhancing portion : {out['non_enhancing']}",
+                "\n-----------Uncertainty Per Class--------------",
+            ]
+            for cls in range(n_classes):
+                key = "background" if cls == 0 else f"class{cls}"
+                lines.append(
+                    f"\n Predictive variance for class {cls} : {out[key]}"
+                )
+            lines += [
+                "\n-------------------------",
+                f"\n Predictive variance for correct : {out['correct']}",
+                f"\n Predictive variance for incorrect : {out['incorrect']}",
+            ]
+
+        with open(os.path.join(path, "Predictive_variance_tasks.txt"), "w") as f:
+            f.writelines(lines)
+        return out
+
+
 def save_uncertainty_report(
     path: str,
     truex: np.ndarray,  # clean images   [N, H, W, C] (or [N, H, W])
@@ -92,130 +340,14 @@ def save_uncertainty_report(
     dataset: str = "hippocampus",
 ) -> Dict[str, float]:
     """Render PNGs + write Predictive_variance_tasks.txt; returns the mean
-    predictive variances the reference returns."""
-    n_classes = probs.shape[-1]
-    predict = np.argmax(probs, axis=-1)
-    uncert = uncertainty_at_prediction(sigma, predict)
-    mean_u = float(np.mean(uncert))
-
-    out: Dict[str, float] = {"mean": mean_u}
-
-    if _HAVE_MPL and images_n > 0:
-        img_dir = os.path.join(path, "test_images")
-        os.makedirs(img_dir, exist_ok=True)
-        cmap = label_colormap(n_classes)
-        for i in sample_indices(len(truex), images_n, dataset):
-            if adversarial and adv is not None:
-                n_mod = truex.shape[-1] if truex.ndim == 4 else 1
-                if n_mod > 1:  # BraTS 4-modality overlay (Brats_functions.py:211)
-                    plt.figure(figsize=(10 * n_mod, 10))
-                    for j in range(n_mod):
-                        plt.subplot(1, n_mod, j + 1)
-                        plt.imshow(truex[i, :, :, j], "gray",
-                                   interpolation="none")
-                        plt.imshow(adv[i, :, :, j], "gray",
-                                   interpolation="none", alpha=0.9)
-                        ax = plt.gca()
-                        ax.axes.xaxis.set_visible(False)
-                        ax.axes.yaxis.set_visible(False)
-                    plt.savefig(
-                        os.path.join(img_dir, f"{i}_Adversarial_noise.png")
-                    )
-                    plt.close()
-                else:
-                    plt.figure()
-                    plt.imshow(np.squeeze(truex[i]), "gray",
-                               interpolation="none")
-                    plt.imshow(np.squeeze(adv[i]), "gray",
-                               interpolation="none", alpha=0.8)
-                    _save(os.path.join(img_dir, f"{i}_Adversarial_noise.png"))
-            plt.figure(figsize=(10, 10))
-            plt.imshow(truey[i], cmap, interpolation="none")
-            plt.title("Ground truth Label")
-            _save(os.path.join(img_dir, f"{i}_Label_image.png"))
-            plt.figure(figsize=(10, 10))
-            plt.imshow(predict[i], cmap, interpolation="none")
-            plt.title("Predicted Label")
-            _save(os.path.join(img_dir, f"{i}_Predicted_image.png"))
-            plt.figure(figsize=(10, 10))
-            im = plt.imshow(uncert[i], cmap="winter_r",
-                            interpolation="nearest")
-            plt.title("Uncertainty map")
-            plt.colorbar(im, fraction=0.046, pad=0.04)
-            _save(os.path.join(img_dir, f"{i}_uncertainty_heatmap.png"))
-            if adversarial and targeted and masked is not None:
-                plt.figure(figsize=(10, 10))
-                plt.imshow(masked[i], cmap, interpolation="none")
-                plt.title("Masked Label")
-                _save(os.path.join(img_dir, f"{i}_Masked_Label_image.png"))
-
-    # --- predictive-variance text report -------------------------------
-    def mean_where(cond: np.ndarray) -> float:
-        sel = uncert[cond]
-        return float(np.mean(sel)) if sel.size else float("nan")
-
-    os.makedirs(path, exist_ok=True)
-    lines = [f"\n Average Predictive variance : {mean_u}"]
-    lines.append("\n---------------------------------")
-    if dataset == "hippocampus":
-        out["anterior"] = mean_where(predict == 1)
-        out["non_anterior"] = mean_where(predict != 1)
-        out["posterior"] = mean_where(predict == 2)
-        out["non_posterior"] = mean_where(predict != 2)
-        lines.append(
-            "\n Predictive variance for all  anterior structures : "
-            + str(out["anterior"])
-        )
-        lines.append(
-            "\n Predictive variance for non-anterior structures : "
-            + str(out["non_anterior"])
-        )
-        lines.append("\n---------------------------------")
-        lines.append(
-            "\n Predictive variance for posterior portion : "
-            + str(out["posterior"])
-        )
-        lines.append(
-            "\n Predictive variance for non-posterior structures : "
-            + str(out["non_posterior"])
-        )
-    else:
-        out["tumor"] = mean_where(predict > 0)
-        out["background"] = mean_where(predict == 0)
-        core = (predict > 0) & (predict != 2)
-        out["core"] = mean_where(core)
-        out["non_core"] = mean_where(~core)
-        out["enhancing"] = mean_where(predict == 4)
-        out["non_enhancing"] = mean_where(predict != 4)
-        for cls in range(1, n_classes):
-            out[f"class{cls}"] = mean_where(predict == cls)
-        out["correct"] = mean_where(predict == truey)
-        out["incorrect"] = mean_where(predict != truey)  # ref bug fixed
-        lines += [
-            f"\n Predictive variance for all tumor structures : {out['tumor']}",
-            f"\n Predictive variance for non-tumor structures : {out['background']}",
-            "\n---------------------------------",
-            f"\n Predictive variance for core portion : {out['core']}",
-            f"\n Predictive variance for non-core structures : {out['non_core']}",
-            "\n---------------------------------",
-            f"\n Predictive variance for enhancing portion : {out['enhancing']}",
-            f"\n Predictive variance for non-enhancing portion : {out['non_enhancing']}",
-            "\n-----------Uncertainty Per Class--------------",
-        ]
-        for cls in range(n_classes):
-            key = "background" if cls == 0 else f"class{cls}"
-            lines.append(
-                f"\n Predictive variance for class {cls} : {out[key]}"
-            )
-        lines += [
-            "\n-------------------------",
-            f"\n Predictive variance for correct : {out['correct']}",
-            f"\n Predictive variance for incorrect : {out['incorrect']}",
-        ]
-
-    with open(os.path.join(path, "Predictive_variance_tasks.txt"), "w") as f:
-        f.writelines(lines)
-    return out
+    predictive variances the reference returns. One-shot wrapper over
+    ``UncertaintyAccumulator`` (the streaming path the eval protocols use)."""
+    acc = UncertaintyAccumulator(
+        len(truex), images_n=images_n, dataset=dataset,
+        adversarial=adversarial, targeted=targeted,
+    )
+    acc.update(truex, probs, truey, sigma, adv=adv, masked=masked)
+    return acc.finalize(path)
 
 
 _REGION_NAME = {

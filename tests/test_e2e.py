@@ -336,10 +336,13 @@ def test_lungs_config_train_eval_smoke(tmp_path):
 
 
 def test_cli_train_ensemble_contract(tmp_path, monkeypatch, capsys):
-    """`cli train --ensemble K` trains K members with incrementing init
-    seeds into member_{k}/ dirs and prints the comma checkpoint_arg that
-    serving consumes. The Trainer is stubbed: the real member loop runs
-    end-to-end in the 3-D CLI test (full geometry is too slow here)."""
+    """`cli train --ensemble K --ensemble-mode sequential` trains K
+    members with incrementing init seeds into member_{k}/ dirs and prints
+    the comma checkpoint_arg that serving consumes. (The default mode is
+    now `vmap` — one compiled K-member program, tested end-to-end in
+    test_ensemble_train.py; this pins the sequential fallback's contract.)
+    The Trainer is stubbed: the real member loop runs end-to-end in the
+    3-D CLI test (full geometry is too slow here)."""
     import supernet_tpu.trainer as trainer_mod
 
     runs = []
@@ -361,9 +364,11 @@ def test_cli_train_ensemble_contract(tmp_path, monkeypatch, capsys):
         "train", "--config", "hippocampus", "--synthetic", "8",
         "--batch-size", "4", "--epochs", "1",
         "--out-dir", base, "--ensemble", "3",
+        "--ensemble-mode", "sequential",
     ])
     assert rc == 0
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["mode"] == "sequential"
     assert [s for s, _ in runs] == [0, 1, 2]
     assert [d for _, d in runs] == [f"{base}/member_{k}" for k in range(3)]
     assert meta["members"] == 3
@@ -415,3 +420,53 @@ def test_cli_ensemble_checkpoint_guards():
     assert cli._load_maybe_ensemble(
         lambda e, a: "loaded", None, type("B", (), {"checkpoint": "x"})(),
         cmd_ok=False) == "loaded"
+
+def test_run_testing_streams_with_artifact_cap(tmp_path):
+    """`artifact_max_samples` bounds the only full-set host buffer while
+    metrics and the variance report stay exact over ALL samples (they
+    accumulate online — VERDICT r3 #5)."""
+    params = init_params(jax.random.PRNGKey(0), EXP.model)
+    ds = _ds(8)
+    full = run_testing(
+        EXP, params, ds, NoiseConfig(), out_dir=str(tmp_path / "full"),
+        images_n=0,
+    )
+    capped = run_testing(
+        EXP, params, ds, NoiseConfig(), out_dir=str(tmp_path / "capped"),
+        images_n=0, artifact_max_samples=3,
+    )
+    assert full["artifact_samples"] == len(ds)
+    assert capped["artifact_samples"] == 3
+    from supernet_tpu import reports
+
+    probs, _, imgs, labels, _ = reports.load_uncertainty_artifact(
+        capped["artifact"]
+    )
+    assert len(probs) == len(imgs) == len(labels) == 3
+    # full-set metrics are NOT affected by the artifact cap
+    for k in ("accuracy", "mean_predictive_variance", "dice_anterior",
+              "hausdorff_posterior"):
+        np.testing.assert_allclose(capped[k], full[k], rtol=1e-6, err_msg=k)
+    with open(tmp_path / "full" / "Predictive_variance_tasks.txt") as f:
+        a = f.read()
+    with open(tmp_path / "capped" / "Predictive_variance_tasks.txt") as f:
+        b = f.read()
+    assert a == b
+
+
+def test_run_adversarial_streams_with_artifact_cap(tmp_path):
+    params = init_params(jax.random.PRNGKey(0), EXP.model)
+    ds = _ds(6)
+    full = run_adversarial(
+        EXP, params, ds, out_dir=str(tmp_path / "full"), images_n=0
+    )
+    capped = run_adversarial(
+        EXP, params, ds, out_dir=str(tmp_path / "capped"), images_n=0,
+        artifact_max_samples=2,
+    )
+    assert capped["artifact_samples"] == 2
+    np.testing.assert_allclose(
+        capped["mean_predictive_variance"], full["mean_predictive_variance"],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(capped["accuracy"], full["accuracy"], rtol=1e-6)

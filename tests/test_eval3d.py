@@ -556,3 +556,28 @@ def test_saliency3d_parser_has_val_frac():
     # and the default matches eval3d's
     d = build_parser().parse_args(["saliency3d"])
     assert d.val_frac == pytest.approx(0.2)
+
+def test_run_testing3d_streams_with_artifact_cap(tmp_path, params):
+    """`artifact_max_samples` bounds the per-volume host buffers (the only
+    full-set surface) while metrics + the variance report accumulate
+    online over ALL volumes (VERDICT r3 #5)."""
+    from supernet_tpu.evaluate3d import run_testing3d
+
+    exp = _exp()
+    x, y = _volumes(5)
+    full = run_testing3d(
+        exp, params, x, y, out_dir=str(tmp_path / "full"), images_n=0
+    )
+    capped = run_testing3d(
+        exp, params, x, y, out_dir=str(tmp_path / "capped"), images_n=0,
+        artifact_max_samples=2,
+    )
+    assert full["artifact_samples"] == 5
+    assert capped["artifact_samples"] == 2
+    for k in ("accuracy", "mean_predictive_variance", "dice_anterior"):
+        np.testing.assert_allclose(capped[k], full[k], rtol=1e-6, err_msg=k)
+    with open(tmp_path / "full" / "Predictive_variance_tasks.txt") as f:
+        a = f.read()
+    with open(tmp_path / "capped" / "Predictive_variance_tasks.txt") as f:
+        b = f.read()
+    assert a == b

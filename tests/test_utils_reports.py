@@ -66,3 +66,44 @@ def test_uncertainty_artifact_roundtrip(tmp_path):
     )
     assert "mean" in out and np.isfinite(out["mean"])
     assert os.path.exists(tmp_path / "Predictive_variance_tasks.txt")
+
+def test_uncertainty_accumulator_streaming_equals_oneshot(tmp_path):
+    """Feeding the accumulator batch-by-batch must reproduce the one-shot
+    report byte-for-byte (VERDICT r3 #5: eval protocols stream with
+    O(batch) host memory), with the render stash bounded by images_n."""
+    rng = np.random.default_rng(3)
+    n, h, c = 11, 6, 3
+    probs = rng.random((n, h, h, c)).astype(np.float32)
+    sigma = rng.random((n, h, h, c)).astype(np.float32)
+    imgs = rng.random((n, h, h, 1)).astype(np.float32)
+    labels = rng.integers(0, c, (n, h, h)).astype(np.int32)
+
+    for dataset in ("hippocampus", "brats"):
+        np.random.seed(0)  # sample_indices draws from global state
+        one = str(tmp_path / f"one_{dataset}")
+        ref = reports.save_uncertainty_report(
+            one, imgs, imgs, probs, labels, sigma,
+            images_n=3, adversarial=True, targeted=True, dataset=dataset,
+        )
+        np.random.seed(0)
+        acc = reports.UncertaintyAccumulator(
+            n, images_n=3, dataset=dataset, adversarial=True, targeted=True
+        )
+        for i in range(0, n, 4):  # uneven batches: 4, 4, 3
+            acc.update(
+                imgs[i:i + 4], probs[i:i + 4], labels[i:i + 4],
+                sigma[i:i + 4], adv=imgs[i:i + 4], masked=labels[i:i + 4],
+            )
+        assert acc.n_stashed <= 3  # the ONLY per-sample memory held
+        streamed = str(tmp_path / f"str_{dataset}")
+        out = acc.finalize(streamed)
+        assert out.keys() == ref.keys()
+        for k in ref:
+            np.testing.assert_allclose(out[k], ref[k], rtol=1e-12, err_msg=k)
+        for d in (one, streamed):
+            assert os.path.exists(os.path.join(d, "Predictive_variance_tasks.txt"))
+        with open(os.path.join(one, "Predictive_variance_tasks.txt")) as f:
+            a = f.read()
+        with open(os.path.join(streamed, "Predictive_variance_tasks.txt")) as f:
+            b = f.read()
+        assert a == b
