@@ -160,9 +160,11 @@ def forward3d(
                 m, s, p1["w_mu"], p1["w_sigma"], (3, 3), fill, m_e, s_e
             )
             _tap(f"up{j}_conv1", m)
-            return vglue_conv3d_relu(
+            m, s = vglue_conv3d_relu(
                 m, s, p2["w_mu"], p2["w_sigma"], (2, 2), fill
             )
+            _tap(f"up{j}_conv2", m)
+            return m, s
         m, s = vpad3d(m, s, (3, 3), fill)
         m, s = vcrop_concat3d(m, s, m_e, s_e)
         _tap(f"up{j}_concat", m)

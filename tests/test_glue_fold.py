@@ -111,6 +111,21 @@ def test_forward_and_grad_equality(cfgname):
             )
 
 
+@pytest.mark.parametrize("family", ["2d", "3d"])
+def test_flops_shape_tap_under_fold(family):
+    """flops' per-layer shape recording relies on the forward tap firing
+    for EVERY named conv layer; the fold path must tap them too (a missing
+    `up{j}_conv2` tap in 3-D fold mode broke MFU reporting on TPU)."""
+    from supernet_tpu import flops as F
+
+    cfg = HIPPOCAMPUS.model
+    fn = F.train_step_flops if family == "2d" else F.train_step_flops3d
+    set_glue_fold("fold")
+    folded = fn(cfg, 4)
+    set_glue_fold("none")
+    assert folded == fn(cfg, 4)  # fold changes reads, not useful FLOPs
+
+
 def test_forward3d_fold_equality():
     """3-D fold vs explicit choreography: full forward3d + grads."""
     from supernet_tpu.models import forward3d, init_params3d
