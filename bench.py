@@ -61,6 +61,10 @@ SCALING_BATCHES = {
     "lungs": (64, 128),
 }
 
+# 3-D sweep (VERDICT r3 #2): a 64^3 volume is 64x a 64^2 slice, so the
+# batch axis is small; 32 x 64^3 x 32ch bf16 activations ~ 0.5 GB/layer.
+SCALING_BATCHES_3D = (8, 16, 32)
+
 
 def _exp(name):
     from supernet_tpu.configs import BRATS, HIPPOCAMPUS, LUNGS
@@ -421,14 +425,34 @@ def main() -> None:
             except Exception as e:  # never lose the headline number
                 out[other] = {"error": str(e)[:200]}
 
-    # volumetric family (models/unet3d): one measured point, same timing
-    # discipline (value-fetch completion); SUPERNET_BENCH_3D=0 to skip
+    # volumetric family (models/unet3d): parity point (batch 4) + the
+    # same batch-scaling sweep -> always-present "best" field as 2-D
+    # (VERDICT r3 #2/#8); SUPERNET_BENCH_3D=0 to skip
     if (
         os.environ.get("SUPERNET_BENCH_3D", "1") == "1"
         and not data_parallel
     ):
         try:
-            out["unet3d"] = _bench_3d(max(10, n_iters // 10))
+            v = _bench_3d(max(10, n_iters // 10))
+            best_keys = ("batch", "vols_per_sec", "mfu",
+                         "hbm_utilization_min", "step_ms")
+            if os.environ.get("SUPERNET_BENCH_SCALING", "1") == "1":
+                scaling = {str(v["batch"]): v["vols_per_sec"]}
+                best = dict(v)
+                for b3 in SCALING_BATCHES_3D:
+                    try:
+                        s = _bench_3d(max(6, n_iters // 20), b3)
+                    except Exception as e:  # OOM etc.
+                        scaling[str(b3)] = f"error: {str(e)[:80]}"
+                        continue
+                    scaling[str(b3)] = s["vols_per_sec"]
+                    if s["vols_per_sec"] > best["vols_per_sec"]:
+                        best = s
+                v["batch_scaling"] = scaling
+                v["best"] = {k: best[k] for k in best_keys if k in best}
+            else:
+                v["best"] = {k: v[k] for k in best_keys if k in v}
+            out["unet3d"] = v
         except Exception as e:
             out["unet3d"] = {"error": str(e)[:200]}
 
@@ -575,9 +599,10 @@ def _bench_ensemble(n_iters: int, single_step_ms: float) -> dict:
     }
 
 
-def _bench_3d(n_iters: int) -> dict:
+def _bench_3d(n_iters: int, batch_override: int = 0) -> dict:
     """Volumetric train-step throughput: 64^3 Hippocampus-config cubes,
-    batch 4 (docs/PERFORMANCE.md '3-D model family')."""
+    batch 4 parity point by default (docs/PERFORMANCE.md '3-D model
+    family'); ``batch_override`` drives the scaling sweep."""
     import time as _time
 
     import jax
@@ -589,7 +614,7 @@ def _bench_3d(n_iters: int) -> dict:
     from supernet_tpu.train3d import make_train_step3d
 
     cfg, tc = HIPPOCAMPUS.model, HIPPOCAMPUS.train
-    b = 4
+    b = batch_override or 4
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         rng.normal(0, 1, (b, 64, 64, 64, cfg.in_channels)).astype(np.float32)
