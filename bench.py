@@ -32,8 +32,11 @@ is in-process state — a fresh process is the only reliable reset — so the
 supervisor makes SUPERNET_BENCH_ATTEMPTS (default 4) attempts, each a new
 subprocess with a SUPERNET_BENCH_INIT_TIMEOUT (default 150 s) init
 watchdog, with backoff between attempts. Every successful run is persisted
-to bench_last_good.json; if all attempts fail, that last-known-good payload
-is emitted with ``stale: true`` + the failure trace so a round is never
+to bench_last_good.json — merged over the previous capture so a
+knob-reduced quick run never clobbers sections a full run measured
+(``_merge_last_good``; skipped sections carry ``retained_from``
+provenance). If all attempts fail, that last-known-good payload is emitted
+with ``stale: true`` + the failure trace so a round is never
 evidence-free. SUPERNET_BENCH_CHILD=1 marks the child (internal).
 """
 
@@ -542,9 +545,13 @@ def _bench_ensemble(n_iters: int, single_step_ms: float) -> dict:
     K-1 extra epoch/validation loops (which dominate real wall-clock on
     short runs: ~35 s/compile on the relayed TPU vs ~9 s of step compute
     per 120-epoch Hippocampus member). ``speedup_per_step`` is therefore
-    the steady-state per-step ratio, a LOWER bound on the end-to-end win;
-    measured 2026-08-19: 0.8x at batch 20/member (vmap's weights-batched
-    conv lowering costs ~20% there), ~0.94x at batch 64/member."""
+    the steady-state per-step ratio, a LOWER bound on the end-to-end win.
+
+    Measures BOTH member-axis lowerings and reports the faster one
+    (docs/PERFORMANCE.md "Round 4: ensemble member lowering"): vmap
+    (weights-batched convs; 21.5 ms K=4@20 on v5e) vs lax.scan over
+    members (plain single-model convs, one trace; 17.6 ms — the
+    single-device default in ensemble.EnsembleTrainer)."""
     import time as _time
 
     import jax
@@ -578,19 +585,29 @@ def _bench_ensemble(n_iters: int, single_step_ms: float) -> dict:
         p = init_params(jax.random.PRNGKey(k), cfg)
         s, _ = create_train_state(p, tc)
         members.append(s)
-    state = stack_trees(members)
-    step = make_ensemble_train_step(cfg, tc)
-    state, m = step(state, x, y, seeds)
-    float(jnp.min(m.loss))  # compile + completion
-    t0 = _time.perf_counter()
-    for _ in range(n_iters):
+    state0 = stack_trees(members)
+
+    def run_mode(mode):
+        state = jax.tree_util.tree_map(jnp.array, state0)  # fresh copy
+        step = make_ensemble_train_step(cfg, tc, member_mode=mode)
         state, m = step(state, x, y, seeds)
-    assert float(jnp.min(m.loss)) > -1e30
-    dt = (_time.perf_counter() - t0) / n_iters
+        float(jnp.min(m.loss))  # compile + completion
+        t0 = _time.perf_counter()
+        for _ in range(n_iters):
+            state, m = step(state, x, y, seeds)
+        assert float(jnp.min(m.loss)) > -1e30
+        return (_time.perf_counter() - t0) / n_iters
+
+    dts = {mode: run_mode(mode) for mode in ("vmap", "scan")}
+    mode = min(dts, key=dts.get)
+    dt = dts[mode]
     return {
         "members": k_members,
         "batch_per_member": b,
+        "member_mode": mode,
         "step_ms": round(dt * 1e3, 3),
+        "step_ms_vmap": round(dts["vmap"] * 1e3, 3),
+        "step_ms_scan": round(dts["scan"] * 1e3, 3),
         "sequential_step_ms": round(k_members * single_step_ms, 3),
         "speedup_per_step": round(
             k_members * single_step_ms / (dt * 1e3), 2
@@ -677,6 +694,56 @@ LAST_GOOD_PATH = os.path.join(
 )
 
 
+def _merge_last_good(payload: dict) -> dict:
+    """Union a fresh capture over the previous last-known-good payload.
+
+    A knob-reduced run (SUPERNET_BENCH_SCALING=0 / _EXTRA=0 / _BASELINE=0,
+    used for quick in-session A/Bs) measures only a subset of the sections;
+    writing it verbatim would clobber the richer prior capture (observed
+    2026-08-19: a quick ensemble A/B erased batch_scaling/brats/unet3d/
+    inference from last-good). So: keys the fresh run measured win; prior
+    sections it skipped are retained, with their provenance recorded in
+    ``retained_from`` so the file never silently mixes timestamps. If the
+    fresh run skipped the measured naive baseline but the prior capture has
+    one, ``vs_baseline`` is recomputed against that retained denominator
+    (the denominator is a same-chip property, independent of this run)."""
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            old = json.load(f)
+    except (OSError, json.JSONDecodeError, ValueError):
+        return payload
+    if not isinstance(old, dict) or old.get("stale"):
+        return payload
+    # vs_baseline_is_estimate qualifies the fresh vs_baseline only — never
+    # carry the old run's flag against a new denominator
+    retained = {
+        k: old.get("captured_at", "unknown")
+        for k in old
+        if k not in payload
+        and k not in ("captured_at", "retained_from",
+                      "vs_baseline_is_estimate")
+    }
+    # "best" rides the batch-scaling sweep: a SCALING=0 run still emits an
+    # always-present "best" (= the parity batch), which must not shadow a
+    # prior sweep-derived best
+    if "batch_scaling" in retained and "best" in old:
+        retained["best"] = old.get("captured_at", "unknown")
+        payload = {k: v for k, v in payload.items() if k != "best"}
+    if not retained:
+        return payload
+    merged = dict(old)
+    merged.pop("retained_from", None)
+    if "vs_baseline_is_estimate" not in payload:
+        merged.pop("vs_baseline_is_estimate", None)
+    merged.update(payload)
+    merged["retained_from"] = retained
+    base = merged.get("baseline_measured_images_per_sec")
+    if "baseline_measured_images_per_sec" in retained and base:
+        merged["vs_baseline"] = round(merged["value"] / base, 3)
+        merged.pop("vs_baseline_is_estimate", None)
+    return merged
+
+
 def _child_main() -> int:
     """One measurement attempt (runs in a subprocess). Returns exit code."""
     try:
@@ -745,6 +812,7 @@ def supervise() -> int:
                 payload["captured_at"] = time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                 )
+                payload = _merge_last_good(payload)
                 try:
                     with open(LAST_GOOD_PATH, "w") as f:
                         json.dump(payload, f, indent=1)

@@ -69,12 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "seed..seed+K-1, independent data shuffles) into "
                         "member_{k}/ subdirectories; serve them with a "
                         "comma-separated --checkpoint list")
-    t.add_argument("--ensemble-mode", default="vmap",
-                   choices=["vmap", "sequential"],
-                   help="vmap (default): all K members train as ONE "
-                        "compiled vmapped program (with --data-parallel, "
-                        "members shard over the devices); sequential: K "
-                        "separate full trainings (the round-3 behavior)")
+    t.add_argument("--ensemble-mode", default="auto",
+                   choices=["auto", "vmap", "scan", "sequential"],
+                   help="auto (default): all K members train as ONE "
+                        "compiled program — lax.scan over the member axis "
+                        "single-device (measured faster than vmap's "
+                        "weights-batched convs), vmap with --data-parallel "
+                        "(members shard over the devices); vmap/scan force "
+                        "that lowering; sequential: K separate full "
+                        "trainings (the round-3 behavior)")
     t.add_argument("--adv-alpha", type=float, default=None,
                    help="clean-loss weight (0 = train on adversarial only)")
     t.add_argument("--adv-steps", type=int, default=None,
@@ -1209,15 +1212,18 @@ def main(argv=None) -> int:
             # K independent members: init seeds seed..seed+K-1 (the seed
             # also drives the epoch shuffle, so data order diverges too)
             base = args.out_dir or f"{exp.out_dir}/{exp.name}/ensemble"
-            if args.ensemble_mode == "vmap":
-                # ONE compiled vmapped program for all K members — the
-                # training twin of serving.EnsembleSession (VERDICT r3 #4)
+            if args.ensemble_mode != "sequential":
+                # ONE compiled program for all K members — the training
+                # twin of serving.EnsembleSession (VERDICT r3 #4); the
+                # member-axis lowering (scan vs vmap) follows
+                # EnsembleTrainer's measured default unless forced
                 from supernet_tpu.ensemble import EnsembleTrainer
 
                 if args.steps_per_dispatch > 1:
-                    print("note: --steps-per-dispatch is ignored in vmap "
-                          "ensemble mode (the member axis already batches "
-                          "the device work)", file=sys.stderr)
+                    print("note: --steps-per-dispatch is ignored in "
+                          "one-program ensemble mode (the member axis "
+                          "already batches the device work)",
+                          file=sys.stderr)
                 emesh = None
                 if mesh is not None:
                     # --data-parallel + vmap ensemble = member-per-device:
@@ -1228,8 +1234,12 @@ def main(argv=None) -> int:
                     print(f"ensemble members sharded over "
                           f"{len(emesh.devices.flat)} devices",
                           file=sys.stderr)
-                tr = EnsembleTrainer(exp, args.ensemble, train_ds, val_ds,
-                                     out_dir=base, mesh=emesh)
+                tr = EnsembleTrainer(
+                    exp, args.ensemble, train_ds, val_ds, out_dir=base,
+                    mesh=emesh,
+                    member_mode=(None if args.ensemble_mode == "auto"
+                                 else args.ensemble_mode),
+                )
                 tr.run()
                 dirs = tr.member_dirs
                 finals = [{m: v[-1] for m, v in h.items() if v}

@@ -68,6 +68,7 @@ class EnsembleTrainer:
         out_dir: Optional[str] = None,
         mesh=None,
         track_curves: bool = True,
+        member_mode: Optional[str] = None,
     ):
         if n_members < 2:
             raise ValueError("EnsembleTrainer needs n_members >= 2")
@@ -100,8 +101,22 @@ class EnsembleTrainer:
         # augmented batch while the host holds unaugmented labels).
         self.track_curves = track_curves
         self.track_train_curves = track_curves and exp.train.augment is None
+        # member-axis lowering: scan (single-device default — the member
+        # body lowers like the plain single-model step, full per-step rate)
+        # vs vmap (required on a mesh: members run device-parallel).
+        # SUPERNET_ENSEMBLE_MODE overrides; measured A/B in bench.py
+        # ensemble_train + docs/PERFORMANCE.md "Ensemble training".
+        if member_mode is None:
+            member_mode = os.environ.get(
+                "SUPERNET_ENSEMBLE_MODE", "vmap" if mesh is not None else "scan"
+            )
+        self.member_mode = member_mode
         self.step_fn = make_ensemble_train_step(
-            self.cfg, self.tc, with_pred=self.track_train_curves, mesh=mesh
+            self.cfg,
+            self.tc,
+            with_pred=self.track_train_curves,
+            mesh=mesh,
+            member_mode=member_mode,
         )
         self.eval_fn = make_ensemble_eval_step(self.cfg, self.tc)
         self.seeds = np.arange(n_members, dtype=np.int32) + self.tc.seed

@@ -299,25 +299,40 @@ def index_tree(tree, k: int):
 
 
 def make_ensemble_train_step(
-    cfg: ModelConfig, tc: TrainConfig, with_pred: bool = False, mesh=None
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    with_pred: bool = False,
+    mesh=None,
+    member_mode: str = "vmap",
 ):
     """One-compiled-program deep-ensemble training: the training twin of
     ``serving.EnsembleSession`` (which already vmaps the member axis at
     inference). Instead of K sequential full trainings — K compiles, K
     epoch loops (the round-3 ``--ensemble`` path) — the K member states are
-    stacked along a leading axis and the whole update is ONE vmapped XLA
-    program: every member's convs batch together on the MXU and the model
-    is compiled once.
+    stacked along a leading axis and the whole update is ONE XLA program.
 
     Takes ``state`` with leaves ``[K, ...]``, ``x [K, B, H, W, C]``,
     ``y [K, B, h, w]`` int labels (each member sees ITS OWN shuffle order,
     fed by the driver), and ``seeds [K]`` int32 — member k's augmentation
     seed, matching a sequential run seeded ``tc.seed + k``.
 
+    ``member_mode`` selects how the member axis is lowered single-device:
+
+    - ``"vmap"``: members' convs batch together on the MXU. vmap over the
+      WEIGHTS turns each conv into a batch-grouped conv, which XLA lowers
+      ~20-30% slower than K plain convs at the parity batch (measured,
+      docs/PERFORMANCE.md "Ensemble training").
+    - ``"scan"``: ``lax.scan`` over the member axis — the body is the
+      single-model step verbatim (plain convs, full per-step rate), traced
+      and compiled ONCE for all K members. Per-step cost matches the
+      sequential path; the compile-amortization win is kept.
+
     ``mesh``: optional member-axis sharding — each device trains a
     contiguous block of members (K must divide over the mesh; use
     ``parallel.make_mesh_for_batch(K)``). GSPMD then runs the members
-    embarrassingly parallel, no collectives on the update path."""
+    embarrassingly parallel, no collectives on the update path. The mesh
+    path requires ``member_mode="vmap"`` (a scan would serialize the very
+    axis the mesh parallelizes)."""
     opt = make_optimizer(tc)
 
     def one(state, x, y, seed):
@@ -326,6 +341,23 @@ def make_ensemble_train_step(
     vstep = jax.vmap(one)
 
     if mesh is None:
+        if member_mode == "scan":
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state: TrainState, x: Array, y: Array, seeds: Array):
+                def body(_, member):
+                    s, xb, yb, sd = member
+                    new_s, m, pred = one(s, xb, yb, sd)
+                    return None, (new_s, m, pred)
+
+                _, (new_state, m, pred) = jax.lax.scan(
+                    body, None, (state, x, y, seeds)
+                )
+                return (new_state, m, pred) if with_pred else (new_state, m)
+
+            return step
+        if member_mode != "vmap":
+            raise ValueError(f"unknown member_mode {member_mode!r}")
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, x: Array, y: Array, seeds: Array):
@@ -333,6 +365,11 @@ def make_ensemble_train_step(
             return (new_state, m, pred) if with_pred else (new_state, m)
 
         return step
+
+    if member_mode != "vmap":
+        raise ValueError(
+            "mesh-sharded ensemble training requires member_mode='vmap'"
+        )
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 

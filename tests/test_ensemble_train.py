@@ -165,6 +165,46 @@ def test_member_sharded_mesh(tmp_path):
             )
 
 
+def test_scan_mode_matches_vmap(tmp_path):
+    """member_mode='scan' (lax.scan over the member axis — the
+    single-device default: the body lowers like the plain single-model
+    step) reproduces member_mode='vmap' member-wise. vmap batches the
+    member convs so reductions may reassociate; same f32 tolerance as the
+    sequential pin."""
+    runs = {}
+    for mode in ("vmap", "scan"):
+        ens = EnsembleTrainer(
+            EXP, 2, _ds(8), None, out_dir=str(tmp_path / mode),
+            track_curves=False, member_mode=mode,
+        )
+        assert ens.member_mode == mode
+        runs[mode] = (ens, ens.run(epochs=2, log=lambda *_: None))
+    for k in range(2):
+        v = index_tree(runs["vmap"][1].params, k)
+        s = index_tree(runs["scan"][1].params, k)
+        for layer, p in v.items():
+            for name, val in p.items():
+                np.testing.assert_allclose(
+                    np.asarray(s[layer][name]), np.asarray(val),
+                    rtol=2e-4, atol=1e-5,
+                    err_msg=f"member {k} {layer}/{name}",
+                )
+        np.testing.assert_allclose(
+            runs["scan"][0].histories[k]["train_loss"],
+            runs["vmap"][0].histories[k]["train_loss"],
+            rtol=1e-4,
+        )
+
+
+def test_scan_mode_rejected_on_mesh():
+    """A scan would serialize the member axis the mesh parallelizes."""
+    from supernet_tpu.parallel import make_mesh_for_batch
+
+    with pytest.raises(ValueError, match="vmap"):
+        EnsembleTrainer(EXP, 4, _ds(8), None, mesh=make_mesh_for_batch(4),
+                        member_mode="scan")
+
+
 def test_mesh_divisibility_guard():
     from supernet_tpu.parallel import make_mesh
 
