@@ -139,6 +139,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "seed..seed+K-1, independent data shuffles) into "
                          "member_{k}/ subdirectories; predict3d serves "
                          "them via a comma-separated --checkpoint list")
+    t3.add_argument("--ensemble-mode", default="auto",
+                    choices=["auto", "vmap", "scan", "sequential"],
+                    help="auto (default): all K members train as ONE "
+                         "compiled program — lax.scan over the member axis "
+                         "single-device, vmap with --data-parallel "
+                         "(members shard over the devices); vmap/scan "
+                         "force that lowering; sequential: K separate "
+                         "full trainings")
     t3.add_argument("--init-from-2d", metavar="CKPT", default=None,
                     help="transfer init: inflate a trained 2-D checkpoint "
                          "(Orbax epoch dir / .npz / Keras .h5) of the SAME "
@@ -843,6 +851,60 @@ def main(argv=None) -> int:
             # from the same mean weights — diversity then comes from the
             # shuffle alone, so prefer random init for ensembles
             base = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/ensemble"
+            one_program = args.ensemble_mode != "sequential"
+            if one_program and shard3d != "batch":
+                # spatial/hybrid sharding splits each volume across the
+                # mesh; stacking a member axis on top is untested — run
+                # the members sequentially instead
+                print(f"note: --ensemble-mode {args.ensemble_mode} does "
+                      f"not compose with --spatial-shard/--hybrid yet; "
+                      "training members sequentially", file=sys.stderr)
+                one_program = False
+            if one_program and mesh3d is not None:
+                import jax as _jax
+
+                if _jax.process_count() > 1:
+                    print("note: one-program ensemble training is "
+                          "single-host; training members sequentially",
+                          file=sys.stderr)
+                    one_program = False
+            if one_program:
+                # ONE compiled program for all K members — the 3-D twin of
+                # the 2-D EnsembleTrainer path above (scan single-device,
+                # vmap member-per-device on a mesh)
+                from supernet_tpu.ensemble import EnsembleTrainer3D
+
+                if args.steps_per_dispatch > 1:
+                    print("note: --steps-per-dispatch is ignored in "
+                          "one-program ensemble mode (the member axis "
+                          "already batches the device work)",
+                          file=sys.stderr)
+                emesh = None
+                if mesh3d is not None:
+                    from supernet_tpu.parallel import make_mesh_for_batch
+
+                    emesh = make_mesh_for_batch(args.ensemble)
+                    print(f"ensemble members sharded over "
+                          f"{len(emesh.devices.flat)} devices",
+                          file=sys.stderr)
+                tr = EnsembleTrainer3D(
+                    exp, args.ensemble, x_tr, y_tr, x_val, y_val,
+                    out_dir=base, mesh=emesh,
+                    member_mode=(None if args.ensemble_mode == "auto"
+                                 else args.ensemble_mode),
+                    initial_params=init3d,
+                )
+                tr.run()
+                finals = [{m: v[-1] for m, v in h.items() if v}
+                          for h in tr.histories]
+                print(json.dumps({
+                    "members": args.ensemble,
+                    "mode": args.ensemble_mode,
+                    "dirs": tr.member_dirs,
+                    "checkpoint_arg": ",".join(tr.member_dirs),
+                    "final": finals,
+                }))
+                return 0
             dirs, finals = [], []
             for k in range(args.ensemble):
                 exp_k = exp.replace(train=dataclasses.replace(

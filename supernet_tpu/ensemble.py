@@ -32,6 +32,7 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from supernet_tpu import checkpoint as ckpt
@@ -49,6 +50,289 @@ from supernet_tpu.train import (
     stack_trees,
 )
 from supernet_tpu.trainer import _prep_batch
+
+
+class EnsembleTrainer3D:
+    """One-compiled-program deep-ensemble training for the volumetric
+    family — the 3-D twin of `EnsembleTrainer`, with `train3d.Trainer3D`'s
+    data semantics (in-memory cube arrays, full batches from a per-member
+    permutation stream).
+
+    Sequential parity (tested in tests/test_ensemble_train3d.py): member
+    k's params init from ``PRNGKey(seed + k)`` (or a SHARED
+    ``initial_params`` tree, e.g. an inflated 2-D checkpoint — diversity
+    then comes from the shuffle alone), its epoch permutations come from
+    ``np.random.default_rng(seed + k)`` advanced across epochs, its
+    augmentation is keyed ``seed + k``, and per-member ``epoch_{N}``
+    checkpoints land in ``member_{k}/`` dirs that `cli eval3d/predict3d
+    --checkpoint a,b,c` and `EnsembleSession` consume.
+
+    ``member_mode``: scan (single-device default) / vmap (required on a
+    member-axis ``mesh``) — same measured trade-off as 2-D
+    (docs/PERFORMANCE.md "ensemble member lowering")."""
+
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        n_members: int,
+        x: np.ndarray,
+        y: np.ndarray,
+        x_val: Optional[np.ndarray] = None,
+        y_val: Optional[np.ndarray] = None,
+        out_dir: Optional[str] = None,
+        mesh=None,
+        member_mode: Optional[str] = None,
+        initial_params=None,
+    ):
+        from supernet_tpu.train3d import (
+            _crop_center_vol,
+            make_ensemble_eval_step3d,
+            make_ensemble_train_step3d,
+        )
+
+        if n_members < 2:
+            raise ValueError("EnsembleTrainer3D needs n_members >= 2")
+        self.exp, self.cfg, self.tc = exp, exp.model, exp.train
+        self.n_members = n_members
+        self.x = np.asarray(x, np.float32)
+        self.y = np.asarray(y, np.int32)
+        self.x_val = None if x_val is None else np.asarray(x_val, np.float32)
+        self.y_val = None if y_val is None else np.asarray(y_val, np.int32)
+        if len(self.x) < self.tc.batch_size:
+            raise ValueError(
+                f"{len(self.x)} training volumes < batch_size "
+                f"{self.tc.batch_size}: every epoch would run zero steps"
+            )
+        self.y_crop = _crop_center_vol(self.y, self.cfg.out_size)
+        self.y_val_crop = (
+            None
+            if self.y_val is None
+            else _crop_center_vol(self.y_val, self.cfg.out_size)
+        )
+        self.base_dir = out_dir or os.path.join(
+            exp.out_dir, exp.name + "_3d", "ensemble"
+        )
+        self.member_dirs = [
+            os.path.join(self.base_dir, f"member_{k}")
+            for k in range(n_members)
+        ]
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            if n_members % n_dev != 0:
+                raise ValueError(
+                    f"{n_members} members do not divide over the {n_dev}-"
+                    "device mesh; use parallel.make_mesh_for_batch("
+                    "n_members) to shrink it"
+                )
+        if member_mode is None:
+            member_mode = os.environ.get(
+                "SUPERNET_ENSEMBLE_MODE",
+                "vmap" if mesh is not None else "scan",
+            )
+        self.member_mode = member_mode
+        self.initial_params = initial_params
+        self.step_fn = make_ensemble_train_step3d(
+            self.cfg, self.tc, mesh=mesh, member_mode=member_mode
+        )
+        self.eval_fn = make_ensemble_eval_step3d(self.cfg, self.tc)
+        self.seeds = np.arange(n_members, dtype=np.int32) + self.tc.seed
+        self.histories: List[Dict[str, List[float]]] = [
+            {
+                "train_loss": [],
+                "train_acc": [],
+                "val_loss": [],
+                "val_acc": [],
+                "val_dice": [],
+            }
+            for _ in range(n_members)
+        ]
+
+    def init_state(self) -> TrainState:
+        from supernet_tpu.models import init_params3d
+
+        members = []
+        for k in range(self.n_members):
+            params = (
+                jax.tree_util.tree_map(np.asarray, self.initial_params)
+                if self.initial_params is not None
+                else init_params3d(
+                    jax.random.PRNGKey(self.tc.seed + k), self.cfg
+                )
+            )
+            state, _ = create_train_state(params, self.tc)
+            members.append(state)
+        self.start_epoch = 0
+        if self.tc.continue_training:
+            latest = [ckpt.latest_epoch(d) for d in self.member_dirs]
+            if all(e is not None for e in latest):
+                epoch = min(latest)  # type: ignore[type-var]
+                members = [
+                    ckpt.restore_state(d, epoch, s)
+                    for d, s in zip(self.member_dirs, members)
+                ]
+                self.start_epoch = epoch + 1
+            elif any(e is not None for e in latest):
+                raise FileNotFoundError(
+                    "continue_training: only some member dirs have "
+                    f"checkpoints ({latest}); refusing a mixed resume"
+                )
+        return stack_trees(members)
+
+    def _member_batches(self, rngs):
+        """Zip K per-member permutation streams into stacked [K, B, ...]
+        batches. `Trainer3D._batches` yields only full batches, so every
+        member's stream has the same length — the stack is rectangular."""
+        b = self.tc.batch_size
+        perms = [rng.permutation(len(self.x)) for rng in rngs]
+        for i in range(0, len(self.x) - b + 1, b):
+            xs = np.stack([self.x[p[i:i + b]] for p in perms])
+            ys = np.stack([self.y_crop[p[i:i + b]] for p in perms])
+            yield xs, ys
+
+    def run(self, epochs: Optional[int] = None, log=print) -> TrainState:
+        state = self.init_state()
+        epochs = epochs if epochs is not None else self.tc.epochs
+        # one rng per member, advanced across epochs — member k's epoch
+        # permutations match a sequential Trainer3D seeded tc.seed + k
+        # (including on resume: Trainer3D restarts its rng from the seed,
+        # so epoch `start` gets the rng's FIRST permutation)
+        rngs = [
+            np.random.default_rng(self.tc.seed + k)
+            for k in range(self.n_members)
+        ]
+        writers = [
+            ckpt.AsyncEpochCheckpointer(d) for d in self.member_dirs
+        ]
+        t_start = time.perf_counter()
+        last_good: Optional[int] = None
+        seeds = self.seeds
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                losses = [[] for _ in range(self.n_members)]
+                accs = [[] for _ in range(self.n_members)]
+                t0 = time.perf_counter()
+                n_steps = 0
+                for xk, yk in self._member_batches(rngs):
+                    state, m = self.step_fn(state, xk, yk, seeds)
+                    loss_k = np.asarray(m.loss)
+                    acc_k = np.asarray(m.accuracy)
+                    for k in range(self.n_members):
+                        losses[k].append(float(loss_k[k]))
+                        accs[k].append(float(acc_k[k]))
+                    n_steps += 1
+                for k, h in enumerate(self.histories):
+                    h["train_loss"].append(float(np.mean(losses[k])))
+                    h["train_acc"].append(float(np.mean(accs[k])))
+                mean_loss = float(
+                    np.mean([h["train_loss"][-1] for h in self.histories])
+                )
+                vols = n_steps * self.tc.batch_size
+                secs = time.perf_counter() - t0
+                log(
+                    f"epoch {epoch}: mean member loss={mean_loss:.4f} "
+                    f"({vols / max(secs, 1e-9):.2f} vols/s/member, "
+                    f"{secs:.2f}s)"
+                )
+                bad = [
+                    k
+                    for k, h in enumerate(self.histories)
+                    if not np.isfinite(h["train_loss"][-1])
+                ]
+                if bad:
+                    if last_good is None:
+                        raise FloatingPointError(
+                            f"non-finite loss in members {bad} at epoch "
+                            f"{epoch} and no checkpoint to roll back to"
+                        )
+                    log(
+                        f"epoch {epoch}: non-finite loss in members {bad} "
+                        f"- rolling back ALL members to epoch {last_good}"
+                    )
+                    for w in writers:
+                        w.wait()
+                    host = jax.device_get(state)
+                    members = [
+                        ckpt.restore_state(d, last_good, index_tree(host, k))
+                        for k, d in enumerate(self.member_dirs)
+                    ]
+                    state = stack_trees(members)
+                    continue
+                if self.x_val is not None:
+                    self._validate(state, epoch, log)
+                if (epoch + 1) % self.tc.checkpoint_every == 0:
+                    host = jax.device_get(state)
+                    for k, w in enumerate(writers):
+                        w.save(epoch, index_tree(host, k))
+                    last_good = epoch
+            for w in writers:
+                w.wait()
+        finally:
+            for w in writers:
+                w.close()
+        self.total_time = time.perf_counter() - t_start
+        self._finalize(state)
+        return state
+
+    def _validate(self, state, epoch, log):
+        from supernet_tpu.train3d import _dice_foreground
+
+        cfg, b = self.cfg, self.tc.batch_size
+        losses = [[] for _ in range(self.n_members)]
+        accs = [[] for _ in range(self.n_members)]
+        dices = [[] for _ in range(self.n_members)]
+        for i in range(0, len(self.x_val) - b + 1, b):
+            xb = self.x_val[i:i + b]
+            yb = self.y_val_crop[i:i + b]
+            loss, acc, pred = self.eval_fn(state.params, xb, yb)
+            loss = np.asarray(loss)
+            acc = np.asarray(acc)
+            preds = np.asarray(pred)  # [K, B, o^3]
+            for k in range(self.n_members):
+                losses[k].append(float(loss[k]))
+                accs[k].append(float(acc[k]))
+                pred_vol = preds[k].reshape(
+                    b, cfg.out_size, cfg.out_size, cfg.out_size
+                )
+                dices[k].append(_dice_foreground(yb, pred_vol))
+        if not losses[0]:
+            return
+        for k, h in enumerate(self.histories):
+            h["val_loss"].append(float(np.mean(losses[k])))
+            h["val_acc"].append(float(np.mean(accs[k])))
+            h["val_dice"].append(float(np.nanmean(dices[k])))
+        log(
+            f"epoch {epoch} val: mean member "
+            f"loss={np.mean([h['val_loss'][-1] for h in self.histories]):.4f} "
+            f"dice={np.mean([h['val_dice'][-1] for h in self.histories]):.4f}"
+        )
+
+    def _finalize(self, state):
+        """Per-member curve PNGs + history pickles (+ the center-slice
+        uncertainty artifact set from the first validation batch, matching
+        `Trainer3D._save_val_report`)."""
+        from supernet_tpu.models import forward3d
+
+        host = jax.device_get(state)
+        cfg, b = self.cfg, self.tc.batch_size
+        for k, (d, h) in enumerate(zip(self.member_dirs, self.histories)):
+            reports.save_training_curves(d, h)
+            reports.save_history_pickle(d, h)
+            if self.x_val is not None and len(self.x_val) >= b:
+                xb = self.x_val[:b]
+                probs, sigma = forward3d(
+                    index_tree(host, k).params, jnp.asarray(xb), cfg
+                )
+                o = cfg.out_size
+                shape = (b, o, o, o, cfg.n_classes)
+                reports.save_uncertainty_slices3d(
+                    d,
+                    np.asarray(probs).reshape(shape),
+                    np.asarray(sigma).reshape(shape),
+                    xb,
+                    self.y_val_crop[:b],
+                    n_classes=cfg.n_classes,
+                )
 
 
 class EnsembleTrainer:

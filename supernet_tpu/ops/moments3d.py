@@ -83,7 +83,24 @@ def vconv3d_input(
     w_sigma [Cout] (raw; softplus-parameterized)."""
     k = w_mu.shape[0]
     s_w = jax.nn.softplus(w_sigma.astype(jnp.float32))
-    mu_out = _conv3d_valid(_act(x), w_mu, stride)
+    x = _act(x)
+    if k == 1 and stride == 1:
+        # 1x1x1 conv: window-sum == channel sum, both products are plain
+        # einsums (same rationale as the 2-D k=1 path — no C_out==1
+        # ones-kernel conv pass, and dot_general partitions cleanly under
+        # GSPMD where vmap's feature-grouped conv does not, which is what
+        # member-sharded ensemble training relies on)
+        w2 = _act(w_mu[0, 0, 0])
+        mu_out = jnp.einsum(
+            "bdhwc,co->bdhwo",
+            x,
+            w2,
+            precision=get_mxu_precision(),
+            preferred_element_type=x.dtype,
+        )
+        t = jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
+        return _act(mu_out), _act(t) * _act(s_w)
+    mu_out = _conv3d_valid(x, w_mu, stride)
     ws = _window_sum3d(jnp.square(x), k, stride)
     return _act(mu_out), ws * _act(s_w)
 
@@ -96,6 +113,30 @@ def vconv3d(
     (both scale by s_w), sigma2 = conv3d(sigma, w_mu^2)."""
     k = w_mu.shape[0]
     s_w = jax.nn.softplus(w_sigma.astype(jnp.float32))
+    if k == 1 and stride == 1:
+        # 1x1x1 conv (the segmentation head): einsum form — see
+        # vconv3d_input's k=1 branch for why (MXU occupancy + GSPMD
+        # partitionability under the ensemble member vmap)
+        mu_a, sigma_a = _act(mu), _act(sigma)
+        w2 = _act(w_mu[0, 0, 0])
+        mu_out = jnp.einsum(
+            "bdhwc,co->bdhwo",
+            mu_a,
+            w2,
+            precision=get_mxu_precision(),
+            preferred_element_type=mu_a.dtype,
+        )
+        t = jnp.sum(
+            (jnp.square(mu) + sigma).astype(jnp.float32), -1, keepdims=True
+        )
+        sigma_out = _act(t) * _act(s_w) + jnp.einsum(
+            "bdhwc,co->bdhwo",
+            sigma_a,
+            jnp.square(w2),
+            precision=get_mxu_precision(),
+            preferred_element_type=sigma_a.dtype,
+        )
+        return _act(mu_out), _act(sigma_out)
     mu_out = _conv3d_valid(_act(mu), w_mu, stride)
     ws = _window_sum3d(jnp.square(mu) + sigma, k, stride)
     sigma_out = ws * _act(s_w) + _conv3d_valid(

@@ -58,15 +58,22 @@ def _train_step3d(
     cfg: ModelConfig,
     tc: TrainConfig,
     constrain=None,
+    seed: Array | None = None,
 ) -> Tuple[TrainState, StepMetrics]:
     """The shared volumetric step body (the 3-D analog of
     `train._train_step`) — used by both the plain-jit `make_train_step3d`
     and the mesh-sharded `parallel.spatial.make_spatial_train_step3d`, so
-    augmentation and the objective cannot diverge between paths."""
+    augmentation and the objective cannot diverge between paths.
+
+    ``seed`` overrides ``tc.seed`` for the augmentation key — the ensemble
+    step passes each member's own (traced) seed so member k's draws match
+    a sequential run seeded ``tc.seed + k`` (same contract as the 2-D
+    `train.maybe_augment`)."""
     if tc.augment is not None:
         from supernet_tpu.data.augment import augment_volumes
 
-        key = jax.random.fold_in(jax.random.PRNGKey(tc.seed), state.step)
+        base = tc.seed if seed is None else seed
+        key = jax.random.fold_in(jax.random.PRNGKey(base), state.step)
         x, y = augment_volumes(key, x, y, tc.augment)
     y1h = one_hot_flatten(y, cfg.n_classes)
 
@@ -128,6 +135,107 @@ def make_multi_train_step3d(cfg: ModelConfig, tc: TrainConfig, k_steps: int):
         return jax.lax.scan(body, state, (x, y), length=k_steps)
 
     return steps
+
+
+def make_ensemble_train_step3d(
+    cfg: ModelConfig, tc: TrainConfig, mesh=None, member_mode: str = "vmap"
+):
+    """One-compiled-program volumetric deep-ensemble training — the 3-D
+    twin of `train.make_ensemble_train_step` (same member-axis contract:
+    stacked ``state`` leaves ``[K, ...]``, ``x [K, B, S, S, S, C]``,
+    ``y [K, B, o, o, o]`` int label cubes, ``seeds [K]`` int32 per-member
+    augmentation seeds).
+
+    ``member_mode``: ``"scan"`` (single-device default in
+    `ensemble.EnsembleTrainer3D` — the scan body is the plain volumetric
+    step, full per-step rate, one trace for all K) or ``"vmap"`` (members'
+    convs batch together; required on a ``mesh``, where each device trains
+    a contiguous member block, embarrassingly parallel)."""
+    import functools
+
+    opt = make_optimizer(tc)
+
+    def one(state, x, y, seed):
+        return _train_step3d(state, x, y, opt, cfg, tc, seed=seed)
+
+    vstep = jax.vmap(one)
+
+    if mesh is None:
+        if member_mode == "scan":
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state: TrainState, x: Array, y: Array, seeds: Array):
+                def body(_, member):
+                    s, xb, yb, sd = member
+                    return None, one(s, xb, yb, sd)
+
+                _, (new_state, m) = jax.lax.scan(
+                    body, None, (state, x, y, seeds)
+                )
+                return new_state, m
+
+            return step
+        if member_mode != "vmap":
+            raise ValueError(f"unknown member_mode {member_mode!r}")
+
+        return jax.jit(vstep, donate_argnums=(0,))
+
+    if member_mode != "vmap":
+        raise ValueError(
+            "mesh-sharded ensemble training requires member_mode='vmap'"
+        )
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    member = NamedSharding(mesh, P(axis))
+
+    def shard_leading(t):
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a,
+                NamedSharding(mesh, P(*((axis,) + (None,) * (a.ndim - 1)))),
+            ),
+            t,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, x: Array, y: Array, seeds: Array):
+        state = shard_leading(state)
+        x = shard_leading(x)
+        y = shard_leading(y)
+        seeds = jax.lax.with_sharding_constraint(seeds, member)
+        new_state, m = vstep(state, x, y, seeds)
+        return shard_leading(new_state), m
+
+    return step
+
+
+def make_ensemble_eval_step3d(cfg: ModelConfig, tc: TrainConfig):
+    """Per-member volumetric validation in one program (the 3-D twin of
+    `train.make_ensemble_eval_step`): vmap the eval computation over the
+    stacked member params; the batch is shared. Returns per-member
+    (loss, acc, pred) with a leading [K] axis."""
+
+    @jax.jit
+    def step(params, x: Array, y: Array):
+        y1h = one_hot_flatten(y, cfg.n_classes)
+
+        def one(p):
+            probs, sigma = forward3d(p, x, cfg)
+            loss = elbo_loss(
+                y1h, probs, sigma, kl_regularizer3d(p), tc.kl_factor,
+                tc.sigma_clip_min, tc.sigma_clip_max,
+            )
+            pred = jnp.argmax(probs, -1).astype(jnp.int32)
+            acc = jnp.mean(
+                (pred == jnp.argmax(y1h, -1)).astype(jnp.float32)
+            )
+            return loss, acc, pred
+
+        return jax.vmap(one)(params)
+
+    return step
 
 
 def make_eval_step3d(cfg: ModelConfig, tc: TrainConfig):

@@ -113,6 +113,12 @@ _SLOW_TESTS = {
         "test_checkpoint_layout_and_resume",
         "test_member_sharded_mesh",
     },
+    "test_ensemble_train3d.py": {
+        "test_scan_matches_sequential_trainer3d",
+        "test_vmap_matches_scan",
+        "test_validation_and_artifacts",
+        "test_member_sharded_mesh",
+    },
     "test_serving.py": {
         "test_session_mesh_matches_single_device",
         "test_export_bundle_ensemble",
