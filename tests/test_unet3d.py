@@ -72,6 +72,43 @@ def test_vconv3d_input_closed_form():
                     assert abs(sg[0, i, j, l, c] - v) < 1e-5 + 5e-4 * abs(v)
 
 
+def test_vconv3d_k1_einsum_matches_conv_form():
+    """The 1x1x1 einsum fast path (MXU-friendly, GSPMD-partitionable under
+    the ensemble member vmap) == the generic conv-form lowering."""
+    cin, cout, d = 3, 4, 5
+    x = _rand(2, d, d, d, cin)
+    sigma = _rand(2, d, d, d, cin, positive=True)
+    w_mu = _rand(1, 1, 1, cin, cout) * 0.3
+    w_sigma = RNG.uniform(-5, -2, cout).astype(np.float32)
+    s_w = np.log1p(np.exp(w_sigma))
+
+    def conv(v, w):
+        return np.asarray(jax.lax.conv_general_dilated(
+            jnp.asarray(v), jnp.asarray(w), (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        ))
+
+    mu_i, sg_i = m3.vconv3d_input(
+        jnp.asarray(x), jnp.asarray(w_mu), jnp.asarray(w_sigma)
+    )
+    np.testing.assert_allclose(mu_i, conv(x, w_mu), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        sg_i, np.sum(x**2, -1, keepdims=True) * s_w, rtol=1e-5, atol=1e-6
+    )
+
+    mu_o, sg_o = m3.vconv3d(
+        jnp.asarray(x), jnp.asarray(sigma),
+        jnp.asarray(w_mu), jnp.asarray(w_sigma),
+    )
+    ref_sg = (
+        np.sum(x**2 + sigma, -1, keepdims=True) * s_w
+        + conv(sigma, np.square(w_mu))
+    )
+    np.testing.assert_allclose(mu_o, conv(x, w_mu), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(sg_o, ref_sg, rtol=1e-5, atol=1e-5)
+
+
 def test_vmaxpool3d_semantics():
     """Max of the mean over 2^3 windows; sigma gathered at the SAME argmax
     with TF's first-flat-index tie-break; odd dims padded (SAME)."""
