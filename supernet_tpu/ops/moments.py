@@ -176,6 +176,24 @@ def _use_pallas_for(x: Array, w_mu: Array) -> bool:
 # A/B-able modes (SUPERNET_CONV_FOLD) for future shapes where they may pay.
 _CONV_FOLD: str = "none"
 
+# Window-sum lowering: "shift" = separable slice-adds (pure VPU, no
+# 1-channel MXU conv), "conv" = ones-kernel VALID conv. See _window_sum.
+# Default from TPU v5e measurement (docs/PERFORMANCE.md round 4): shift is
+# +23% whole-step on the 3-D family at its best batch (286.5 -> 232.9
+# ms/step @ 16) and neutral on 2-D BraTS@128 (120.9 -> 120.1 ms).
+_WINSUM: str = "shift"
+
+
+def set_winsum(mode: str) -> None:
+    if mode not in ("conv", "shift"):
+        raise ValueError(f"unknown winsum mode {mode!r}")
+    global _WINSUM
+    _WINSUM = mode
+
+
+def get_winsum() -> str:
+    return _WINSUM
+
 
 def set_conv_fold(mode: str) -> None:
     if mode not in ("none", "sigma", "full"):
@@ -264,6 +282,7 @@ def apply_env_overrides() -> None:
     SUPERNET_PRECISION=highest|high|default   (MXU passes for f32 moments)
     SUPERNET_BACKEND=xla|pallas|auto|naive    (conv kernel backend)
     SUPERNET_CONV_FOLD=none|sigma|full        (variance-path fusion mode)
+    SUPERNET_WINSUM=shift|conv                (window-sum lowering)
     SUPERNET_ACT_DTYPE=float32|bfloat16       (inter-layer activation dtype)
     SUPERNET_POOL=auto|xla|pallas             (max-pool implementation)
 
@@ -293,6 +312,9 @@ def apply_env_overrides() -> None:
     v = os.environ.get("SUPERNET_GLUE_FOLD")
     if v:
         set_glue_fold(v)
+    v = os.environ.get("SUPERNET_WINSUM")
+    if v:
+        set_winsum(v)
 
 
 def _act(x: Array) -> Array:
@@ -321,15 +343,43 @@ def _conv_valid(x: Array, w: Array, stride: int = 1) -> Array:
     )
 
 
+def _winsum_shift(xc: Array, k: int, stride: int) -> Array:
+    """Separable shift-add VALID window sum over every spatial axis of a
+    single-channel [B, *spatial, 1] tensor: per axis, the k strided views
+    are added elementwise (k-1 adds), so the k^d window sum costs d*(k-1)
+    full-tensor VPU adds and never touches the MXU. The transpose is the
+    same chain of pads+adds, also pure VPU."""
+    s = xc
+    for axis in range(1, xc.ndim - 1):
+        n = s.shape[axis]
+        out_len = (n - k) // stride + 1
+        acc = lax.slice_in_dim(
+            s, 0, (out_len - 1) * stride + 1, stride=stride, axis=axis
+        )
+        for i in range(1, k):
+            acc = acc + lax.slice_in_dim(
+                s, i, i + (out_len - 1) * stride + 1, stride=stride,
+                axis=axis,
+            )
+        s = acc
+    return s
+
+
 def _window_sum(x: Array, k: int, stride: int = 1) -> Array:
     """Sum of x over each k x k VALID window and over all input channels.
 
-    Returns shape [B, H', W', 1]. Implemented as a channel-sum followed by a
-    single-output-channel ones-kernel conv: one cheap MXU pass (C_out == 1,
-    negligible next to the main convs), no patch materialization, and —
-    unlike ``lax.reduce_window`` — robustly reverse-mode differentiable
-    inside ``jit`` (reduce_window's generic primitive fails linearization
-    under jit(grad) in current JAX; needed by FGSM/PGD, attacks.py).
+    Returns shape [B, H', W', 1]. Two lowerings behind SUPERNET_WINSUM:
+
+    - "shift" (default): channel-sum, then ``_winsum_shift`` — 2(k-1)
+      full-tensor adds on a single-channel tensor, all VPU. The round-4
+      3-D per-op trace (docs/PERFORMANCE.md) showed the conv form burning
+      14% of the whole train step on C_in==C_out==1 MXU convs at ~1/16k
+      occupancy; the shift form removes that bucket in both ranks.
+    - "conv": the original single-output-channel ones-kernel VALID conv.
+
+    Both are robustly reverse-mode differentiable inside ``jit`` — unlike
+    ``lax.reduce_window``, whose generic primitive fails linearization
+    under jit(grad) in current JAX (needed by FGSM/PGD, attacks.py).
     """
     # channel reduction accumulates in f32 even under bf16 activations
     # (bf16 accumulation over wide channel dims would inject sqrt(C)-scale
@@ -337,12 +387,13 @@ def _window_sum(x: Array, k: int, stride: int = 1) -> Array:
     # activation dtype — one rounding, same 2^-8 relative error as every
     # other bf16 op in the sigma chain, and it keeps the f32 upcast out of
     # the backward broadcast (BraTS bf16 step 63.9 -> 60.5 ms). The k x k
-    # ones-conv accumulates in f32 on the MXU regardless of input dtype.
-    xc = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True).astype(
-        x.dtype
-    )
+    # window accumulation stays in f32 in both modes (the MXU always
+    # accumulates f32; the shift path adds in f32 and rounds once).
+    xc = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    if _WINSUM == "shift":
+        return _winsum_shift(xc, k, stride).astype(x.dtype)
     ones = jnp.ones((k, k, 1, 1), x.dtype)
-    return _conv_valid(xc, ones, stride)
+    return _conv_valid(xc.astype(x.dtype), ones, stride)
 
 
 def vconv_input(

@@ -35,8 +35,10 @@ from jax import lax
 
 from supernet_tpu.ops.moments import (  # noqa: F401
     _act,
+    _winsum_shift,
     get_act_dtype,
     get_mxu_precision,
+    get_winsum,
     vrelu,
 )
 
@@ -64,8 +66,15 @@ def _conv3d_valid(x: Array, w: Array, stride: int = 1) -> Array:
 
 
 def _window_sum3d(x: Array, k: int, stride: int = 1) -> Array:
-    """Channel sum then k^3 ones-kernel VALID conv -> [B, D', H', W', 1]."""
+    """Channel sum then k^3 VALID window sum -> [B, D', H', W', 1].
+
+    Lowering follows the shared SUPERNET_WINSUM knob (see 2-D
+    ``_window_sum``): "shift" does 3(k-1) separable slice-adds on the VPU;
+    "conv" runs the ones-kernel conv the round-4 trace measured at 14% of
+    the whole 3-D train step (C_in==C_out==1 on the MXU)."""
     s = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    if get_winsum() == "shift":
+        return _act(_winsum_shift(s, k, stride))
     ones = jnp.ones((k, k, k, 1, 1), jnp.float32)
     out = lax.conv_general_dilated(
         s, ones, (stride,) * 3, "VALID", dimension_numbers=_DN,

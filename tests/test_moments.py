@@ -58,6 +58,48 @@ def test_extract_patches_matches_manual():
 # ---------------------------------------------------------------- vconv
 
 
+@pytest.mark.parametrize("k,stride", [(2, 1), (3, 1), (3, 2), (5, 2)])
+def test_winsum_shift_matches_conv(k, stride):
+    """The separable shift-add window sum (SUPERNET_WINSUM=shift, pure VPU)
+    equals the ones-kernel conv lowering in value AND in jit(grad) — the
+    FGSM/PGD contract. The round-4 3-D trace measured the conv form at 14%
+    of the whole train step (docs/PERFORMANCE.md)."""
+    x = jnp.asarray(_rand(2, 13, 11, 5))
+    prev = moments.get_winsum()
+    try:
+        moments.set_winsum("conv")
+        ref = moments._window_sum(x, k, stride)
+        g_ref = jax.jit(
+            jax.grad(lambda a: jnp.sum(moments._window_sum(a, k, stride) ** 2))
+        )(x)
+        moments.set_winsum("shift")
+        got = moments._window_sum(x, k, stride)
+        g_got = jax.jit(
+            jax.grad(lambda a: jnp.sum(moments._window_sum(a, k, stride) ** 2))
+        )(x)
+    finally:
+        moments.set_winsum(prev)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(g_got, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_winsum_shift_matches_conv_3d():
+    from supernet_tpu.ops import moments3d
+
+    x = jnp.asarray(_rand(2, 9, 11, 13, 3))
+    prev = moments.get_winsum()
+    try:
+        moments.set_winsum("conv")
+        ref = moments3d._window_sum3d(x, 3, 1)
+        moments.set_winsum("shift")
+        got = moments3d._window_sum3d(x, 3, 1)
+    finally:
+        moments.set_winsum(prev)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("fold", ["none", "sigma", "full"])
 def test_conv_fold_modes_agree(fold):
     """The folded variance paths (winsum riding the sigma/mu conv as extra
