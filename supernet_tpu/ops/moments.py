@@ -365,6 +365,22 @@ def _winsum_shift(xc: Array, k: int, stride: int) -> Array:
     return s
 
 
+def _winsum_shift_pads(src: Array, k: int, *pads) -> Array:
+    """Shift-add window sum of a single-channel [B, *spatial, 1] tensor with
+    per-axis (lo, hi) conv-style padding — positive = zero pad, negative =
+    crop (the glue-fold paths express the skip crop as negative conv
+    padding). Accumulates in f32, rounds once to src.dtype."""
+    s = src.astype(jnp.float32)
+    pos = [(0, 0)] + [(max(lo, 0), max(hi, 0)) for lo, hi in pads] + [(0, 0)]
+    if any(p != (0, 0) for p in pos):
+        s = jnp.pad(s, pos)
+    for axis, (lo, hi) in enumerate(pads, start=1):
+        a, b = max(-lo, 0), max(-hi, 0)
+        if a or b:
+            s = lax.slice_in_dim(s, a, s.shape[axis] - b, axis=axis)
+    return _winsum_shift(s, k, 1).astype(src.dtype)
+
+
 def _window_sum(x: Array, k: int, stride: int = 1) -> Array:
     """Sum of x over each k x k VALID window and over all input channels.
 
@@ -928,11 +944,19 @@ def vglue_conv_relu(
     s_w = jax.nn.softplus(w_sigma)
     mu, sigma = _act(mu), _act(sigma)
     w_d = w_mu[:, :, :c_d] if mu_enc is not None else w_mu
-    ones = jnp.ones((k, k, 1, 1), mu.dtype)
     pad_d = (lo, hi)
+    shift = _WINSUM == "shift"
+    # in shift mode every window sum below is slice-adds on a padded or
+    # cropped SINGLE-channel source (1/C the bytes of the activation pad
+    # the fold avoids) — no 1-channel MXU conv passes
+    ones = None if shift else jnp.ones((k, k, 1, 1), mu.dtype)
 
     mu_out = _conv_pad(mu, w_d, pad_d, pad_d)
-    ws = _conv_pad(_moment_src(mu, sigma), ones, pad_d, pad_d)
+    src = _moment_src(mu, sigma)
+    if shift:
+        ws = _winsum_shift_pads(src, k, pad_d, pad_d)
+    else:
+        ws = _conv_pad(src, ones, pad_d, pad_d)
     sig_conv = _conv_pad(sigma, jnp.square(w_d), pad_d, pad_d)
 
     if sigma_fill != 0.0 and (lo or hi):
@@ -945,7 +969,12 @@ def vglue_conv_relu(
         )
         fill = jnp.asarray(sigma_fill, mu.dtype)
         # each border pixel contributes (mu=0, sigma=fill) per dec channel
-        ws = ws + _conv_valid(ring, ones) * (c_d * fill)
+        ring_ws = (
+            _winsum_shift_pads(ring, k, (0, 0), (0, 0))
+            if shift
+            else _conv_valid(ring, ones)
+        )
+        ws = ws + ring_ws * (c_d * fill)
         w2_sum = jnp.sum(jnp.square(w_d), axis=2, keepdims=True)
         sig_conv = sig_conv + _conv_valid(ring, w2_sum) * fill
 
@@ -960,7 +989,12 @@ def vglue_conv_relu(
         pad_eh = (-oh, -(he - oh - sh))
         pad_ew = (-ow, -(we - ow - sw))
         mu_out = mu_out + _conv_pad(mu_enc, w_e, pad_eh, pad_ew)
-        ws = ws + _conv_pad(_moment_src(mu_enc, sigma_enc), ones, pad_eh, pad_ew)
+        src_e = _moment_src(mu_enc, sigma_enc)
+        ws = ws + (
+            _winsum_shift_pads(src_e, k, pad_eh, pad_ew)
+            if shift
+            else _conv_pad(src_e, ones, pad_eh, pad_ew)
+        )
         sig_conv = sig_conv + _conv_pad(
             sigma_enc, jnp.square(w_e), pad_eh, pad_ew
         )

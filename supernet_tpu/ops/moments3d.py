@@ -36,6 +36,7 @@ from jax import lax
 from supernet_tpu.ops.moments import (  # noqa: F401
     _act,
     _winsum_shift,
+    _winsum_shift_pads,
     get_act_dtype,
     get_mxu_precision,
     get_winsum,
@@ -395,7 +396,10 @@ def vglue_conv3d_relu(
     s_w = jax.nn.softplus(w_sigma.astype(jnp.float32))
     mu, sigma = _act(mu), _act(sigma)
     w_d = w_mu[..., :c_d, :] if mu_enc is not None else w_mu
-    ones = jnp.ones((k, k, k, 1, 1), mu.dtype)
+    shift = get_winsum() == "shift"
+    # shift mode: every window sum below is slice-adds on a padded/cropped
+    # single-channel source — see the 2-D vglue_conv_relu counterpart
+    ones = None if shift else jnp.ones((k, k, k, 1, 1), mu.dtype)
     pd = ((lo, hi),) * 3
 
     def _src(m, s):
@@ -405,7 +409,11 @@ def vglue_conv3d_relu(
         return t.astype(m.dtype)
 
     mu_out = _conv3d_pads(mu, w_d, pd)
-    ws = _conv3d_pads(_src(mu, sigma), ones, pd)
+    ws = (
+        _winsum_shift_pads(_src(mu, sigma), k, *pd)
+        if shift
+        else _conv3d_pads(_src(mu, sigma), ones, pd)
+    )
     sig_conv = _conv3d_pads(sigma, jnp.square(w_d.astype(jnp.float32)), pd)
 
     if sigma_fill != 0.0 and (lo or hi):
@@ -416,7 +424,12 @@ def vglue_conv3d_relu(
             constant_values=1.0,
         )
         fill = jnp.asarray(sigma_fill, mu.dtype)
-        ws = ws + _conv3d_valid(ring, ones) * (c_d * fill)
+        ring_ws = (
+            _winsum_shift_pads(ring, k, (0, 0), (0, 0), (0, 0))
+            if shift
+            else _conv3d_valid(ring, ones)
+        )
+        ws = ws + ring_ws * (c_d * fill)
         w2_sum = jnp.sum(
             jnp.square(w_d.astype(jnp.float32)), axis=3, keepdims=True
         )
@@ -432,7 +445,11 @@ def vglue_conv3d_relu(
             (-o, -(s - o - t)) for s, t, o in zip(src, tgt, offs)
         )
         mu_out = mu_out + _conv3d_pads(mu_enc, w_e, pe)
-        ws = ws + _conv3d_pads(_src(mu_enc, sigma_enc), ones, pe)
+        ws = ws + (
+            _winsum_shift_pads(_src(mu_enc, sigma_enc), k, *pe)
+            if shift
+            else _conv3d_pads(_src(mu_enc, sigma_enc), ones, pe)
+        )
         sig_conv = sig_conv + _conv3d_pads(
             sigma_enc, jnp.square(w_e.astype(jnp.float32)), pe
         )
