@@ -252,6 +252,86 @@ def get_sigma_bwd() -> str:
     return _SIGMA_BWD
 
 
+# Lowering of the `winsum * s_w` scale itself (forward op, not the
+# backward kernel above):
+#   "mul" — broadcast multiply. AD transposes the two broadcasts into VPU
+#           transpose-reduces; the exact-join 3-D trace measured them at
+#           26 ms / 11.3% of the batch-16 step (docs/PERFORMANCE.md).
+#   "dot" — a size-1-contraction einsum [..,1]x[1,Cout]. dot_general's
+#           transpose is dot_general, so both backward contractions (the
+#           channel spread AND the batchxspace reduce for d s_w) lower as
+#           MXU mat-vecs instead of transpose-reduces. No custom-vjp seam
+#           (the sigma_bwd pallas lesson), so XLA's fusion domain is
+#           untouched.
+# A/B-able via SUPERNET_SW_SCALE; default from TPU measurement.
+_SW_SCALE: str = "mul"
+
+
+def set_sw_scale(mode: str) -> None:
+    if mode not in ("mul", "dot"):
+        raise ValueError(f"unknown sw scale mode {mode!r}")
+    global _SW_SCALE
+    _SW_SCALE = mode
+
+
+def get_sw_scale() -> str:
+    return _SW_SCALE
+
+
+def scale_sw(ws: Array, s_w: Array) -> Array:
+    """`ws [..., 1] * s_w [Cout] -> [..., Cout]` — the per-output-channel
+    variance scale shared by every vconv sigma term (SURVEY §7.1 conv-form
+    identity; `Hippocampus.py:118-125` does it as patches @ bcast(s_w)).
+    Lowering per SUPERNET_SW_SCALE above."""
+    s_w = s_w.astype(ws.dtype)
+    if _SW_SCALE == "dot":
+        return jnp.einsum(
+            "...x,xo->...o",
+            ws,
+            s_w[None, :],
+            precision=get_mxu_precision(),
+            preferred_element_type=ws.dtype,
+        )
+    return ws * s_w
+
+
+# Channel-sum lowering inside the window sums (`sum over C_in` feeding the
+# k x k window accumulation):
+#   "reduce" — jnp.sum over the minor-most (lane) axis: a VPU cross-lane
+#              reduce, measured 12 ms / 5.2% of the 3-D@16 step.
+#   "dot"    — mat-vec against a ones [C, 1] kernel: same bytes, MXU
+#              accumulation, no cross-lane shuffles.
+# A/B-able via SUPERNET_CHANSUM; default from TPU measurement.
+_CHANSUM: str = "reduce"
+
+
+def set_chansum(mode: str) -> None:
+    if mode not in ("reduce", "dot"):
+        raise ValueError(f"unknown chansum mode {mode!r}")
+    global _CHANSUM
+    _CHANSUM = mode
+
+
+def get_chansum() -> str:
+    return _CHANSUM
+
+
+def chan_sum(x: Array) -> Array:
+    """Sum over the trailing channel axis -> [..., 1], accumulated in f32
+    (bf16 accumulation over wide C would inject sqrt(C)-scale sigma noise).
+    Lowering per SUPERNET_CHANSUM above."""
+    if _CHANSUM == "dot":
+        ones = jnp.ones((x.shape[-1], 1), x.dtype)
+        return jnp.einsum(
+            "...c,co->...o",
+            x,
+            ones,
+            precision=get_mxu_precision(),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+
+
 # Activation dtype for the moment tensors between layers. float32 is the
 # parity-grade default. bfloat16 halves the HBM traffic of every layer —
 # profiling shows this model is data-movement-bound on TPU (the MXU convs
@@ -283,6 +363,8 @@ def apply_env_overrides() -> None:
     SUPERNET_BACKEND=xla|pallas|auto|naive    (conv kernel backend)
     SUPERNET_CONV_FOLD=none|sigma|full        (variance-path fusion mode)
     SUPERNET_WINSUM=shift|conv                (window-sum lowering)
+    SUPERNET_SW_SCALE=mul|dot                 (winsum * s_w scale lowering)
+    SUPERNET_CHANSUM=reduce|dot               (channel-sum lowering)
     SUPERNET_ACT_DTYPE=float32|bfloat16       (inter-layer activation dtype)
     SUPERNET_POOL=auto|xla|pallas             (max-pool implementation)
 
@@ -315,6 +397,12 @@ def apply_env_overrides() -> None:
     v = os.environ.get("SUPERNET_WINSUM")
     if v:
         set_winsum(v)
+    v = os.environ.get("SUPERNET_SW_SCALE")
+    if v:
+        set_sw_scale(v)
+    v = os.environ.get("SUPERNET_CHANSUM")
+    if v:
+        set_chansum(v)
 
 
 def _act(x: Array) -> Array:
@@ -405,7 +493,7 @@ def _window_sum(x: Array, k: int, stride: int = 1) -> Array:
     # the backward broadcast (BraTS bf16 step 63.9 -> 60.5 ms). The k x k
     # window accumulation stays in f32 in both modes (the MXU always
     # accumulates f32; the shift path adds in f32 and rounds once).
-    xc = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    xc = chan_sum(x)
     if _WINSUM == "shift":
         return _winsum_shift(xc, k, stride).astype(x.dtype)
     ones = jnp.ones((k, k, 1, 1), x.dtype)
@@ -452,7 +540,7 @@ def vconv_input(
         t = jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
         # cast the single-channel window-sum BEFORE the broadcast multiply:
         # t * s_w at f32 would materialize a full-width f32 tensor per layer
-        return _act(mu_out), _act(t) * _act(s_w)
+        return _act(mu_out), scale_sw(_act(t), s_w)
     if _CONV_FOLD != "none":
         # one conv computes mu AND the window-sum: input [x ‖ sum(x^2)],
         # kernel blockdiag [w_mu, 0; 0, ones] — the 1-channel winsum rides
@@ -479,7 +567,7 @@ def vconv_input(
         )
         return _act(mu_out), _act(winsum_scale(sc, s_w, k))
     ws = _act(_window_sum(jnp.square(x), k, stride))
-    return _act(mu_out), ws * _act(s_w)
+    return _act(mu_out), scale_sw(ws, s_w)
 
 
 def vconv(
@@ -519,7 +607,7 @@ def vconv(
         t = jnp.sum(
             (jnp.square(mu) + sigma).astype(jnp.float32), -1, keepdims=True
         )
-        sigma_out = _act(t) * _act(s_w) + jnp.einsum(
+        sigma_out = scale_sw(_act(t), s_w) + jnp.einsum(
             "bhwc,co->bhwo",
             sigma,
             jnp.square(w2),
@@ -579,7 +667,7 @@ def vconv(
     # cast the [B,H',W',1] window-sum before the broadcast multiply so the
     # full-width sigma chain stays in the activation dtype
     ws = _act(_window_sum(jnp.square(mu) + sigma, k, stride))
-    sigma_out = ws * _act(s_w) + _conv_valid(sigma, jnp.square(w_mu), stride)
+    sigma_out = scale_sw(ws, s_w) + _conv_valid(sigma, jnp.square(w_mu), stride)
     return _act(mu_out), _act(sigma_out)
 
 
@@ -999,7 +1087,7 @@ def vglue_conv_relu(
             sigma_enc, jnp.square(w_e), pad_eh, pad_ew
         )
 
-    sigma_out = _act(ws) * _act(s_w) + sig_conv
+    sigma_out = scale_sw(_act(ws), s_w) + sig_conv
     return vrelu(_act(mu_out), _act(sigma_out))
 
 

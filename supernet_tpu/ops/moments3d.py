@@ -35,6 +35,8 @@ from jax import lax
 
 from supernet_tpu.ops.moments import (  # noqa: F401
     _act,
+    chan_sum,
+    scale_sw,
     _winsum_shift,
     _winsum_shift_pads,
     get_act_dtype,
@@ -73,7 +75,7 @@ def _window_sum3d(x: Array, k: int, stride: int = 1) -> Array:
     ``_window_sum``): "shift" does 3(k-1) separable slice-adds on the VPU;
     "conv" runs the ones-kernel conv the round-4 trace measured at 14% of
     the whole 3-D train step (C_in==C_out==1 on the MXU)."""
-    s = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    s = chan_sum(x)
     if get_winsum() == "shift":
         return _act(_winsum_shift(s, k, stride))
     ones = jnp.ones((k, k, k, 1, 1), jnp.float32)
@@ -109,10 +111,10 @@ def vconv3d_input(
             preferred_element_type=x.dtype,
         )
         t = jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
-        return _act(mu_out), _act(t) * _act(s_w)
+        return _act(mu_out), scale_sw(_act(t), s_w)
     mu_out = _conv3d_valid(x, w_mu, stride)
     ws = _window_sum3d(jnp.square(x), k, stride)
-    return _act(mu_out), ws * _act(s_w)
+    return _act(mu_out), scale_sw(ws, s_w)
 
 
 def vconv3d(
@@ -139,7 +141,7 @@ def vconv3d(
         t = jnp.sum(
             (jnp.square(mu) + sigma).astype(jnp.float32), -1, keepdims=True
         )
-        sigma_out = _act(t) * _act(s_w) + jnp.einsum(
+        sigma_out = scale_sw(_act(t), s_w) + jnp.einsum(
             "bdhwc,co->bdhwo",
             sigma_a,
             jnp.square(w2),
@@ -149,7 +151,7 @@ def vconv3d(
         return _act(mu_out), _act(sigma_out)
     mu_out = _conv3d_valid(_act(mu), w_mu, stride)
     ws = _window_sum3d(jnp.square(mu) + sigma, k, stride)
-    sigma_out = ws * _act(s_w) + _conv3d_valid(
+    sigma_out = scale_sw(ws, s_w) + _conv3d_valid(
         _act(sigma), jnp.square(w_mu.astype(jnp.float32)), stride
     )
     return _act(mu_out), _act(sigma_out)
@@ -454,7 +456,7 @@ def vglue_conv3d_relu(
             sigma_enc, jnp.square(w_e.astype(jnp.float32)), pe
         )
 
-    sigma_out = _act(ws) * _act(s_w) + sig_conv
+    sigma_out = scale_sw(_act(ws), s_w) + sig_conv
     return vrelu(_act(mu_out), _act(sigma_out))
 
 

@@ -100,6 +100,50 @@ def test_winsum_shift_matches_conv_3d():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_sw_scale_and_chansum_modes_agree():
+    """The dot lowerings of the `winsum * s_w` scale (SUPERNET_SW_SCALE)
+    and the channel sum (SUPERNET_CHANSUM) equal the broadcast-mul /
+    lane-reduce defaults in value AND jit(grad) — in f32 they are
+    bit-exact (a size-1 contraction and a ones mat-vec do the same
+    arithmetic). Measured neutral on TPU in both ranks (docs/PERFORMANCE.md
+    dead-ends table), kept A/B-able."""
+    from supernet_tpu.ops import moments3d
+
+    mu = jnp.asarray(_rand(2, 9, 9, 4))
+    sg = jnp.asarray(_rand(2, 9, 9, 4, positive=True))
+    w_mu = jnp.asarray(_rand(3, 3, 4, 6) * 0.1)
+    w_sigma = jnp.asarray(RNG.uniform(-12, -2, 6).astype(np.float32))
+    mu3 = jnp.asarray(_rand(1, 7, 7, 7, 3))
+    sg3 = jnp.asarray(_rand(1, 7, 7, 7, 3, positive=True))
+    w_mu3 = jnp.asarray(_rand(3, 3, 3, 3, 4) * 0.1)
+    w_sigma3 = jnp.asarray(RNG.uniform(-12, -2, 4).astype(np.float32))
+
+    def all_outputs():
+        o = list(vconv(mu, sg, w_mu, w_sigma))
+        o += list(moments3d.vconv3d(mu3, sg3, w_mu3, w_sigma3))
+        g = jax.jit(
+            jax.grad(
+                lambda w: jnp.sum(vconv(mu, sg, w_mu, w)[1] ** 2)
+            )
+        )(w_sigma)
+        o.append(g)
+        return [np.asarray(t) for t in o]
+
+    prev_sw, prev_cs = moments.get_sw_scale(), moments.get_chansum()
+    try:
+        moments.set_sw_scale("mul")
+        moments.set_chansum("reduce")
+        ref = all_outputs()
+        moments.set_sw_scale("dot")
+        moments.set_chansum("dot")
+        got = all_outputs()
+    finally:
+        moments.set_sw_scale(prev_sw)
+        moments.set_chansum(prev_cs)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.parametrize("fold", ["none", "sigma", "full"])
 def test_conv_fold_modes_agree(fold):
     """The folded variance paths (winsum riding the sigma/mu conv as extra
