@@ -270,6 +270,11 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("sweep", help="noise-robustness sweep (levels x regions)")
     _add_common(s)
     s.add_argument("--images-n", type=int, default=10)
+    s.add_argument("--artifact-max-samples", type=int, default=None,
+                   help="cap the rows kept for EACH run's full-set "
+                        "uncertainty_info.pkl artifact (the sweep runs "
+                        "clean + levels x regions passes; metrics still "
+                        "cover ALL samples; default: keep all)")
 
     sl = sub.add_parser(
         "saliency", help="gradient saliency maps (Brats.py:598-609)"
@@ -851,7 +856,23 @@ def main(argv=None) -> int:
             # from the same mean weights — diversity then comes from the
             # shuffle alone, so prefer random init for ensembles
             base = args.out_dir or f"{exp.out_dir}/{exp.name}_3d/ensemble"
-            one_program = args.ensemble_mode != "sequential"
+            ensemble_mode3d = args.ensemble_mode
+            if ensemble_mode3d == "auto":
+                from supernet_tpu.ensemble import (
+                    SEQUENTIAL_STEP3D_S,
+                    choose_ensemble_mode,
+                )
+
+                total_steps = exp.train.epochs * (
+                    len(x_tr) // exp.train.batch_size
+                )
+                ensemble_mode3d, why = choose_ensemble_mode(
+                    args.ensemble, total_steps, mesh=mesh3d,
+                    step_s=SEQUENTIAL_STEP3D_S,
+                )
+                print(f"ensemble auto mode -> {ensemble_mode3d} ({why})",
+                      file=sys.stderr)
+            one_program = ensemble_mode3d != "sequential"
             if one_program and shard3d != "batch":
                 # spatial/hybrid sharding splits each volume across the
                 # mesh; stacking a member axis on top is untested — run
@@ -881,17 +902,30 @@ def main(argv=None) -> int:
                           file=sys.stderr)
                 emesh = None
                 if mesh3d is not None:
-                    from supernet_tpu.parallel import make_mesh_for_batch
+                    # fewer member rounds wins: shrunken divisor mesh vs
+                    # full mesh + member padding (EnsembleTrainer3D.n_pad)
+                    import jax as _jax
 
-                    emesh = make_mesh_for_batch(args.ensemble)
+                    from supernet_tpu.parallel import (
+                        make_mesh,
+                        make_mesh_for_batch,
+                    )
+
+                    n_dev = _jax.device_count()
+                    shrunk = make_mesh_for_batch(args.ensemble)
+                    full_rounds = -(-args.ensemble // n_dev)
+                    shrunk_rounds = (
+                        args.ensemble // len(shrunk.devices.flat)
+                    )
+                    emesh = (make_mesh(n_dev)
+                             if full_rounds < shrunk_rounds else shrunk)
                     print(f"ensemble members sharded over "
                           f"{len(emesh.devices.flat)} devices",
                           file=sys.stderr)
                 tr = EnsembleTrainer3D(
                     exp, args.ensemble, x_tr, y_tr, x_val, y_val,
                     out_dir=base, mesh=emesh,
-                    member_mode=(None if args.ensemble_mode == "auto"
-                                 else args.ensemble_mode),
+                    member_mode=ensemble_mode3d,
                     initial_params=init3d,
                 )
                 tr.run()
@@ -899,7 +933,7 @@ def main(argv=None) -> int:
                           for h in tr.histories]
                 print(json.dumps({
                     "members": args.ensemble,
-                    "mode": args.ensemble_mode,
+                    "mode": ensemble_mode3d,
                     "dirs": tr.member_dirs,
                     "checkpoint_arg": ",".join(tr.member_dirs),
                     "final": finals,
@@ -1118,7 +1152,9 @@ def main(argv=None) -> int:
                 results = run_noise_sweep3d(exp, params, x, y,
                                             images_n=args.images_n,
                                             mesh=mesh,
-                                            mc_samples=args.mc_samples)
+                                            mc_samples=args.mc_samples,
+                                            artifact_max_samples=(
+                                                args.artifact_max_samples))
                 for r in results:
                     print(json.dumps({k: v for k, v in r.items()
                                       if isinstance(v, (int, float, str))}))
@@ -1274,7 +1310,25 @@ def main(argv=None) -> int:
             # K independent members: init seeds seed..seed+K-1 (the seed
             # also drives the epoch shuffle, so data order diverges too)
             base = args.out_dir or f"{exp.out_dir}/{exp.name}/ensemble"
-            if args.ensemble_mode != "sequential":
+            ensemble_mode = args.ensemble_mode
+            if ensemble_mode == "auto":
+                # wall-clock crossover: one-program saves (K-1) compiles
+                # once but pays a measured per-step tax forever
+                # (ensemble.choose_ensemble_mode; VERDICT r4 #5)
+                from supernet_tpu.ensemble import choose_ensemble_mode
+
+                try:
+                    total_steps = exp.train.epochs * (
+                        len(train_ds) // exp.train.batch_size
+                    )
+                except TypeError:  # unsized stream (e.g. pickle glob)
+                    total_steps = None
+                ensemble_mode, why = choose_ensemble_mode(
+                    args.ensemble, total_steps, mesh=mesh
+                )
+                print(f"ensemble auto mode -> {ensemble_mode} ({why})",
+                      file=sys.stderr)
+            if ensemble_mode != "sequential":
                 # ONE compiled program for all K members — the training
                 # twin of serving.EnsembleSession (VERDICT r3 #4); the
                 # member-axis lowering (scan vs vmap) follows
@@ -1288,19 +1342,36 @@ def main(argv=None) -> int:
                           file=sys.stderr)
                 emesh = None
                 if mesh is not None:
-                    # --data-parallel + vmap ensemble = member-per-device:
-                    # shrink the mesh to the largest divisor of K
-                    from supernet_tpu.parallel import make_mesh_for_batch
+                    # --data-parallel + vmap ensemble = member-per-device.
+                    # Two ways to fit K on n devices: shrink the mesh to
+                    # the largest divisor of K (zero waste, K/d member
+                    # rounds) or keep the FULL mesh and pad the member
+                    # axis (EnsembleTrainer.n_pad; ceil(K/n) rounds).
+                    # Pick whichever runs fewer member rounds — K=6 on 8
+                    # devices now trains in ONE round via padding instead
+                    # of three on a shrunken 2-device mesh.
+                    import jax
 
-                    emesh = make_mesh_for_batch(args.ensemble)
+                    from supernet_tpu.parallel import (
+                        make_mesh,
+                        make_mesh_for_batch,
+                    )
+
+                    n_dev = jax.device_count()
+                    shrunk = make_mesh_for_batch(args.ensemble)
+                    full_rounds = -(-args.ensemble // n_dev)
+                    shrunk_rounds = (
+                        args.ensemble // len(shrunk.devices.flat)
+                    )
+                    emesh = (make_mesh(n_dev)
+                             if full_rounds < shrunk_rounds else shrunk)
                     print(f"ensemble members sharded over "
                           f"{len(emesh.devices.flat)} devices",
                           file=sys.stderr)
                 tr = EnsembleTrainer(
                     exp, args.ensemble, train_ds, val_ds, out_dir=base,
                     mesh=emesh,
-                    member_mode=(None if args.ensemble_mode == "auto"
-                                 else args.ensemble_mode),
+                    member_mode=ensemble_mode,
                 )
                 tr.run()
                 dirs = tr.member_dirs
@@ -1323,7 +1394,7 @@ def main(argv=None) -> int:
                         {m: v[-1] for m, v in tr.history.items() if v})
             print(json.dumps({
                 "members": args.ensemble,
-                "mode": args.ensemble_mode,
+                "mode": ensemble_mode,
                 "dirs": dirs,
                 "checkpoint_arg": ",".join(dirs),
                 "final": finals,
@@ -1459,7 +1530,9 @@ def main(argv=None) -> int:
         from supernet_tpu.evaluate import run_noise_sweep
 
         results = run_noise_sweep(exp, params, ds, images_n=args.images_n,
-                                  mesh=mesh)
+                                  mesh=mesh,
+                                  artifact_max_samples=(
+                                      args.artifact_max_samples))
         for r in results:
             print(json.dumps({k: v for k, v in r.items()
                               if isinstance(v, (int, float, str))}))

@@ -51,6 +51,74 @@ from supernet_tpu.train import (
 )
 from supernet_tpu.trainer import _prep_batch
 
+# Measured on the TPU v5e (bench.py ensemble_train; docs/PERFORMANCE.md
+# "Ensemble training"): per-member step 16.408 ms one-program scan vs
+# 14.272 ms sequential — a 1.15x per-step tax — against ~35 s saved per
+# avoided full-model jit compile. Overridable per deployment via the
+# SUPERNET_ENSEMBLE_{COMPILE_S,STEP_S,STEP_RATIO} env knobs.
+ONE_PROGRAM_STEP_RATIO = 16.408 / 14.272
+SEQUENTIAL_STEP_S = 0.014272
+# 3-D family: 32.0 vols/s at the parity batch of 4 (bench_last_good.json
+# unet3d) -> 125 ms/step; the scan-vs-sequential ratio is assumed equal
+# to the measured 2-D one (same lowering structure)
+SEQUENTIAL_STEP3D_S = 0.125
+COMPILE_S = 35.0
+
+
+def choose_ensemble_mode(
+    n_members: int,
+    total_steps: Optional[int],
+    mesh=None,
+    compile_s: Optional[float] = None,
+    step_s: Optional[float] = None,
+    step_ratio: Optional[float] = None,
+):
+    """Pick the wall-clock-winning lowering for ``--ensemble-mode auto``.
+
+    Round 4 always chose one-program, which pays a measured ~15% per-step
+    tax forever while saving only (K-1) jit compiles once — a long run
+    loses (VERDICT r4 #5). The crossover, with per-member step time ``t``,
+    per-step ratio ``r`` and compile cost ``c``:
+
+        sequential:   K·c + K·total_steps·t
+        one-program:  1·c + K·total_steps·t·r
+
+    so one-program wins iff ``(K-1)·c > K·total_steps·t·(r-1)``.
+
+    Returns ``(mode, reason)``. On a mesh the answer is always ``vmap``
+    (members run device-parallel; sequential runs can't use the member
+    axis at all). ``total_steps`` is the per-member step count for the
+    whole run (epochs x steps/epoch); pass None for unsized streams —
+    the compile-amortizing one-program mode is kept then. The
+    SUPERNET_ENSEMBLE_MODE env var short-circuits the model entirely."""
+    forced = os.environ.get("SUPERNET_ENSEMBLE_MODE")
+    if forced:
+        return forced, f"SUPERNET_ENSEMBLE_MODE={forced}"
+    if mesh is not None:
+        return "vmap", "mesh-sharded members run device-parallel"
+    if total_steps is None:
+        return "scan", "unsized stream; keeping the one-compile mode"
+    c = compile_s if compile_s is not None else float(
+        os.environ.get("SUPERNET_ENSEMBLE_COMPILE_S", COMPILE_S)
+    )
+    t = step_s if step_s is not None else float(
+        os.environ.get("SUPERNET_ENSEMBLE_STEP_S", SEQUENTIAL_STEP_S)
+    )
+    r = step_ratio if step_ratio is not None else float(
+        os.environ.get("SUPERNET_ENSEMBLE_STEP_RATIO",
+                       ONE_PROGRAM_STEP_RATIO)
+    )
+    compile_saved_s = (n_members - 1) * c
+    step_tax_s = n_members * total_steps * t * (r - 1.0)
+    why = (
+        f"K={n_members}, {total_steps} steps/member: one-program saves "
+        f"{compile_saved_s:.0f}s of compiles, costs {step_tax_s:.0f}s of "
+        f"per-step tax (x{r:.2f} on {t * 1e3:.1f}ms steps)"
+    )
+    if compile_saved_s > step_tax_s:
+        return "scan", why
+    return "sequential", why
+
 
 class EnsembleTrainer3D:
     """One-compiled-program deep-ensemble training for the volumetric
@@ -117,14 +185,19 @@ class EnsembleTrainer3D:
             for k in range(n_members)
         ]
         self.mesh = mesh
+        # non-dividing K: pad the member axis to the mesh (see
+        # EnsembleTrainer) — pad members train throwaway replicas
+        self.n_pad = 0
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
-            if n_members % n_dev != 0:
-                raise ValueError(
-                    f"{n_members} members do not divide over the {n_dev}-"
-                    "device mesh; use parallel.make_mesh_for_batch("
-                    "n_members) to shrink it"
+            self.n_pad = (-n_members) % n_dev
+            if self.n_pad:
+                print(
+                    f"note: padding the member axis {n_members} -> "
+                    f"{n_members + self.n_pad} so it divides the {n_dev}-"
+                    "device mesh (pad members are trained and discarded)"
                 )
+        self.n_train = n_members + self.n_pad
         if member_mode is None:
             member_mode = os.environ.get(
                 "SUPERNET_ENSEMBLE_MODE",
@@ -136,7 +209,7 @@ class EnsembleTrainer3D:
             self.cfg, self.tc, mesh=mesh, member_mode=member_mode
         )
         self.eval_fn = make_ensemble_eval_step3d(self.cfg, self.tc)
-        self.seeds = np.arange(n_members, dtype=np.int32) + self.tc.seed
+        self.seeds = np.arange(self.n_train, dtype=np.int32) + self.tc.seed
         self.histories: List[Dict[str, List[float]]] = [
             {
                 "train_loss": [],
@@ -152,7 +225,7 @@ class EnsembleTrainer3D:
         from supernet_tpu.models import init_params3d
 
         members = []
-        for k in range(self.n_members):
+        for k in range(self.n_train):
             params = (
                 jax.tree_util.tree_map(np.asarray, self.initial_params)
                 if self.initial_params is not None
@@ -170,7 +243,7 @@ class EnsembleTrainer3D:
                 members = [
                     ckpt.restore_state(d, epoch, s)
                     for d, s in zip(self.member_dirs, members)
-                ]
+                ] + members[self.n_members:]
                 self.start_epoch = epoch + 1
             elif any(e is not None for e in latest):
                 raise FileNotFoundError(
@@ -199,7 +272,7 @@ class EnsembleTrainer3D:
         # so epoch `start` gets the rng's FIRST permutation)
         rngs = [
             np.random.default_rng(self.tc.seed + k)
-            for k in range(self.n_members)
+            for k in range(self.n_train)
         ]
         writers = [
             ckpt.AsyncEpochCheckpointer(d) for d in self.member_dirs
@@ -255,6 +328,9 @@ class EnsembleTrainer3D:
                     members = [
                         ckpt.restore_state(d, last_good, index_tree(host, k))
                         for k, d in enumerate(self.member_dirs)
+                    ] + [
+                        index_tree(host, k)  # pad members roll on as-is
+                        for k in range(self.n_members, self.n_train)
                     ]
                     state = stack_trees(members)
                     continue
@@ -370,14 +446,24 @@ class EnsembleTrainer:
             for k in range(n_members)
         ]
         self.mesh = mesh
+        # When K does not divide the mesh, pad the member axis with extra
+        # throwaway members (seeded seed+K..) so any K trains on the FULL
+        # mesh — the training twin of serving's zero-weight member padding
+        # (`serving.py` EnsembleSession) instead of the round-4 hard refusal.
+        # Pad members train real replicas but get no dirs/histories/
+        # checkpoints; they cannot influence the K real members (the
+        # member axis carries no cross-member reduction anywhere).
+        self.n_pad = 0
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
-            if n_members % n_dev != 0:
-                raise ValueError(
-                    f"{n_members} members do not divide over the {n_dev}-"
-                    "device mesh; use parallel.make_mesh_for_batch("
-                    "n_members) to shrink it"
+            self.n_pad = (-n_members) % n_dev
+            if self.n_pad:
+                print(
+                    f"note: padding the member axis {n_members} -> "
+                    f"{n_members + self.n_pad} so it divides the {n_dev}-"
+                    "device mesh (pad members are trained and discarded)"
                 )
+        self.n_train = n_members + self.n_pad
         self.structures = M.dataset_structures(exp.name)
         # per-structure train curves need a per-step [K, B, H*W] pred fetch
         # + K x host metrics; same trade-off as Trainer.track_curves. Same
@@ -403,7 +489,7 @@ class EnsembleTrainer:
             member_mode=member_mode,
         )
         self.eval_fn = make_ensemble_eval_step(self.cfg, self.tc)
-        self.seeds = np.arange(n_members, dtype=np.int32) + self.tc.seed
+        self.seeds = np.arange(self.n_train, dtype=np.int32) + self.tc.seed
         # one history dict per member, same keys as Trainer.history
         self.histories: List[Dict[str, List[float]]] = [
             {
@@ -420,7 +506,7 @@ class EnsembleTrainer:
 
     def init_state(self) -> TrainState:
         members = []
-        for k in range(self.n_members):
+        for k in range(self.n_train):
             params = init_params(
                 jax.random.PRNGKey(self.tc.seed + k), self.cfg
             )
@@ -431,12 +517,13 @@ class EnsembleTrainer:
             latest = [ckpt.latest_epoch(d) for d in self.member_dirs]
             if all(e is not None for e in latest):
                 # resume from the newest epoch EVERY member has (an async
-                # writer can be one epoch ahead for some members)
+                # writer can be one epoch ahead for some members); pad
+                # members (never checkpointed) restart from their init
                 epoch = min(latest)  # type: ignore[type-var]
                 members = [
                     ckpt.restore_state(d, epoch, s)
                     for d, s in zip(self.member_dirs, members)
-                ]
+                ] + members[self.n_members:]
                 self.start_epoch = epoch + 1
             elif any(e is not None for e in latest):
                 raise FileNotFoundError(
@@ -482,6 +569,9 @@ class EnsembleTrainer:
                     members = [
                         ckpt.restore_state(d, last_good, index_tree(host, k))
                         for k, d in enumerate(self.member_dirs)
+                    ] + [
+                        index_tree(host, k)  # pad members roll on as-is
+                        for k in range(self.n_members, self.n_train)
                     ]
                     state = stack_trees(members)
                     continue
@@ -512,7 +602,7 @@ class EnsembleTrainer:
                 seed=self.tc.seed + k,
                 epoch=epoch,
             )
-            for k in range(self.n_members)
+            for k in range(self.n_train)
         ]
         for group in zip(*iters):
             xs, ys = [], []
@@ -566,8 +656,8 @@ class EnsembleTrainer:
             if step % self.tc.log_every == 0:
                 log(
                     f"epoch {epoch} step {step}: "
-                    f"loss={np.array2string(loss_k, precision=4)} "
-                    f"acc={np.array2string(acc_k, precision=4)}"
+                    f"loss={np.array2string(loss_k[:self.n_members], precision=4)} "
+                    f"acc={np.array2string(acc_k[:self.n_members], precision=4)}"
                 )
             step += 1
             timer.tick()

@@ -580,12 +580,18 @@ def run_noise_sweep(
     ds: PickleDataset,
     images_n: int = 0,
     mesh=None,
+    artifact_max_samples: Optional[int] = None,
 ) -> List[Dict[str, object]]:
     """The module-level sweep (`Hippocampus.py:1578-1601`): clean eval +
-    uncertainty render, then gaussian noise at each level x region."""
+    uncertainty render, then gaussian noise at each level x region.
+
+    ``artifact_max_samples`` bounds the pkl-artifact buffer of EVERY run in
+    the sweep — the sweep is the highest-volume caller of `run_testing`
+    (7 full-set passes at the default 2 levels x 3 regions), so it must be
+    able to reach the streaming cap the single-run path already has."""
     results = [
         run_testing(exp, params, ds, NoiseConfig(), images_n=images_n,
-                    mesh=mesh)
+                    mesh=mesh, artifact_max_samples=artifact_max_samples)
     ]
     for std in exp.noise_levels:
         for region in exp.noise_regions:
@@ -597,6 +603,7 @@ def run_noise_sweep(
                     NoiseConfig(kind="gaussian", std=std, region=region),
                     images_n=images_n,
                     mesh=mesh,
+                    artifact_max_samples=artifact_max_samples,
                 )
             )
     return results

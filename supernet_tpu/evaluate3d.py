@@ -475,13 +475,17 @@ def run_noise_sweep3d(
     images_n: int = 4,
     mesh=None,
     mc_samples: int = 0,
+    artifact_max_samples: Optional[int] = None,
 ) -> List[Dict[str, object]]:
     """Clean eval + gaussian noise at each configured level x region — the
     volumetric analog of the module-level sweep (`Hippocampus.py:1578-1601`).
-    ``mc_samples`` > 0 sweeps the MC ensemble baseline instead."""
+    ``mc_samples`` > 0 sweeps the MC ensemble baseline instead.
+    ``artifact_max_samples`` bounds every run's pkl-artifact buffer so the
+    7-runs-per-sweep protocol keeps host memory O(cap), not O(test set)."""
     results = [
         run_testing3d(exp, params, x, y, NoiseConfig(), images_n=images_n,
-                      mesh=mesh, mc_samples=mc_samples)
+                      mesh=mesh, mc_samples=mc_samples,
+                      artifact_max_samples=artifact_max_samples)
     ]
     for std in exp.noise_levels:
         for region in exp.noise_regions:
@@ -490,6 +494,7 @@ def run_noise_sweep3d(
                     exp, params, x, y,
                     NoiseConfig(kind="gaussian", std=std, region=region),
                     images_n=images_n, mesh=mesh, mc_samples=mc_samples,
+                    artifact_max_samples=artifact_max_samples,
                 )
             )
     return results

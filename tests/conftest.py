@@ -53,6 +53,7 @@ _SLOW_FILES_FAST_KEEPERS = {
         "test_apply_noise_3d_crop_frame_semantics",
         "test_cli_convert_flag_validation",
         "test_saliency3d_parser_has_val_frac",
+        "test_sweep3d_threads_artifact_cap_signature",
     },
 }
 
@@ -112,12 +113,14 @@ _SLOW_TESTS = {
         "test_vmap_matches_sequential_with_augment",
         "test_checkpoint_layout_and_resume",
         "test_member_sharded_mesh",
+        "test_mesh_padding_trains_any_k",
     },
     "test_ensemble_train3d.py": {
         "test_scan_matches_sequential_trainer3d",
         "test_vmap_matches_scan",
         "test_validation_and_artifacts",
         "test_member_sharded_mesh",
+        "test_mesh_padding_trains_any_k",
     },
     "test_serving.py": {
         "test_session_mesh_matches_single_device",

@@ -454,6 +454,31 @@ def test_run_testing_streams_with_artifact_cap(tmp_path):
     assert a == b
 
 
+def test_sweep_threads_artifact_cap(tmp_path):
+    """The noise sweep — the highest-volume caller of run_testing (clean +
+    levels x regions full-set passes) — reaches the same streaming cap the
+    single-run path has (VERDICT r4 #4): every run in the sweep keeps only
+    `artifact_max_samples` rows while its metrics stay exact."""
+    from supernet_tpu.evaluate import run_noise_sweep
+
+    params = init_params(jax.random.PRNGKey(0), EXP.model)
+    ds = _ds(8)
+    exp = EXP.replace(
+        noise_levels=(0.05,), noise_regions=("A",),
+        out_dir=str(tmp_path),
+    )
+    full = run_noise_sweep(exp, params, ds, images_n=0)
+    capped = run_noise_sweep(exp, params, ds, images_n=0,
+                             artifact_max_samples=2)
+    assert len(full) == len(capped) == 2  # clean + 1 level x 1 region
+    for f, c in zip(full, capped):
+        assert f["artifact_samples"] == len(ds)
+        assert c["artifact_samples"] == 2
+        # full-set metrics are unaffected by the artifact cap
+        for k in ("accuracy", "mean_predictive_variance", "dice_anterior"):
+            np.testing.assert_allclose(c[k], f[k], rtol=1e-6, err_msg=k)
+
+
 def test_run_adversarial_streams_with_artifact_cap(tmp_path):
     params = init_params(jax.random.PRNGKey(0), EXP.model)
     ds = _ds(6)

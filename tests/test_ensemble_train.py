@@ -205,11 +205,73 @@ def test_scan_mode_rejected_on_mesh():
                         member_mode="scan")
 
 
-def test_mesh_divisibility_guard():
+def test_mesh_padding_trains_any_k(tmp_path):
+    """K that does not divide the mesh trains via member-axis padding
+    (VERDICT r4 #5: serving got zero-weight padding in round 4, training
+    hard-refused): K=3 on a 2-device mesh pads to 4, trains one round,
+    and the 3 REAL members match the unpadded single-device run."""
     from supernet_tpu.parallel import make_mesh
 
-    with pytest.raises(ValueError, match="divide"):
-        EnsembleTrainer(EXP, 3, _ds(8), None, mesh=make_mesh())
+    mesh = make_mesh(2)
+    ens = EnsembleTrainer(EXP, 3, _ds(8), None,
+                          out_dir=str(tmp_path / "pad"), mesh=mesh,
+                          track_curves=False)
+    assert ens.n_pad == 1 and ens.n_train == 4
+    state = ens.run(epochs=1, log=lambda *_: None)
+    assert len(ens.member_dirs) == 3 and len(ens.histories) == 3
+    for k in range(3):
+        assert ckpt.latest_epoch(os.path.join(
+            str(tmp_path / "pad"), f"member_{k}")) == 0
+    ref = EnsembleTrainer(EXP, 3, _ds(8), None,
+                          out_dir=str(tmp_path / "ref"),
+                          track_curves=False)
+    ref_state = ref.run(epochs=1, log=lambda *_: None)
+    np.testing.assert_allclose(
+        [h["train_loss"][-1] for h in ens.histories],
+        [h["train_loss"][-1] for h in ref.histories],
+        rtol=1e-4,
+    )
+    for k in range(3):
+        r = index_tree(ref_state.params, k)
+        p = index_tree(state.params, k)
+        for layer, lp in r.items():
+            for name, val in lp.items():
+                # same Adam-noise tolerance as test_member_sharded_mesh
+                np.testing.assert_allclose(
+                    np.asarray(p[layer][name]), np.asarray(val),
+                    atol=2e-3, err_msg=f"member {k} {layer}/{name}",
+                )
+
+
+def test_choose_ensemble_mode_crossover():
+    """auto picks the wall-clock winner (VERDICT r4 #5): one-program wins
+    iff (K-1)*compile > K*steps*step_s*(ratio-1); a mesh always vmaps."""
+    from supernet_tpu.ensemble import choose_ensemble_mode
+    from supernet_tpu.parallel import make_mesh
+
+    kw = dict(compile_s=35.0, step_s=0.014, step_ratio=1.15)
+    # boundary for K=4: 3*35 / (4*0.014*0.15) = 12,500 steps/member
+    mode, _ = choose_ensemble_mode(4, 10_000, **kw)
+    assert mode == "scan"
+    mode, _ = choose_ensemble_mode(4, 15_000, **kw)
+    assert mode == "sequential"
+    # exact boundary math: one-program strictly wins just below it
+    mode, _ = choose_ensemble_mode(4, 12_499, **kw)
+    assert mode == "scan"
+    mode, _ = choose_ensemble_mode(4, 12_501, **kw)
+    assert mode == "sequential"
+    # unknown stream length keeps the one-compile mode
+    mode, why = choose_ensemble_mode(4, None, **kw)
+    assert mode == "scan" and "unsized" in why
+    mode, _ = choose_ensemble_mode(4, 10**9, mesh=make_mesh(2), **kw)
+    assert mode == "vmap"
+    # env short-circuit
+    os.environ["SUPERNET_ENSEMBLE_MODE"] = "sequential"
+    try:
+        mode, why = choose_ensemble_mode(4, 1, **kw)
+        assert mode == "sequential" and "SUPERNET_ENSEMBLE_MODE" in why
+    finally:
+        del os.environ["SUPERNET_ENSEMBLE_MODE"]
 
 
 def test_rejects_single_member():

@@ -137,12 +137,23 @@ def test_needs_two_members():
         EnsembleTrainer3D(EXP, 1, X, Y)
 
 
-def test_mesh_divisibility_guard():
+def test_mesh_padding_trains_any_k(tmp_path):
+    """Non-dividing K pads the member axis to the mesh (VERDICT r4 #5);
+    the 3 REAL members' checkpoints/histories are the product."""
+    from supernet_tpu import checkpoint as ckpt
     from supernet_tpu.parallel import make_mesh
 
     import jax
 
     if jax.device_count() < 2:
         pytest.skip("needs a multi-device mesh")
-    with pytest.raises(ValueError, match="divide"):
-        EnsembleTrainer3D(EXP, 3, X, Y, mesh=make_mesh(2))
+    ens = EnsembleTrainer3D(EXP, 3, X, Y, mesh=make_mesh(2),
+                            out_dir=str(tmp_path / "pad"))
+    assert ens.n_pad == 1 and ens.n_train == 4
+    ens.run(epochs=1, log=lambda *_: None)
+    assert len(ens.member_dirs) == 3 and len(ens.histories) == 3
+    for k in range(3):
+        assert ckpt.latest_epoch(os.path.join(
+            str(tmp_path / "pad"), f"member_{k}")) == 0
+    assert not os.path.exists(os.path.join(str(tmp_path / "pad"),
+                                           "member_3"))

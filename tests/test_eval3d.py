@@ -581,3 +581,25 @@ def test_run_testing3d_streams_with_artifact_cap(tmp_path, params):
     with open(tmp_path / "capped" / "Predictive_variance_tasks.txt") as f:
         b = f.read()
     assert a == b
+
+
+def test_sweep3d_threads_artifact_cap_signature():
+    """run_noise_sweep3d and the eval3d --sweep CLI path accept and forward
+    artifact_max_samples (VERDICT r4 #4) — fast signature pin; the cap's
+    behavior itself is covered by the run_testing3d cap test above."""
+    import inspect
+
+    from supernet_tpu.cli import build_parser
+    from supernet_tpu.evaluate3d import run_noise_sweep3d
+
+    assert "artifact_max_samples" in inspect.signature(
+        run_noise_sweep3d
+    ).parameters
+    args = build_parser().parse_args(
+        ["sweep", "--artifact-max-samples", "3"]
+    )
+    assert args.artifact_max_samples == 3
+    args3 = build_parser().parse_args(
+        ["eval3d", "--sweep", "--artifact-max-samples", "3"]
+    )
+    assert args3.artifact_max_samples == 3
