@@ -101,3 +101,45 @@ def test_full_capture_overwrites_everything(bench):
 def test_stale_prior_is_ignored(bench):
     _write_last_good(bench, dict(FULL, stale=True))
     assert bench._merge_last_good(dict(THIN)) == THIN
+
+
+def test_readme_perf_table_current():
+    """The README headline table is RENDERED from bench_last_good.json
+    (tools/perf_tables.py), never hand-copied — this fails when a new
+    capture lands without regenerating (VERDICT r4 weak #6: '23 vols/s'
+    prose vs measured 32.1)."""
+    import importlib.util
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "perf_tables.py"),
+         "--check"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_perf_table_renders_all_families(tmp_path):
+    """The rendered block carries every model family's parity + best
+    numbers from the capture."""
+    import importlib.util
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "perf_tables", os.path.join(root, "tools", "perf_tables.py")
+    )
+    pt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pt)
+    with open(os.path.join(root, "bench_last_good.json")) as f:
+        bench = json.load(f)
+    table = pt.render_table(bench)
+    for needle in (
+        f"{bench['value']:,.0f} @ {bench['batch']}",
+        f"{bench['best']['images_per_sec']:,.0f}",
+        f"{bench['brats']['images_per_sec']:,.0f}",
+        f"{bench['unet3d']['vols_per_sec']:,.1f}",
+        f"{bench['vs_baseline']:.1f}",
+    ):
+        assert needle in table, needle
