@@ -367,6 +367,7 @@ def apply_env_overrides() -> None:
     SUPERNET_CHANSUM=reduce|dot               (channel-sum lowering)
     SUPERNET_ACT_DTYPE=float32|bfloat16       (inter-layer activation dtype)
     SUPERNET_POOL=auto|xla|pallas             (max-pool implementation)
+    SUPERNET_CONV3D=conv|im2col               (3-D moment-conv lowering)
 
     Called by the CLI entry point and bench.py so one process-level switch
     controls every jitted function built afterwards.
@@ -403,6 +404,12 @@ def apply_env_overrides() -> None:
     v = os.environ.get("SUPERNET_CHANSUM")
     if v:
         set_chansum(v)
+    v = os.environ.get("SUPERNET_CONV3D")
+    if v:
+        # late import: moments3d imports this module at load time
+        from supernet_tpu.ops import moments3d
+
+        moments3d.set_conv3d_impl(v)
 
 
 def _act(x: Array) -> Array:

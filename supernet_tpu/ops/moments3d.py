@@ -50,6 +50,57 @@ MomentPair = Tuple[Array, Array]
 
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
+# --------------------------------------------------------------------------
+# 3-D conv lowering knob (VERDICT r4 #2): the round-4 exact-join trace
+# showed the 3-D step is 66% MXU convs running at ~15% of MXU peak — with
+# C_in=32 the conv's contraction occupies a quarter of the 128-lane
+# systolic array at best. "im2col" re-lowers the k>1 moment convs as
+# patch-concat + dot_general with the FULL k^3*C_in (= 864 at k=3,
+# C_in=32) contraction — a pure-XLA test of the occupancy hypothesis, no
+# Pallas, no custom-vjp seam. Costs a k^3-times patch materialization per
+# conv input, so it pays only if the occupancy win beats the extra HBM
+# traffic: measured A/B decides the default (docs/PERFORMANCE.md).
+# --------------------------------------------------------------------------
+_CONV3D_IMPL = "conv"
+
+
+def set_conv3d_impl(mode: str) -> None:
+    if mode not in ("conv", "im2col"):
+        raise ValueError(f"unknown conv3d impl {mode!r}")
+    global _CONV3D_IMPL
+    _CONV3D_IMPL = mode
+
+
+def get_conv3d_impl() -> str:
+    return _CONV3D_IMPL
+
+
+def _im2col3d(x: Array, k: int, stride: int = 1) -> Array:
+    """The k^3 VALID-window taps concatenated on channels:
+    [B, D, H, W, C] -> [B, D', H', W', k^3*C], tap-major (dz, dy, dx)
+    order, C minor — exactly ``w.reshape(k^3*C_in, C_out)``'s row order,
+    so ``patches @ w.reshape(-1, C_out)`` equals the VALID conv."""
+    b, d, h, w, c = x.shape
+    taps = [
+        x[:, dz:d - (k - 1) + dz:stride,
+          dy:h - (k - 1) + dy:stride,
+          dx:w - (k - 1) + dx:stride, :]
+        for dz in range(k) for dy in range(k) for dx in range(k)
+    ]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def _im2col_dot(patches: Array, w_flat: Array) -> Array:
+    """[B, D', H', W', k^3*Cin] @ [k^3*Cin, Cout] on the MXU with the full
+    packed contraction."""
+    return jnp.einsum(
+        "bdhwp,po->bdhwo",
+        patches,
+        w_flat.astype(patches.dtype),
+        precision=get_mxu_precision(),
+        preferred_element_type=patches.dtype,
+    )
+
 
 def _conv3d_valid(x: Array, w: Array, stride: int = 1) -> Array:
     # output dtype matches the input: conv's transpose rule rejects mixed
@@ -112,7 +163,12 @@ def vconv3d_input(
         )
         t = jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
         return _act(mu_out), scale_sw(_act(t), s_w)
-    mu_out = _conv3d_valid(x, w_mu, stride)
+    if get_conv3d_impl() == "im2col":
+        mu_out = _im2col_dot(
+            _im2col3d(x, k, stride), w_mu.reshape(-1, w_mu.shape[-1])
+        )
+    else:
+        mu_out = _conv3d_valid(x, w_mu, stride)
     ws = _window_sum3d(jnp.square(x), k, stride)
     return _act(mu_out), scale_sw(ws, s_w)
 
@@ -149,6 +205,17 @@ def vconv3d(
             preferred_element_type=sigma_a.dtype,
         )
         return _act(mu_out), _act(sigma_out)
+    if get_conv3d_impl() == "im2col":
+        # both moment products ride the packed-contraction dot; the
+        # window-sum term stays on the shift lowering (separable adds)
+        w_flat = w_mu.reshape(-1, w_mu.shape[-1])
+        mu_out = _im2col_dot(_im2col3d(_act(mu), k, stride), w_flat)
+        sigma2 = _im2col_dot(
+            _im2col3d(_act(sigma), k, stride),
+            jnp.square(w_flat.astype(jnp.float32)),
+        )
+        ws = _window_sum3d(jnp.square(mu) + sigma, k, stride)
+        return _act(mu_out), _act(scale_sw(ws, s_w) + sigma2)
     mu_out = _conv3d_valid(_act(mu), w_mu, stride)
     ws = _window_sum3d(jnp.square(mu) + sigma, k, stride)
     sigma_out = scale_sw(ws, s_w) + _conv3d_valid(
