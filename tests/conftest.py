@@ -97,7 +97,10 @@ _SLOW_TESTS = {
         "test_hybrid_train_step3d_matches_unsharded",
         "test_trainer3d_hybrid_shard_runs",
     },
-    "test_multihost.py": {"test_train_step_on_process_local_arrays"},
+    "test_multihost.py": {
+        "test_train_step_on_process_local_arrays",
+        "test_two_process_bringup_and_step",
+    },
     "test_multistep.py": {
         "test_accum_matches_big_batch",
         "test_multi_step3d_matches_sequential",
