@@ -267,6 +267,22 @@ def build_parser() -> argparse.ArgumentParser:
                          "variance report still cover ALL samples; "
                          "default: keep all)")
 
+    st = sub.add_parser(
+        "study",
+        help="training-to-convergence study: train at reference scale, "
+             "then the FULL eval surface on the trained weights (clean "
+             "eval, noise sweep, adversarial attack, calibration) - one "
+             "command, one artifact tree, study.json summary",
+    )
+    _add_common(st)
+    st.add_argument("--epochs", type=int, default=None)
+    st.add_argument("--continue-training", action="store_true")
+    st.add_argument("--skip-train", action="store_true",
+                    help="reuse <out-dir>/train checkpoints; run only the "
+                         "eval surface")
+    st.add_argument("--images-n", type=int, default=10)
+    st.add_argument("--artifact-max-samples", type=int, default=None)
+
     s = sub.add_parser("sweep", help="noise-robustness sweep (levels x regions)")
     _add_common(s)
     s.add_argument("--images-n", type=int, default=10)
@@ -640,6 +656,96 @@ def _load_params(exp, args, src=_UNSET):
     return ckpt.restore_state(root, epoch, state).params
 
 
+def _run_study(exp, args) -> int:
+    """The training-to-convergence study (VERDICT r4 #3), one command:
+    reference-scale training (epochs/batch/lr from the config, e.g. 120
+    epochs for Hippocampus, `Hippocampus.py:426`) followed by the complete
+    eval surface on the trained weights — clean eval + uncertainty
+    artifacts, the module-level noise sweep, the adversarial protocol, and
+    the calibration report. Every stage is the REAL subcommand invoked
+    through `main()` (so the study exercises exactly what users run), its
+    JSON line captured into <out-dir>/study.json."""
+    import contextlib
+    import io
+    import os
+    import time
+
+    out = args.out_dir or f"{exp.out_dir}/{exp.name}/study"
+    train_dir = os.path.join(out, "train")
+    common = ["--config", args.config]
+    if args.synthetic:
+        common += ["--synthetic", str(args.synthetic)]
+    if args.data:
+        common += ["--data", args.data]
+    if args.batch_size:
+        common += ["--batch-size", str(args.batch_size)]
+    if args.data_parallel:
+        common += ["--data-parallel"]
+
+    summary = {"out_dir": out, "stages": {}}
+
+    def run_stage(name, argv):
+        print(f"[study] {name}: supernet_tpu {' '.join(argv)}",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(argv)
+        text = buf.getvalue()
+        sys.stdout.write(text)  # stage output stays visible
+        if rc:
+            raise SystemExit(f"study stage {name!r} failed (rc={rc})")
+        lines = [ln for ln in text.splitlines() if ln.startswith("{")]
+        summary["stages"][name] = {
+            "seconds": round(time.perf_counter() - t0, 2),
+            "results": [json.loads(ln) for ln in lines],
+        }
+
+    if not args.skip_train:
+        targs = ["train", *common, "--out-dir", train_dir]
+        if args.epochs is not None:
+            targs += ["--epochs", str(args.epochs)]
+        if args.continue_training:
+            targs += ["--continue-training"]
+        run_stage("train", targs)
+    ckpt = ["--checkpoint", train_dir]
+    cap = ([] if args.artifact_max_samples is None
+           else ["--artifact-max-samples", str(args.artifact_max_samples)])
+    n = ["--images-n", str(args.images_n)]
+    run_stage("eval", ["eval", *common, *ckpt, *n, *cap,
+                       "--out-dir", os.path.join(out, "eval")])
+    run_stage("sweep", ["sweep", *common, *ckpt, *n, *cap,
+                        "--out-dir", os.path.join(out, "sweep")])
+    run_stage("attack", ["attack", *common, *ckpt, *n, *cap,
+                         "--out-dir", os.path.join(out, "attack")])
+    run_stage("calibrate", ["calibrate", *common, *ckpt,
+                            "--out-dir", os.path.join(out, "calibration")])
+
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "study.json")
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1)
+    # headline line: final val dice / clean dice / ECE / AUSE / wall time
+    head = {"study": path}
+    ev = summary["stages"].get("eval", {}).get("results", [])
+    if ev:
+        for k in ("accuracy", "dice_anterior", "dice_posterior",
+                  "dice_tumor", "dice_core", "dice_enhancing",
+                  "mean_predictive_variance"):
+            if k in ev[0]:
+                head[k] = ev[0][k]
+    cal = summary["stages"].get("calibrate", {}).get("results", [])
+    if cal:
+        for k in ("ece", "ause", "corr_pearson", "corr_spearman"):
+            if k in cal[0]:
+                head[k] = cal[0][k]
+    head["total_seconds"] = round(
+        sum(s["seconds"] for s in summary["stages"].values()), 2
+    )
+    print(json.dumps(head))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -656,6 +762,9 @@ def main(argv=None) -> int:
         return 0
 
     exp = _get_exp(args)
+
+    if args.cmd == "study":
+        return _run_study(exp, args)
 
     if args.cmd == "convert":
         if args.to_cubes and not args.from_nifti:

@@ -48,6 +48,7 @@ _SLOW_FILES_FAST_KEEPERS = {
     "test_e2e.py": {
         "test_train_smoke",                 # the one fast end-to-end train
         "test_cli_ensemble_checkpoint_guards",
+        "test_study_parser_flags",
     },
     "test_eval3d.py": {
         "test_apply_noise_3d_crop_frame_semantics",

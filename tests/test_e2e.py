@@ -495,3 +495,65 @@ def test_run_adversarial_streams_with_artifact_cap(tmp_path):
         rtol=1e-6,
     )
     np.testing.assert_allclose(capped["accuracy"], full["accuracy"], rtol=1e-6)
+
+
+def test_study_parser_flags():
+    """Fast pin of the study subcommand surface (the one-command
+    convergence study, VERDICT r4 #3)."""
+    from supernet_tpu.cli import build_parser
+
+    a = build_parser().parse_args(
+        ["study", "--config", "hippocampus", "--synthetic", "16",
+         "--epochs", "2", "--skip-train", "--artifact-max-samples", "2"]
+    )
+    assert a.cmd == "study" and a.skip_train and a.epochs == 2
+    assert a.artifact_max_samples == 2
+
+
+def test_study_end_to_end(tmp_path):
+    """`cli study` chains train -> eval -> sweep -> attack -> calibrate
+    through the REAL subcommand paths and writes a parseable study.json
+    + headline JSON with dice/ECE/AUSE."""
+    import contextlib
+    import io
+
+    from supernet_tpu import cli
+
+    out = str(tmp_path / "study")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "study", "--config", "hippocampus", "--synthetic", "6",
+            "--batch-size", "3", "--epochs", "1", "--images-n", "1",
+            "--artifact-max-samples", "2", "--out-dir", out,
+        ])
+    assert rc == 0
+    head = json.loads(buf.getvalue().strip().splitlines()[-1])
+    for k in ("accuracy", "dice_anterior", "ece", "ause",
+              "total_seconds"):
+        assert k in head, k
+    with open(os.path.join(out, "study.json")) as f:
+        summary = json.load(f)
+    assert set(summary["stages"]) == {
+        "train", "eval", "sweep", "attack", "calibrate"
+    }
+    # every stage captured at least one parseable result line
+    for name, st in summary["stages"].items():
+        assert st["results"], name
+    # the sweep ran clean + levels x regions through the real subcommand
+    assert len(summary["stages"]["sweep"]["results"]) == 7
+    # artifact cap threaded everywhere
+    assert summary["stages"]["eval"]["results"][0]["artifact_samples"] == 2
+    # skip-train mode reuses the checkpoints
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = cli.main([
+            "study", "--config", "hippocampus", "--synthetic", "6",
+            "--batch-size", "3", "--images-n", "1", "--skip-train",
+            "--artifact-max-samples", "2", "--out-dir", out,
+        ])
+    assert rc == 0
+    with open(os.path.join(out, "study.json")) as f:
+        summary2 = json.load(f)
+    assert "train" not in summary2["stages"]
+    assert len(summary2["stages"]) == 4
