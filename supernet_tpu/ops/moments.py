@@ -367,6 +367,7 @@ def apply_env_overrides() -> None:
     SUPERNET_CHANSUM=reduce|dot               (channel-sum lowering)
     SUPERNET_ACT_DTYPE=float32|bfloat16       (inter-layer activation dtype)
     SUPERNET_POOL=auto|xla|pallas             (max-pool implementation)
+    SUPERNET_CONV2D=conv|im2col               (2-D moment-conv lowering)
     SUPERNET_CONV3D=conv|im2col               (3-D moment-conv lowering)
 
     Called by the CLI entry point and bench.py so one process-level switch
@@ -404,6 +405,9 @@ def apply_env_overrides() -> None:
     v = os.environ.get("SUPERNET_CHANSUM")
     if v:
         set_chansum(v)
+    v = os.environ.get("SUPERNET_CONV2D")
+    if v:
+        set_conv2d_impl(v)
     v = os.environ.get("SUPERNET_CONV3D")
     if v:
         # late import: moments3d imports this module at load time
@@ -435,6 +439,50 @@ def _conv_valid(x: Array, w: Array, stride: int = 1) -> Array:
         dimension_numbers=_DIMSPEC,
         precision=_MXU_PRECISION,
         preferred_element_type=x.dtype,
+    )
+
+
+# -- 2-D conv lowering A/B (SUPERNET_CONV2D=conv|im2col) --------------------
+# The 2-D twin of moments3d's contraction-packing knob: "im2col" lowers
+# the k>1 moment convs as k^2 shifted-slice patch concat + dot_general
+# with the packed k^2*C_in contraction (288 at k=3, C_in=32). Exists so
+# the exact-join profile's occupancy hypothesis is A/B-testable in pure
+# XLA on the 2-D families too; the measured default stays "conv" unless
+# the TPU A/B says otherwise (docs/PERFORMANCE.md).
+_CONV2D_IMPL: str = "conv"
+
+
+def set_conv2d_impl(mode: str) -> None:
+    if mode not in ("conv", "im2col"):
+        raise ValueError(f"unknown conv2d impl {mode!r}")
+    global _CONV2D_IMPL
+    _CONV2D_IMPL = mode
+
+
+def get_conv2d_impl() -> str:
+    return _CONV2D_IMPL
+
+
+def _im2col2d(x: Array, k: int, stride: int = 1) -> Array:
+    """The k^2 VALID-window taps concatenated on channels:
+    [B, H, W, C] -> [B, H', W', k^2*C], tap-major (dy, dx) order, C minor
+    — ``w.reshape(k^2*C_in, C_out)``'s row order, so ``patches @ w_flat``
+    equals the VALID conv."""
+    b, h, w, c = x.shape
+    taps = [
+        x[:, dy:h - (k - 1) + dy:stride, dx:w - (k - 1) + dx:stride, :]
+        for dy in range(k) for dx in range(k)
+    ]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def _im2col2d_dot(patches: Array, w_flat: Array) -> Array:
+    return jnp.einsum(
+        "bhwp,po->bhwo",
+        patches,
+        w_flat.astype(patches.dtype),
+        precision=_MXU_PRECISION,
+        preferred_element_type=patches.dtype,
     )
 
 
@@ -563,6 +611,12 @@ def vconv_input(
         kern = kern.at[:, :, cin, cout].set(1.0)
         out = _conv_valid(z, kern, stride)
         return _act(out[..., :cout]), _act(out[..., cout:] * s_w)
+    if _CONV2D_IMPL == "im2col":
+        mu_out = _im2col2d_dot(
+            _im2col2d(x, k, stride), w_mu.reshape(-1, w_mu.shape[-1])
+        )
+        ws = _act(_window_sum(jnp.square(x), k, stride))
+        return _act(mu_out), scale_sw(ws, s_w)
     mu_out = _conv_valid(x, w_mu, stride)
     if _SIGMA_BWD == "pallas" and stride == 1:
         from supernet_tpu.ops.pallas.sigma_bwd import winsum_scale
@@ -644,6 +698,17 @@ def vconv(
         mu_out = out[..., :cout]
         sigma_out = out[..., cout : 2 * cout] + out[..., 2 * cout :] * s_w
         return _act(mu_out), _act(sigma_out)
+    if _CONV2D_IMPL == "im2col":
+        # both moment products on the packed-contraction dot; winsum stays
+        # on its own (shift) lowering — mirrors moments3d's im2col branch
+        w_flat = w_mu.reshape(-1, cout)
+        mu_out = _im2col2d_dot(_im2col2d(mu, k, stride), w_flat)
+        sigma2 = _im2col2d_dot(
+            _im2col2d(sigma, k, stride),
+            jnp.square(w_flat.astype(jnp.float32)),
+        )
+        ws = _act(_window_sum(jnp.square(mu) + sigma, k, stride))
+        return _act(mu_out), _act(scale_sw(ws, s_w) + sigma2)
     mu_out = _conv_valid(mu, w_mu, stride)
     if _CONV_FOLD == "sigma":
         # fold the winsum into the sigma conv: input [sigma ‖ sum(mu^2+sigma)],

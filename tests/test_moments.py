@@ -591,3 +591,45 @@ def test_forward_sampled_geometry_matches_forward():
         assert det.shape == vdp[0].shape == (
             2, cfg.out_size * cfg.out_size, cfg.n_classes
         )
+
+
+def test_vconv_im2col_matches_conv_form():
+    """SUPERNET_CONV2D=im2col (packed k^2*C_in contraction dot) == the
+    conv lowering, forward AND gradients — the 2-D twin of the 3-D
+    contraction-packing A/B knob."""
+    from supernet_tpu.ops import moments as m
+
+    rng = np.random.default_rng(3)
+    cin, cout, hw = 3, 4, 10
+    x = rng.normal(0, 1, (2, hw, hw, cin)).astype(np.float32)
+    sigma = np.abs(rng.normal(0, 1, (2, hw, hw, cin))).astype(np.float32)
+    w_sigma = rng.uniform(-5, -2, cout).astype(np.float32)
+    for k in (2, 3):
+        w_mu = (rng.normal(0, 1, (k, k, cin, cout)) * 0.3).astype(
+            np.float32
+        )
+        args = (jnp.asarray(x), jnp.asarray(sigma),
+                jnp.asarray(w_mu), jnp.asarray(w_sigma))
+
+        def loss(mu, sg, wm, ws):
+            a, b = m.vconv(mu, sg, wm, ws)
+            return jnp.sum(a * 0.3) + jnp.sum(b * 0.7)
+
+        try:
+            m.set_conv2d_impl("im2col")
+            mu_i, sg_i = m.vconv(*args)
+            gi = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+            in_i = m.vconv_input(args[0], args[2], args[3])
+        finally:
+            m.set_conv2d_impl("conv")
+        mu_c, sg_c = m.vconv(*args)
+        gc = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+        in_c = m.vconv_input(args[0], args[2], args[3])
+        np.testing.assert_allclose(mu_i, mu_c, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(sg_i, sg_c, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(in_i[0], in_c[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(in_i[1], in_c[1], rtol=1e-5, atol=1e-5)
+        for a, b in zip(gi, gc):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="conv2d impl"):
+        m.set_conv2d_impl("magic")
