@@ -37,9 +37,12 @@ import numpy as np  # noqa: E402
 # HLO text -> instruction classification
 # --------------------------------------------------------------------------
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(?:\([^)]*\)|\S+)\s+([\w\-]+)\("
-)
+# name = everything before " = "; the opcode is the first bare
+# lowercase word followed by "(" after the result type.  (A naive
+# "type opcode(" regex fails on tuple-typed instructions — copy-start,
+# while — whose types contain nested parens from tile specs T(8,128).)
+_NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
+_OPCODE_RE = re.compile(r"(?:^|[\s)])([a-z][a-z0-9\-]*)\(")
 _CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
 _METADATA_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]*)"')
 _COMP_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(")
@@ -68,10 +71,16 @@ def parse_hlo(text: str):
             continue
         if cur is None:
             continue
-        m = _INSTR_RE.match(line)
+        if " = " not in line:
+            continue
+        m = _NAME_RE.match(line)
         if not m:
             continue
-        instr, opcode = m.group(1), m.group(2)
+        instr, rest = m.group(1), m.group(2)
+        om = _OPCODE_RE.search(rest)
+        if not om:
+            continue
+        opcode = om.group(1)
         meta = _METADATA_RE.search(line)
         calls = _CALLS_RE.search(line) if opcode == "fusion" else None
         cur.append(
@@ -122,8 +131,14 @@ def classify(opcode: str, meta: str, inner) -> str:
         return "collective"
     if "reduce" in ops:
         return "reduce (VPU)"
-    if opcode in ("copy", "transpose", "bitcast", "reshape", "copy-start",
-                  "copy-done"):
+    if opcode in ("copy-start", "copy-done", "slice-start", "slice-done",
+                  "dynamic-slice-start", "dynamic-slice-done",
+                  "dynamic-update-slice-start", "dynamic-update-slice-done"):
+        # memory-space-assignment async HBM<->VMEM prefetch/writeback;
+        # overlaps compute, so its ms/step is DMA occupancy, not critical
+        # path
+        return "async copy (DMA)"
+    if opcode in ("copy", "transpose", "bitcast", "reshape"):
         return "layout/copy"
     if opcode in ("while", "conditional", "call"):
         return "control"
@@ -217,17 +232,26 @@ def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
     from supernet_tpu.profiling import trace
 
     step, state, x, y, k_steps = build_step(model, batch)
-    # warmup/compile
-    state, metrics = step(state, x, y)
-    float(np.min(np.asarray(metrics.loss)))
-    # the SAME executable's HLO (persistent cache makes this ~ms)
-    hlo = step.lower(state, x, y).compile().as_text()
+    # Execute the SAME object whose HLO we join against: calling
+    # ``step(...)`` and separately ``step.lower(...).compile()`` yields two
+    # executables whose instruction NUMBERING differs (donation flags,
+    # measured: 100% of events unmatched on hippocampus@20) — so lower
+    # once, take the text, and run the compiled object itself.
+    compiled = step.lower(state, x, y).compile()
+    hlo = compiled.as_text()
     table = parse_hlo(hlo)
+    # warmup (first call of this executable)
+    state, metrics = compiled(state, x, y)
+    float(np.min(np.asarray(metrics.loss)))
 
+    import time
+
+    t0 = time.perf_counter()
     with trace(trace_dir):
         for _ in range(n_iters):
-            state, metrics = step(state, x, y)
+            state, metrics = compiled(state, x, y)
         float(np.min(np.asarray(metrics.loss)))
+    wall_ms_step = (time.perf_counter() - t0) * 1e3 / (n_iters * k_steps)
 
     from xplane import op_buckets, parse_xspace  # tools/xplane.py
     import collections
@@ -241,14 +265,26 @@ def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
     space = parse_xspace(pbs[-1])
     agg = collections.defaultdict(lambda: [0, 0])
     unmatched = collections.defaultdict(lambda: [0, 0])
+    device_steps_ms = None
     for pname, lines in space.items():
         if "TPU" not in pname and "/device" not in pname.lower():
             continue
         for lname, evs in lines.items():
-            if "XLA Ops" not in lname:
+            if lname == "Steps" and evs:
+                device_steps_ms = (
+                    sum(e.duration_ps for e in evs) / 1e9 / (len(evs) * k_steps)
+                )
+            # EXACT match: "XLA Ops" as a substring also matches the
+            # "Async XLA Ops" line, whose events span start->done of async
+            # copies and double-count DMA occupancy (measured: 2,283 ms vs
+            # 1,107 ms of sync-line time on hippocampus@20).
+            if lname != "XLA Ops":
                 continue
             for ev in evs:
-                name = ev.name.lstrip("%")
+                # device trace names can be the full HLO line
+                # ("%fusion.3 = bf16[...] fusion(...)"); the instruction
+                # name is the token before " = "
+                name = ev.name.split(" = ")[0].strip().lstrip("%")
                 hit = table.get(name)
                 if hit is None:
                     unmatched[name.split(".")[0]][0] += ev.duration_ps
@@ -257,12 +293,19 @@ def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
                 cls = classify(*hit)
                 agg[cls][0] += ev.duration_ps
                 agg[cls][1] += 1
+    # "control" (while/call wrappers) spans its own body — counting it
+    # would double every op inside the scan loop; report it separately.
+    control_ps = agg.pop("control", [0, 0])[0]
     total = sum(ps for ps, _ in agg.values()) + sum(
         ps for ps, _ in unmatched.values()
     )
     steps = n_iters * k_steps
     print(f"\n== {model} batch {batch} (K={k_steps} scan, {n_iters} "
           f"dispatches = {steps} steps) ==")
+    dev = (f"{device_steps_ms:.3f}" if device_steps_ms is not None else "?")
+    print(f"device step (Steps line): {dev} ms/step | wall (incl. trace "
+          f"setup): {wall_ms_step:.3f} | control-op span "
+          f"{control_ps / 1e9 / steps:.3f}")
     print(f"{'class':28} {'ms/step':>9} {'events':>8} {'%':>6}")
     rows = []
     for name, (ps, n) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
@@ -282,7 +325,11 @@ def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
     print(f"{'TOTAL':28} {total / 1e9 / steps:9.3f}")
     out = {
         "model": model, "batch": batch, "k_steps": k_steps,
-        "n_iters": n_iters, "classes": rows,
+        "n_iters": n_iters, "wall_ms_per_step": round(wall_ms_step, 4),
+        "device_steps_ms_per_step": (
+            round(device_steps_ms, 4) if device_steps_ms is not None else None),
+        "control_ms_per_step": round(control_ps / 1e9 / steps, 4),
+        "classes": rows,
         "unmatched_ms_per_step": round(un_ps / 1e9 / steps, 4),
         "total_ms_per_step": round(total / 1e9 / steps, 4),
     }

@@ -155,7 +155,13 @@ def op_buckets(trace_dir: str, line_filter: str = "XLA Ops"):
         if "TPU" not in pname and "/device" not in pname.lower():
             continue
         for lname, evs in lines.items():
-            if line_filter not in lname:
+            # Exact match when filtering for "XLA Ops": substring matching
+            # also catches the "Async XLA Ops" line, whose events span
+            # start->done of async copies and double-count DMA time.
+            if line_filter == "XLA Ops":
+                if lname != "XLA Ops":
+                    continue
+            elif line_filter not in lname:
                 continue
             for ev in evs:
                 b = agg[_bucket(ev)]
