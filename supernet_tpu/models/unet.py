@@ -177,13 +177,18 @@ def forward(
 
     def conv(name: str, m: Array, s: Array) -> Tuple[Array, Array]:
         p = params[name]
-        m, s = vconv(m, s, p["w_mu"], p["w_sigma"])
+        # named_scope puts the layer name into the HLO metadata op_name —
+        # trace-time only, no runtime effect; tools/exact_join.py
+        # --by-layer keys per-layer attribution on it
+        with jax.named_scope(name):
+            m, s = vconv(m, s, p["w_mu"], p["w_sigma"])
         _tap(name, m)
         return m, s
 
     def conv_relu(name: str, m: Array, s: Array) -> Tuple[Array, Array]:
         p = params[name]
-        m, s = vconv_relu(m, s, p["w_mu"], p["w_sigma"])
+        with jax.named_scope(name):
+            m, s = vconv_relu(m, s, p["w_mu"], p["w_sigma"])
         _tap(name, m)
         return m, s
 
@@ -198,10 +203,11 @@ def forward(
         if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
             if glue_fold:
                 p = params[f"conv{2 * i}"]
-                m, s = vglue_conv_relu(
-                    m, s, p["w_mu"], p["w_sigma"],
-                    cfg.bottleneck_pre_pad, fill,
-                )
+                with jax.named_scope(f"conv{2 * i}"):
+                    m, s = vglue_conv_relu(
+                        m, s, p["w_mu"], p["w_sigma"],
+                        cfg.bottleneck_pre_pad, fill,
+                    )
                 _tap(f"conv{2 * i}", m)
                 return conv_relu(f"conv{2 * i + 1}", m, s)
             m, s = vpad(m, s, cfg.bottleneck_pre_pad, fill)
@@ -216,17 +222,20 @@ def forward(
         # input per conv window — four 1x1 convs, 4x fewer FLOPs (see
         # ops.moments.vunpool_conv2)
         p = params[f"up{j}_conv2x2"]
-        m, s = vunpool_conv2(m, s, p["w_mu"], p["w_sigma"])
+        with jax.named_scope(f"up{j}_conv2x2"):
+            m, s = vunpool_conv2(m, s, p["w_mu"], p["w_sigma"])
         _tap(f"up{j}_conv2x2", m)
         if glue_fold:
             p1, p2 = params[f"up{j}_conv1"], params[f"up{j}_conv2"]
-            m, s = vglue_conv_relu(
-                m, s, p1["w_mu"], p1["w_sigma"], (3, 3), fill, m_e, s_e
-            )
+            with jax.named_scope(f"up{j}_conv1"):
+                m, s = vglue_conv_relu(
+                    m, s, p1["w_mu"], p1["w_sigma"], (3, 3), fill, m_e, s_e
+                )
             _tap(f"up{j}_conv1", m)
-            m, s = vglue_conv_relu(
-                m, s, p2["w_mu"], p2["w_sigma"], (2, 2), fill
-            )
+            with jax.named_scope(f"up{j}_conv2"):
+                m, s = vglue_conv_relu(
+                    m, s, p2["w_mu"], p2["w_sigma"], (2, 2), fill
+                )
             _tap(f"up{j}_conv2", m)
             return m, s
         m, s = vpad(m, s, (3, 3), fill)
@@ -240,7 +249,8 @@ def forward(
 
     skips: List[Tuple[Array, Array]] = []
     p = params["conv_input"]
-    m, s = vconv_input_relu(x, p["w_mu"], p["w_sigma"])
+    with jax.named_scope("conv_input"):
+        m, s = vconv_input_relu(x, p["w_mu"], p["w_sigma"])
     _tap("conv_input", m)
     m, s = conv_relu("conv1", m, s)
     m, s = constrain(m, s)

@@ -126,7 +126,10 @@ def forward3d(
 
     def conv_relu(name: str, m: Array, s: Array) -> Tuple[Array, Array]:
         p = params[name]
-        m, s = vconv3d_relu(m, s, p["w_mu"], p["w_sigma"])
+        # named_scope -> HLO metadata op_name; trace-time only, used by
+        # tools/exact_join.py --by-layer for per-layer attribution
+        with jax.named_scope(name):
+            m, s = vconv3d_relu(m, s, p["w_mu"], p["w_sigma"])
         _tap(name, m)
         return m, s
 
@@ -137,10 +140,11 @@ def forward3d(
         if i == depth - 1 and cfg.bottleneck_pre_pad is not None:
             if glue_fold:
                 p = params[f"conv{2 * i}"]
-                m, s = vglue_conv3d_relu(
-                    m, s, p["w_mu"], p["w_sigma"],
-                    cfg.bottleneck_pre_pad, fill,
-                )
+                with jax.named_scope(f"conv{2 * i}"):
+                    m, s = vglue_conv3d_relu(
+                        m, s, p["w_mu"], p["w_sigma"],
+                        cfg.bottleneck_pre_pad, fill,
+                    )
                 _tap(f"conv{2 * i}", m)
                 return conv_relu(f"conv{2 * i + 1}", m, s)
             m, s = vpad3d(m, s, cfg.bottleneck_pre_pad, fill)
@@ -152,17 +156,20 @@ def forward3d(
         j: int, m: Array, s: Array, m_e: Array, s_e: Array
     ) -> Tuple[Array, Array]:
         p = params[f"up{j}_conv2x2"]
-        m, s = vunpool3d_conv2(m, s, p["w_mu"], p["w_sigma"])
+        with jax.named_scope(f"up{j}_conv2x2"):
+            m, s = vunpool3d_conv2(m, s, p["w_mu"], p["w_sigma"])
         _tap(f"up{j}_conv2x2", m)
         if glue_fold:
             p1, p2 = params[f"up{j}_conv1"], params[f"up{j}_conv2"]
-            m, s = vglue_conv3d_relu(
-                m, s, p1["w_mu"], p1["w_sigma"], (3, 3), fill, m_e, s_e
-            )
+            with jax.named_scope(f"up{j}_conv1"):
+                m, s = vglue_conv3d_relu(
+                    m, s, p1["w_mu"], p1["w_sigma"], (3, 3), fill, m_e, s_e
+                )
             _tap(f"up{j}_conv1", m)
-            m, s = vglue_conv3d_relu(
-                m, s, p2["w_mu"], p2["w_sigma"], (2, 2), fill
-            )
+            with jax.named_scope(f"up{j}_conv2"):
+                m, s = vglue_conv3d_relu(
+                    m, s, p2["w_mu"], p2["w_sigma"], (2, 2), fill
+                )
             _tap(f"up{j}_conv2", m)
             return m, s
         m, s = vpad3d(m, s, (3, 3), fill)
@@ -174,7 +181,8 @@ def forward3d(
 
     skips: List[Tuple[Array, Array]] = []
     p = params["conv_input"]
-    m, s = vrelu(*vconv3d_input(x, p["w_mu"], p["w_sigma"]))
+    with jax.named_scope("conv_input"):
+        m, s = vrelu(*vconv3d_input(x, p["w_mu"], p["w_sigma"]))
     _tap("conv_input", m)
     m, s = conv_relu("conv1", m, s)
     m, s = constrain(m, s)
@@ -194,7 +202,8 @@ def forward3d(
         m, s = constrain(m, s)
 
     p = params["conv_final"]
-    m, s = vconv3d(m, s, p["w_mu"], p["w_sigma"])
+    with jax.named_scope("conv_final"):
+        m, s = vconv3d(m, s, p["w_mu"], p["w_sigma"])
     _tap("conv_final", m)
     return vsoftmax3d(m, s)
 

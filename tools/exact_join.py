@@ -15,6 +15,8 @@ Usage (on the TPU host):
     python tools/exact_join.py hippocampus 128  /tmp/ej_hip128
     python tools/exact_join.py brats 128        /tmp/ej_brats128
     python tools/exact_join.py unet3d 16        /tmp/ej_3d16
+    python tools/exact_join.py unet3d 16 /tmp/ej --by-layer   # + per-layer
+                                        # MXU-conv table via named_scope
 
 Prints one class table (ms/step, %) with every trace event joined to its
 compiled-module instruction; unjoined time is reported, not silently
@@ -95,6 +97,31 @@ def parse_hlo(text: str):
                 inner = [(op, mt) for _, op, mt, _ in comps[calls]]
             table[instr] = (opcode, meta, inner)
     return table
+
+
+# the scope can be a bare path component ("/conv1/") or wrapped by AD
+# transforms ("jvp(conv1)/", "transpose(jvp(conv1))/"); match the layer
+# token word-bounded anywhere in the op_name path
+_LAYER_RE = re.compile(
+    r"(?<![\w])(conv_input|up\d+_conv(?:2x2|\d)|conv\d+|conv_final)(?![\w])"
+)
+
+
+def layer_of(meta: str, inner) -> str:
+    """Layer attribution from the jax.named_scope path embedded in the HLO
+    metadata op_name (models/unet{,3d}.py wrap every conv layer in its
+    parameter name). A fusion containing ops from several layers is
+    labeled 'mixed'."""
+    names = set()
+    for mt in [meta] + [m for _, m in inner]:
+        m = _LAYER_RE.search(mt)
+        if m:
+            names.add(m.group(1))
+    if not names:
+        return "(unscoped)"
+    if len(names) > 1:
+        return "mixed:" + "+".join(sorted(names))
+    return names.pop()
 
 
 def classify(opcode: str, meta: str, inner) -> str:
@@ -226,7 +253,8 @@ def build_step(model: str, batch: int):
     return step, state, x, y, k_steps
 
 
-def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
+def run(model: str, batch: int, trace_dir: str, n_iters: int = 20,
+        by_layer: bool = False):
     import jax
 
     from supernet_tpu.profiling import trace
@@ -264,6 +292,7 @@ def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
         raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
     space = parse_xspace(pbs[-1])
     agg = collections.defaultdict(lambda: [0, 0])
+    lagg = collections.defaultdict(lambda: [0, 0])
     unmatched = collections.defaultdict(lambda: [0, 0])
     device_steps_ms = None
     for pname, lines in space.items():
@@ -293,6 +322,10 @@ def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
                 cls = classify(*hit)
                 agg[cls][0] += ev.duration_ps
                 agg[cls][1] += 1
+                if by_layer:
+                    lay = layer_of(hit[1], hit[2])
+                    lagg[(lay, cls)][0] += ev.duration_ps
+                    lagg[(lay, cls)][1] += 1
     # "control" (while/call wrappers) spans its own body — counting it
     # would double every op inside the scan loop; report it separately.
     control_ps = agg.pop("control", [0, 0])[0]
@@ -323,6 +356,21 @@ def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
                 unmatched.items(), key=lambda kv: -kv[1][0])[:8]:
             print(f"  ? {name:24} {ps / 1e9 / steps:9.3f} {n:8d}")
     print(f"{'TOTAL':28} {total / 1e9 / steps:9.3f}")
+    layer_rows = []
+    if by_layer and lagg:
+        per_layer = collections.defaultdict(lambda: [0, 0])
+        for (lay, cls), (ps, n) in lagg.items():
+            if "(MXU)" in cls or by_layer == "all":
+                per_layer[lay][0] += ps
+                per_layer[lay][1] += n
+        print(f"\n-- per-layer MXU-conv time (named_scope attribution) --")
+        print(f"{'layer':18} {'ms/step':>9} {'events':>8} {'% of step':>9}")
+        for lay, (ps, n) in sorted(per_layer.items(), key=lambda kv: -kv[1][0]):
+            ms = ps / 1e9 / steps
+            pct = 100 * ps / max(total, 1)
+            print(f"{lay:18} {ms:9.3f} {n:8d} {pct:9.1f}")
+            layer_rows.append({"layer": lay, "ms_per_step": round(ms, 4),
+                               "events": n, "pct": round(pct, 2)})
     out = {
         "model": model, "batch": batch, "k_steps": k_steps,
         "n_iters": n_iters, "wall_ms_per_step": round(wall_ms_step, 4),
@@ -333,14 +381,18 @@ def run(model: str, batch: int, trace_dir: str, n_iters: int = 20):
         "unmatched_ms_per_step": round(un_ps / 1e9 / steps, 4),
         "total_ms_per_step": round(total / 1e9 / steps, 4),
     }
+    if layer_rows:
+        out["layers_mxu"] = layer_rows
     with open(os.path.join(trace_dir, "exact_join.json"), "w") as f:
         json.dump(out, f, indent=1)
     return out
 
 
 if __name__ == "__main__":
-    model = sys.argv[1] if len(sys.argv) > 1 else "hippocampus"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    trace_dir = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/ej_{model}_{batch}"
+    argv = [a for a in sys.argv[1:] if a != "--by-layer"]
+    by_layer = "--by-layer" in sys.argv[1:]
+    model = argv[0] if len(argv) > 0 else "hippocampus"
+    batch = int(argv[1]) if len(argv) > 1 else 20
+    trace_dir = argv[2] if len(argv) > 2 else f"/tmp/ej_{model}_{batch}"
     os.makedirs(trace_dir, exist_ok=True)
-    run(model, batch, trace_dir)
+    run(model, batch, trace_dir, by_layer=by_layer)
