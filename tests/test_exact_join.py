@@ -82,3 +82,22 @@ def test_trace_event_name_extraction():
     name = ev.split(" = ")[0].strip().lstrip("%")
     assert name == "copy-start.20"
     assert name in parse_hlo(HLO)
+
+
+def test_layer_attribution_handles_ad_wrapped_scopes():
+    from exact_join import layer_of
+
+    # bare path component, jvp-wrapped, transpose(jvp)-wrapped
+    assert layer_of("jit(step)/conv1/conv_general_dilated", []) == "conv1"
+    assert layer_of("jit(steps)/while/body/jvp(conv_input)/conv", []) == \
+        "conv_input"
+    assert layer_of(
+        "transpose(jvp(up2_conv1))/conv_general_dilated", []) == "up2_conv1"
+    # up{j}_conv2x2 must NOT partially match as conv2
+    assert layer_of("jvp(up1_conv2x2)/conv", []) == "up1_conv2x2"
+    # a fusion spanning two layers is 'mixed'; attribution looks at the
+    # fused computation's metadata too
+    assert layer_of("", [("convolution", "jvp(conv2)/x"),
+                         ("convolution", "jvp(conv3)/y")]) == "mixed:conv2+conv3"
+    # no scope anywhere -> unscoped (conv_general_dilated must not match)
+    assert layer_of("jit(step)/conv_general_dilated", []) == "(unscoped)"
