@@ -396,6 +396,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "exported computation")
 
     b = sub.add_parser("bench", help="throughput benchmark")
+    pr = sub.add_parser(
+        "profile",
+        help="exact-join device profile of the train step (per-op class "
+             "table joined against the executed executable's HLO; "
+             "docs/PERFORMANCE.md 'Round 5')")
+    pr.add_argument("--config", default="hippocampus",
+                    help="hippocampus | brats | lungs | unet3d "
+                         "(unet3d = the volumetric family)")
+    pr.add_argument("--batch", type=int, default=20)
+    pr.add_argument("--iters", type=int, default=20,
+                    help="traced dispatches (each runs the K-step scan)")
+    pr.add_argument("--by-layer", action="store_true",
+                    help="add per-layer MXU-conv attribution "
+                         "(jax.named_scope layer scopes)")
+    pr.add_argument("--out-dir", default=None,
+                    help="trace + exact_join.json destination "
+                         "(default /tmp/ej_<config>_<batch>)")
     return ap
 
 
@@ -759,6 +776,17 @@ def main(argv=None) -> int:
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "profile":
+        import os
+
+        from supernet_tpu.hlo_profile import run as profile_run
+
+        out_dir = args.out_dir or f"/tmp/ej_{args.config}_{args.batch}"
+        os.makedirs(out_dir, exist_ok=True)
+        profile_run(args.config, args.batch, out_dir,
+                    n_iters=args.iters, by_layer=args.by_layer)
         return 0
 
     exp = _get_exp(args)
