@@ -547,11 +547,11 @@ def _bench_ensemble(n_iters: int, single_step_ms: float) -> dict:
     per 120-epoch Hippocampus member). ``speedup_per_step`` is therefore
     the steady-state per-step ratio, a LOWER bound on the end-to-end win.
 
-    Measures BOTH member-axis lowerings and reports the faster one
-    (docs/PERFORMANCE.md "Round 4: ensemble member lowering"): vmap
-    (weights-batched convs; 21.5 ms K=4@20 on v5e) vs lax.scan over
-    members (plain single-model convs, one trace; 17.6 ms — the
-    single-device default in ensemble.EnsembleTrainer)."""
+    Measures all three member-axis lowerings and reports the fastest
+    (docs/PERFORMANCE.md "ensemble member lowering"): vmap
+    (weights-batched convs), lax.scan over members (one trace for all K),
+    and unroll (Python loop inside one jit — measured fastest on v5e,
+    the single-device default in ensemble.EnsembleTrainer)."""
     import time as _time
 
     import jax
@@ -598,7 +598,7 @@ def _bench_ensemble(n_iters: int, single_step_ms: float) -> dict:
         assert float(jnp.min(m.loss)) > -1e30
         return (_time.perf_counter() - t0) / n_iters
 
-    dts = {mode: run_mode(mode) for mode in ("vmap", "scan")}
+    dts = {mode: run_mode(mode) for mode in ("vmap", "scan", "unroll")}
     mode = min(dts, key=dts.get)
     dt = dts[mode]
     return {
@@ -608,6 +608,7 @@ def _bench_ensemble(n_iters: int, single_step_ms: float) -> dict:
         "step_ms": round(dt * 1e3, 3),
         "step_ms_vmap": round(dts["vmap"] * 1e3, 3),
         "step_ms_scan": round(dts["scan"] * 1e3, 3),
+        "step_ms_unroll": round(dts["unroll"] * 1e3, 3),
         "sequential_step_ms": round(k_members * single_step_ms, 3),
         "speedup_per_step": round(
             k_members * single_step_ms / (dt * 1e3), 2

@@ -51,12 +51,14 @@ from supernet_tpu.train import (
 )
 from supernet_tpu.trainer import _prep_batch
 
-# Measured on the TPU v5e (bench.py ensemble_train; docs/PERFORMANCE.md
-# "Ensemble training"): per-member step 16.408 ms one-program scan vs
-# 14.272 ms sequential — a 1.15x per-step tax — against ~35 s saved per
-# avoided full-model jit compile. Overridable per deployment via the
+# Measured on the TPU v5e (round 5 A/B, docs/PERFORMANCE.md "Ensemble
+# member lowering"): per-member step K=4 @ parity batch — 14.431 ms
+# one-program UNROLL vs 14.272 ms sequential (a 1.1% per-step tax; the
+# round-4 scan lowering measured 14.787 ms = 3.6%) — against ~35 s saved
+# per avoided full-model jit compile (the K=4 unrolled program compiled
+# in 42.5 s vs ~4x35 s sequential). Overridable per deployment via the
 # SUPERNET_ENSEMBLE_{COMPILE_S,STEP_S,STEP_RATIO} env knobs.
-ONE_PROGRAM_STEP_RATIO = 16.408 / 14.272
+ONE_PROGRAM_STEP_RATIO = 14.431 / 14.272
 SEQUENTIAL_STEP_S = 0.014272
 # 3-D family: 32.0 vols/s at the parity batch of 4 (bench_last_good.json
 # unet3d) -> 125 ms/step; the scan-vs-sequential ratio is assumed equal
@@ -97,7 +99,7 @@ def choose_ensemble_mode(
     if mesh is not None:
         return "vmap", "mesh-sharded members run device-parallel"
     if total_steps is None:
-        return "scan", "unsized stream; keeping the one-compile mode"
+        return "unroll", "unsized stream; keeping the one-compile mode"
     c = compile_s if compile_s is not None else float(
         os.environ.get("SUPERNET_ENSEMBLE_COMPILE_S", COMPILE_S)
     )
@@ -116,7 +118,7 @@ def choose_ensemble_mode(
         f"per-step tax (x{r:.2f} on {t * 1e3:.1f}ms steps)"
     )
     if compile_saved_s > step_tax_s:
-        return "scan", why
+        return "unroll", why
     return "sequential", why
 
 
@@ -135,8 +137,8 @@ class EnsembleTrainer3D:
     checkpoints land in ``member_{k}/`` dirs that `cli eval3d/predict3d
     --checkpoint a,b,c` and `EnsembleSession` consume.
 
-    ``member_mode``: scan (single-device default) / vmap (required on a
-    member-axis ``mesh``) — same measured trade-off as 2-D
+    ``member_mode``: unroll (single-device default) / scan / vmap
+    (required on a member-axis ``mesh``) — same measured trade-off as 2-D
     (docs/PERFORMANCE.md "ensemble member lowering")."""
 
     def __init__(
@@ -201,7 +203,7 @@ class EnsembleTrainer3D:
         if member_mode is None:
             member_mode = os.environ.get(
                 "SUPERNET_ENSEMBLE_MODE",
-                "vmap" if mesh is not None else "scan",
+                "vmap" if mesh is not None else "unroll",
             )
         self.member_mode = member_mode
         self.initial_params = initial_params
@@ -478,7 +480,7 @@ class EnsembleTrainer:
         # ensemble_train + docs/PERFORMANCE.md "Ensemble training".
         if member_mode is None:
             member_mode = os.environ.get(
-                "SUPERNET_ENSEMBLE_MODE", "vmap" if mesh is not None else "scan"
+                "SUPERNET_ENSEMBLE_MODE", "vmap" if mesh is not None else "unroll"
             )
         self.member_mode = member_mode
         self.step_fn = make_ensemble_train_step(

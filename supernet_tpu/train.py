@@ -326,6 +326,11 @@ def make_ensemble_train_step(
       single-model step verbatim (plain convs, full per-step rate), traced
       and compiled ONCE for all K members. Per-step cost matches the
       sequential path; the compile-amortization win is kept.
+    - ``"unroll"``: Python loop over the K members inside ONE jit — the
+      body is traced K times (compile grows ~K×) but there is no scan
+      carry/loop overhead and XLA may interleave members' kernels to fill
+      scheduling bubbles. Measured A/B against scan decides the default
+      (docs/PERFORMANCE.md "Ensemble member lowering").
 
     ``mesh``: optional member-axis sharding — each device trains a
     contiguous block of members (K must divide over the mesh; use
@@ -353,6 +358,25 @@ def make_ensemble_train_step(
                 _, (new_state, m, pred) = jax.lax.scan(
                     body, None, (state, x, y, seeds)
                 )
+                return (new_state, m, pred) if with_pred else (new_state, m)
+
+            return step
+        if member_mode == "unroll":
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state: TrainState, x: Array, y: Array, seeds: Array):
+                outs = [
+                    one(
+                        jax.tree_util.tree_map(lambda a: a[k], state),
+                        x[k], y[k], seeds[k],
+                    )
+                    for k in range(x.shape[0])
+                ]
+                stack = lambda *ls: jnp.stack(ls)  # noqa: E731
+                new_state = jax.tree_util.tree_map(
+                    stack, *[o[0] for o in outs])
+                m = jax.tree_util.tree_map(stack, *[o[1] for o in outs])
+                pred = jnp.stack([o[2] for o in outs])
                 return (new_state, m, pred) if with_pred else (new_state, m)
 
             return step

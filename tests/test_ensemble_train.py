@@ -166,13 +166,13 @@ def test_member_sharded_mesh(tmp_path):
 
 
 def test_scan_mode_matches_vmap(tmp_path):
-    """member_mode='scan' (lax.scan over the member axis — the
-    single-device default: the body lowers like the plain single-model
-    step) reproduces member_mode='vmap' member-wise. vmap batches the
-    member convs so reductions may reassociate; same f32 tolerance as the
+    """member_mode='scan' and ='unroll' (the single-device default since
+    round 5: Python loop over members inside one jit, no scan carry)
+    reproduce member_mode='vmap' member-wise. vmap batches the member
+    convs so reductions may reassociate; same f32 tolerance as the
     sequential pin."""
     runs = {}
-    for mode in ("vmap", "scan"):
+    for mode in ("vmap", "scan", "unroll"):
         ens = EnsembleTrainer(
             EXP, 2, _ds(8), None, out_dir=str(tmp_path / mode),
             track_curves=False, member_mode=mode,
@@ -181,19 +181,20 @@ def test_scan_mode_matches_vmap(tmp_path):
         runs[mode] = (ens, ens.run(epochs=2, log=lambda *_: None))
     for k in range(2):
         v = index_tree(runs["vmap"][1].params, k)
-        s = index_tree(runs["scan"][1].params, k)
-        for layer, p in v.items():
-            for name, val in p.items():
-                np.testing.assert_allclose(
-                    np.asarray(s[layer][name]), np.asarray(val),
-                    rtol=2e-4, atol=1e-5,
-                    err_msg=f"member {k} {layer}/{name}",
-                )
-        np.testing.assert_allclose(
-            runs["scan"][0].histories[k]["train_loss"],
-            runs["vmap"][0].histories[k]["train_loss"],
-            rtol=1e-4,
-        )
+        for other in ("scan", "unroll"):
+            s = index_tree(runs[other][1].params, k)
+            for layer, p in v.items():
+                for name, val in p.items():
+                    np.testing.assert_allclose(
+                        np.asarray(s[layer][name]), np.asarray(val),
+                        rtol=2e-4, atol=1e-5,
+                        err_msg=f"member {k} {other} {layer}/{name}",
+                    )
+            np.testing.assert_allclose(
+                runs[other][0].histories[k]["train_loss"],
+                runs["vmap"][0].histories[k]["train_loss"],
+                rtol=1e-4,
+            )
 
 
 def test_scan_mode_rejected_on_mesh():
@@ -251,18 +252,19 @@ def test_choose_ensemble_mode_crossover():
 
     kw = dict(compile_s=35.0, step_s=0.014, step_ratio=1.15)
     # boundary for K=4: 3*35 / (4*0.014*0.15) = 12,500 steps/member
+    # (one-program = the unroll lowering since round 5)
     mode, _ = choose_ensemble_mode(4, 10_000, **kw)
-    assert mode == "scan"
+    assert mode == "unroll"
     mode, _ = choose_ensemble_mode(4, 15_000, **kw)
     assert mode == "sequential"
     # exact boundary math: one-program strictly wins just below it
     mode, _ = choose_ensemble_mode(4, 12_499, **kw)
-    assert mode == "scan"
+    assert mode == "unroll"
     mode, _ = choose_ensemble_mode(4, 12_501, **kw)
     assert mode == "sequential"
     # unknown stream length keeps the one-compile mode
     mode, why = choose_ensemble_mode(4, None, **kw)
-    assert mode == "scan" and "unsized" in why
+    assert mode == "unroll" and "unsized" in why
     mode, _ = choose_ensemble_mode(4, 10**9, mesh=make_mesh(2), **kw)
     assert mode == "vmap"
     # env short-circuit

@@ -77,7 +77,7 @@ def test_scan_matches_sequential_trainer3d(tmp_path):
 
 def test_vmap_matches_scan(tmp_path):
     runs = {}
-    for mode in ("scan", "vmap"):
+    for mode in ("scan", "vmap", "unroll"):
         ens = EnsembleTrainer3D(
             EXP, 2, X, Y, out_dir=str(tmp_path / mode), member_mode=mode
         )
@@ -86,6 +86,8 @@ def test_vmap_matches_scan(tmp_path):
         expect = index_tree(runs["scan"][1].params, k)
         _assert_params_match(expect, runs["vmap"][1].params, k,
                              "vmap vs scan")
+        _assert_params_match(expect, runs["unroll"][1].params, k,
+                             "unroll vs scan")
 
 
 def test_validation_and_artifacts(tmp_path):
