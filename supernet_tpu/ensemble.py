@@ -51,14 +51,16 @@ from supernet_tpu.train import (
 )
 from supernet_tpu.trainer import _prep_batch
 
-# Measured on the TPU v5e (round 5 A/B, docs/PERFORMANCE.md "Ensemble
-# member lowering"): per-member step K=4 @ parity batch — 14.431 ms
-# one-program UNROLL vs 14.272 ms sequential (a 1.1% per-step tax; the
-# round-4 scan lowering measured 14.787 ms = 3.6%) — against ~35 s saved
-# per avoided full-model jit compile (the K=4 unrolled program compiled
-# in 42.5 s vs ~4x35 s sequential). Overridable per deployment via the
+# Measured on the TPU v5e (round 5 A/B + bench captures,
+# docs/PERFORMANCE.md "Ensemble member lowering"): per-member step K=4 @
+# parity batch — one-program UNROLL 14.43-15.42 ms vs sequential
+# 14.20-14.27 ms across captures (a 1-9% per-step tax band; scan
+# measured 3.6-15% across the same captures) — against ~35 s saved per
+# avoided full-model jit compile (the K=4 unrolled program compiled in
+# 42.5 s vs scan's 108.5 s vs ~4x35 s sequential). The default ratio
+# sits mid-band; override per deployment via the
 # SUPERNET_ENSEMBLE_{COMPILE_S,STEP_S,STEP_RATIO} env knobs.
-ONE_PROGRAM_STEP_RATIO = 14.431 / 14.272
+ONE_PROGRAM_STEP_RATIO = 1.05
 SEQUENTIAL_STEP_S = 0.014272
 # 3-D family: 32.0 vols/s at the parity batch of 4 (bench_last_good.json
 # unet3d) -> 125 ms/step; the scan-vs-sequential ratio is assumed equal
